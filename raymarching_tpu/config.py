@@ -1,0 +1,82 @@
+"""Render configuration.
+
+TPU-native replacement for the reference's two-level config system
+(compile-time ``source/include/constants.h`` + runtime scene text file).
+All knobs live in one frozen (hashable) dataclass so the whole config can be
+passed as a static argument to ``jax.jit`` — everything here shapes the traced
+program (resolution, iteration bounds, SSAA kernel), exactly like the
+reference's compile-time constants shaped its binary.
+
+Reference values: constants.h:11-27 (1024x768, iterations=1000, gamma=1.0,
+saturation=0.05, surface/offset precision 1e-3, SSAA kernel 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (hashable; safe as a jit static arg)."""
+
+    # Image (constants.h:11-12)
+    width: int = 1024
+    height: int = 768
+
+    # March (constants.h:14, constants.h:20-22)
+    iterations: int = 1000
+    surface_precision: float = 1e-3
+    offset_precision: float = 1e-3
+
+    # Shading (constants.h:15-16)
+    saturation: float = 0.05
+    gamma: float = 1.0
+
+    # Supersampling (constants.h:26)
+    ssaa: int = 3
+
+    # Shadow rays on/off (always on in the reference; off for the cheap
+    # BASELINE config-1 ladder rung).
+    shadows: bool = True
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    # Normal estimation: "fd" = 6-eval central differences, h=1e-3, matching
+    # the reference bit-for-bit (scene.cpp:70-89); "analytic" = one
+    # reverse-mode gradient of the scene SDF (faster, smoother).
+    normal_mode: str = "fd"
+    fd_h: float = 1e-3
+
+    # Stop the march loop early once every ray in a tile has converged
+    # (semantics-preserving: converged rays are frozen either way).
+    early_exit: bool = True
+
+    # Compute backend for the march: "auto" picks pallas on TPU, jnp
+    # elsewhere; "jnp" / "pallas" force a path.
+    backend: str = "auto"
+
+    # Rays per Pallas program instance: (tile_sublanes, 128) grid tiles.
+    tile_sublanes: int = 8
+
+    # Process rays in chunks of this many (0 = whole frame at once) to bound
+    # the [rays, primitives] working set in HBM on the jnp path.
+    ray_chunk: int = 0
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def aspect_ratio(self) -> float:
+        return float(self.width) / float(self.height)
+
+    @property
+    def samples_per_pixel(self) -> int:
+        return self.ssaa * self.ssaa
+
+    @property
+    def rays_per_image(self) -> int:
+        return self.width * self.height * self.samples_per_pixel
+
+
+# The reference demo configuration (constants.h defaults).
+REFERENCE_CONFIG = RenderConfig()

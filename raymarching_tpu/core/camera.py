@@ -1,0 +1,76 @@
+"""Differentiable camera: look-at rotation, focal length, ray generation.
+
+jnp re-implementation of the reference camera (object.cpp:23-42) and the
+per-pixel/SSAA ray setup (render.cpp:82-111), fully vectorized so the whole
+H x W x k x k ray grid is produced by a handful of broadcasted ops, and fully
+differentiable so camera-pose gradients (position, direction, up, FOV) flow
+through ``normalize``/``cross``/``tan`` (north-star config 4).
+
+Geometry spec:
+  * screen plane at z=-1 in camera space, width = focal = 2 tan(FOV deg/2),
+    height = focal / aspect; top-left corner (-w/2, +h/2) (render.cpp:85-89).
+  * pixel (px, py) spans UV [px/W,(px+1)/W] x [py/H,(py+1)/H]; SSAA sample
+    (i, j) of a k x k kernel sits at sub-UV ((i+1)/k, (j+1)/k) — biased
+    toward the pixel's bottom-right corner, faithfully reproduced
+    (render.cpp:104-108; SURVEY §2 fine print).
+  * ray = R @ normalize((x, y, -1)); origin = camera position.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..scene.compile import SceneTables
+
+DEG_TO_RAD = jnp.pi / 180.0
+
+
+def camera_rotation(direction: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
+    """3x3 rotation, columns [right, up', -forward] (object.cpp:25-31)."""
+    right = jnp.cross(direction, up)
+    right = right / jnp.linalg.norm(right)
+    up2 = jnp.cross(right, direction)
+    up2 = up2 / jnp.linalg.norm(up2)
+    forward = direction / jnp.linalg.norm(direction)
+    return jnp.stack([right, up2, -forward], axis=1)
+
+
+def camera_focal(fov_deg: jnp.ndarray) -> jnp.ndarray:
+    """focal = 2 tan(FOV/2) (object.cpp:35)."""
+    return 2.0 * jnp.tan(fov_deg * DEG_TO_RAD / 2.0)
+
+
+def generate_rays(tables: SceneTables, cfg: RenderConfig
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All primary rays for one frame.
+
+    Returns (origin [3], directions [H, W, S, 3]) with S = ssaa^2 samples in
+    (i-major, j-minor) order matching the reference's nested sample loop
+    (render.cpp:104-105).
+    """
+    w = camera_focal(tables.cam_fov)
+    h = w / cfg.aspect_ratio
+    k = cfg.ssaa
+
+    px = jnp.arange(cfg.width, dtype=jnp.float32)       # column index
+    py = jnp.arange(cfg.height, dtype=jnp.float32)      # row index
+    si = (jnp.arange(k, dtype=jnp.float32) + 1.0) / k   # sample offsets
+    # Full sub-pixel UV in [0, 1]: u over columns+i, v over rows+j.
+    u = (px[None, :, None, None] + si[None, None, :, None]) / cfg.width
+    v = (py[:, None, None, None] + si[None, None, None, :]) / cfg.height
+
+    # lerp over the screen rectangle: x in [-w/2, w/2], y in [h/2, -h/2].
+    shape = (cfg.height, cfg.width, k, k)
+    x = jnp.broadcast_to(w * (u - 0.5), shape)
+    y = jnp.broadcast_to(h * (0.5 - v), shape)
+    z = jnp.full(shape, -1.0, dtype=x.dtype)
+
+    d = jnp.stack([x, y, z], axis=-1)                   # [H, W, k, k, 3]
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    R = camera_rotation(tables.cam_direction, tables.cam_up)
+    d = d @ R.T                                         # rotate into world
+    d = d.reshape(cfg.height, cfg.width, k * k, 3)
+    return tables.cam_position, d

@@ -1,0 +1,105 @@
+"""The reference renderer: full forward pass in pure jax.numpy.
+
+This is the oracle — the allclose contract for every faster path (Pallas
+kernels, sharded execution) per SURVEY §4.  Pipeline per SSAA sample
+(scene.cpp:26-32 + render.cpp:82-120):
+
+    march -> surface color (at the pre-step point) -> normal -> shadow/
+    lighting -> light * color; average the k x k samples into the pixel.
+
+The march batch is the flattened H*W*S ray grid; optional chunking bounds
+the [rays, primitives] working set.  ``differentiable=True`` switches the
+march to the scan-based driver so ``jax.grad`` flows through the whole
+image — this is the CPU autodiff reference for gradient checks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import RenderConfig
+from ..scene.compile import ScenePlan, SceneTables
+from . import camera as cam
+from . import shading
+from .march import march
+from .sdf import scene_sd, scene_surface
+
+
+def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                origin: jnp.ndarray, dirs: jnp.ndarray,
+                differentiable: bool,
+                march_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Render a flat batch of rays. origin [3] or [R,3]; dirs [R,3] -> [R,3].
+
+    ``march_fn``, when given, overrides the primary/shadow march driver with
+    a fused implementation (e.g. the Pallas kernel via ops.march_op); it must
+    map (origin, dirs) -> MarchResult with reference semantics.
+    """
+    sd_fn = lambda p: scene_sd(plan, tables, p)
+    o = jnp.broadcast_to(origin, dirs.shape)
+
+    if march_fn is None:
+        march_fn = lambda oo, dd: march(
+            sd_fn, oo, dd, cfg.iterations, cfg.surface_precision,
+            differentiable=differentiable, early_exit=cfg.early_exit)
+
+    res = march_fn(o, dirs)
+    p_hit = res.position
+    # The reference returns the surface evaluated one step back
+    # (scene.cpp:34-42); reconstruct that point and evaluate color there.
+    # (sd clamp mirrors the march's step clamp for degenerate +inf scenes.)
+    from .march import MAX_STEP
+    p_color = p_hit - jnp.minimum(res.sd, MAX_STEP)[..., None] * dirs
+    _, color = scene_surface(plan, tables, p_color)
+
+    if cfg.normal_mode == "analytic":
+        g = shading.normal_analytic(sd_fn, p_hit)
+    else:
+        g = shading.normal_fd(sd_fn, p_hit, cfg.fd_h)
+    n = shading.normalize(g)
+
+    light = shading.lighting(
+        sd_fn, tables.light_pos, p_hit, n,
+        iterations=cfg.iterations, surface_eps=cfg.surface_precision,
+        offset_eps=cfg.offset_precision, saturation=cfg.saturation,
+        shadows=cfg.shadows, early_exit=cfg.early_exit and not differentiable)
+
+    return light[..., None] * color
+
+
+def render_image(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                 *, differentiable: bool = False,
+                 march_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Render the full frame -> [H, W, 3] float32 (linear, unclamped)."""
+    origin, dirs = cam.generate_rays(tables, cfg)      # [H, W, S, 3]
+    S = cfg.samples_per_pixel
+    R = cfg.height * cfg.width * S
+    flat = dirs.reshape(R, 3)
+
+    shade = partial(_shade_rays, plan, tables, cfg, origin,
+                    differentiable=differentiable, march_fn=march_fn)
+
+    chunk = cfg.ray_chunk
+    if chunk and R > chunk:
+        pad = (-R) % chunk
+        padded = jnp.concatenate(
+            [flat, jnp.broadcast_to(flat[-1:], (pad, 3))]) if pad else flat
+        blocks = padded.reshape(-1, chunk, 3)
+        colors = lax.map(lambda d: shade(dirs=d), blocks)
+        colors = colors.reshape(-1, 3)[:R]
+    else:
+        colors = shade(dirs=flat)
+
+    samples = colors.reshape(cfg.height, cfg.width, S, 3)
+    return jnp.mean(samples, axis=2)
+
+
+@partial(jax.jit, static_argnames=("plan", "cfg", "differentiable"))
+def render_image_jit(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                     differentiable: bool = False) -> jnp.ndarray:
+    return render_image(plan, tables, cfg, differentiable=differentiable)

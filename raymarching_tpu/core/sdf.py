@@ -1,0 +1,168 @@
+"""Vectorized scene SDF evaluation (pure jax.numpy).
+
+This is the oracle implementation of the scene distance field — the analogue
+of the reference's C++ CPU path (scene.cpp:65 + body.cpp:66-111), but
+re-designed struct-of-arrays: one batched evaluation of every leaf primitive
+followed by a static sequence of min/max folds from the compiled
+:class:`~raymarching_tpu.scene.compile.ScenePlan`.  No polymorphic dispatch,
+no tree walking, no data-dependent control flow — everything vectorizes over
+an arbitrary leading ray batch under XLA.
+
+Two entry points:
+  * :func:`scene_sd` — distance only (the march hot path).
+  * :func:`scene_surface` — distance + color, reproducing the reference's
+    left-to-right first-wins tie-break via first-occurrence argmin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.compile import (KIND_LEAF, KIND_LIST, MAX, MIN, ScenePlan,
+                             SceneTables)
+from ..scene.csg import PrimType
+
+_INF = jnp.float32(jnp.inf)
+
+
+def leaf_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray:
+    """Signed distances of every leaf primitive.
+
+    p: [..., 3] query points -> [..., P].
+
+    Formulas (body.cpp:32-57):
+      sphere: |c - p| - r
+      box:    max_axis(|p - c| - s/2)
+      cross:  sum(b) - min(b) - max(b), b = |p - c| - s/2
+    """
+    d = p[..., None, :] - tables.prim_pos          # [..., P, 3]
+    b = jnp.abs(d) - tables.prim_aux * 0.5         # [..., P, 3]
+    box = jnp.max(b, axis=-1)
+    cross = jnp.sum(b, axis=-1) - jnp.min(b, axis=-1) - box
+    sphere = jnp.sqrt(jnp.sum(d * d, axis=-1)) - tables.prim_aux[..., 0]
+
+    t = np.asarray(plan.prim_type, np.int32)       # static per-scene
+    sd = jnp.where(t == int(PrimType.SPHERE), sphere,
+                   jnp.where(t == int(PrimType.BOX), box, cross))
+    return sd
+
+
+_RUN = 2  # coalesced contiguous leaf run
+
+
+@functools.lru_cache(maxsize=None)
+def _coalesced_entries(lp):
+    """Merge consecutive same-negation leaf entries into (RUN, start, count,
+    neg) items — a 422-child Menger list becomes two sliced reductions
+    instead of 422 stacked scalars.  Tie-break order is preserved: within-run
+    argmin picks the first occurrence and items fold left-to-right."""
+    items = []
+    for kind, idx, neg in lp.entries:
+        if (kind == KIND_LEAF and items and items[-1][0] == _RUN
+                and items[-1][3] == neg
+                and items[-1][1] + items[-1][2] == idx):
+            items[-1] = (_RUN, items[-1][1], items[-1][2] + 1, neg)
+        elif kind == KIND_LEAF:
+            items.append((_RUN, idx, 1, neg))
+        else:
+            items.append((KIND_LIST, idx, 0, neg))
+    return tuple(items)
+
+
+def _fold_values(plan: ScenePlan, leaf: jnp.ndarray, with_color: bool):
+    """Run the static post-order fold.  leaf: [..., P].
+
+    Returns (sd, color_idx) where color_idx is int32 leaf index (-1 = none,
+    i.e. the empty-list black color, body.cpp:67-70) — or (sd, None) when
+    with_color is False.
+    """
+    batch = leaf.shape[:-1]
+    results = []
+    for lp in plan.lists:
+        if not lp.entries:
+            sd = jnp.full(batch, _INF, leaf.dtype)
+            ci = jnp.full(batch, -1, jnp.int32) if with_color else None
+            results.append((sd, ci))
+            continue
+        vals = []
+        idxs = []
+        for item in _coalesced_entries(lp):
+            kind, idx, count, neg = item
+            if kind == _RUN:
+                seg = leaf[..., idx:idx + count]
+                if neg:
+                    seg = -seg
+                if count == 1:
+                    v = seg[..., 0]
+                    ci = (jnp.full(batch, idx, jnp.int32)
+                          if with_color else None)
+                elif with_color:
+                    # First-occurrence argmin/argmax == the reference's left
+                    # fold with first-operand-wins ties (body.cpp:12-14).
+                    k = (jnp.argmin(seg, -1) if lp.op == MIN
+                         else jnp.argmax(seg, -1))
+                    v = jnp.take_along_axis(seg, k[..., None], -1)[..., 0]
+                    ci = (k + idx).astype(jnp.int32)
+                else:
+                    v = (jnp.min(seg, -1) if lp.op == MIN
+                         else jnp.max(seg, -1))
+                    ci = None
+            else:
+                v, ci = results[idx]
+                if neg:
+                    v = -v
+            vals.append(v)
+            if with_color:
+                idxs.append(ci)
+        if len(vals) == 1:
+            results.append((vals[0], idxs[0] if with_color else None))
+            continue
+        stack = jnp.stack(vals, axis=-1)           # [..., I]
+        if with_color:
+            k = jnp.argmin(stack, -1) if lp.op == MIN else jnp.argmax(stack, -1)
+            sd = jnp.take_along_axis(stack, k[..., None], -1)[..., 0]
+            istack = jnp.stack(idxs, axis=-1)
+            ci = jnp.take_along_axis(istack, k[..., None], -1)[..., 0]
+        else:
+            sd = jnp.min(stack, -1) if lp.op == MIN else jnp.max(stack, -1)
+            ci = None
+        results.append((sd, ci))
+    return results[-1]
+
+
+def scene_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray:
+    """Scene signed distance at p [..., 3] -> [...]."""
+    leaf = leaf_sd(plan, tables, p)
+    sd, _ = _fold_values(plan, leaf, with_color=False)
+    return sd
+
+
+def scene_surface(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray):
+    """Scene signed distance and surface color at p: ([...], [..., 3])."""
+    leaf = leaf_sd(plan, tables, p)
+    sd, ci = _fold_values(plan, leaf, with_color=True)
+    safe = jnp.clip(ci, 0, tables.prim_color.shape[0] - 1)
+    color = jnp.where((ci >= 0)[..., None],
+                      tables.prim_color[safe], 0.0)
+    return sd, color
+
+
+def scene_sd_kernel_form(plan: ScenePlan, tables: SceneTables,
+                         p: jnp.ndarray) -> jnp.ndarray:
+    """Distance via the two-level kernel normal form (jnp mirror of the
+    Pallas kernel's reduction order; used to validate the lowering)."""
+    kp = plan.kernel
+    assert kp is not None, "scene is not in two-level normal form"
+    leaf = leaf_sd(plan, tables, p)                # [..., P]
+    batch = leaf.shape[:-1]
+    rsign = 1.0 if kp.root_op == MIN else -1.0
+    running = jnp.full(batch, _INF, leaf.dtype)
+    for g in kp.groups:
+        scales = np.asarray(g.scales, np.float32)
+        seg = leaf[..., g.start:g.start + g.count] * scales
+        gval = float(g.gsign) * jnp.min(seg, axis=-1)
+        running = jnp.minimum(running, rsign * gval)
+    return rsign * running

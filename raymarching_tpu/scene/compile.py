@@ -1,0 +1,253 @@
+"""Scene compiler: CSG tree -> flat device tables + static reduction plan.
+
+This is the TPU-native replacement for the reference's device encoding
+(render.cpp:246-366), which packs bodies into a type-grouped table and the
+tree into 64x1024 node lists that the GLSL kernel walks with a per-thread
+stack interpreter (shader.comp:226-265).  A divergent stack interpreter is
+exactly what does not map to TPU (SURVEY §3.4), so instead we compile the
+tree ONCE on the host into:
+
+  * ``SceneTables`` — a pytree of struct-of-arrays primitive/light/camera
+    parameters.  These are the *differentiable* quantities; gradients flow
+    to every array in here.
+  * ``ScenePlan`` — a hashable static description of the tree structure
+    (types, list membership, fold ops/signs).  Structure is static per scene,
+    so it is baked into the jitted program; evaluation becomes a fixed
+    sequence of vectorized min/max reductions with no data-dependent control
+    flow.
+
+Key algebraic lowering: every list mode is a left fold of min/max over
+optionally negated children (body.cpp:66-111).  Using max(x) = -min(-x), any
+list whose children are all leaves reduces to
+
+    list_value = gsign * min_i(scale_i * leaf_sd_i),  gsign, scale_i in {+-1}
+
+— one sign-scaled min-reduction ("two-level kernel normal form").  The root
+then folds group values with one more min/max.  Reference scenes are depth
+<= 2 (SURVEY §7) so the fused TPU kernel handles them all; deeper trees
+evaluate through the generic post-order plan (still static, still
+vectorized) on the jnp path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .csg import (BLACK, ListNode, Mode, Node, PRIM_TYPE, Primitive, PrimType,
+                  Sphere, iter_primitives)
+from .objects import Camera, Light
+from .parser import Scene
+
+# Fold op codes
+MIN = 0
+MAX = 1
+
+# Plan entry kinds
+KIND_LEAF = 0
+KIND_LIST = 1
+
+# mode -> (fold op, negate_first, negate_rest); body.cpp:66-111
+_MODE_FOLD = {
+    Mode.UNION: (MIN, False, False),
+    Mode.COMPLEMENT: (MIN, True, True),
+    Mode.INTERSECTION: (MAX, False, False),
+    Mode.DIFFERENCE: (MAX, False, True),
+}
+
+
+class SceneTables(NamedTuple):
+    """Differentiable scene parameters (a JAX pytree of f32 arrays).
+
+    The analogue of the reference's three SSBOs + camera uniforms
+    (render.cpp:439-466) — but living as jit inputs, so ``jax.grad`` reaches
+    every field.
+    """
+
+    prim_pos: np.ndarray     # [P, 3] primitive centre
+    prim_aux: np.ndarray     # [P, 3] sphere: (radius, 0, 0); box/cross: size
+    prim_color: np.ndarray   # [P, 3]
+    light_pos: np.ndarray    # [L, 3]
+    light_color: np.ndarray  # [L, 3] (always white in reference scenes)
+    cam_position: np.ndarray   # [3]
+    cam_direction: np.ndarray  # [3]
+    cam_up: np.ndarray         # [3]
+    cam_fov: np.ndarray        # [] degrees
+
+
+@dataclasses.dataclass(frozen=True)
+class ListPlan:
+    """One list's fold: ``op`` over ``entries`` in child order.
+
+    entries: tuple of (kind, index, negate) where kind is KIND_LEAF (index
+    into the primitive table) or KIND_LIST (index into earlier ListPlans —
+    strictly post-order).  First-entry special-casing from the reference is
+    already folded into the per-entry ``negate`` flags.
+    """
+
+    op: int
+    entries: Tuple[Tuple[int, int, bool], ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupPlan:
+    """Two-level normal form group: gsign * min(scale_i * leaf_sd_i).
+
+    ``runs`` splits the group's contiguous leaf range into maximal
+    same-(type, scale) runs: (prim_type, start, count, scale).
+    """
+
+    gsign: int                                   # +1 | -1
+    start: int                                   # first leaf index
+    count: int                                   # number of leaves
+    scales: Tuple[int, ...]                      # per-leaf +-1, len == count
+    runs: Tuple[Tuple[int, int, int, int], ...]  # (ptype, start, count, scale)
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelPlan:
+    """Root fold over groups for the fused TPU kernel (depth <= 2 scenes)."""
+
+    root_op: int                     # MIN | MAX
+    groups: Tuple[GroupPlan, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class ScenePlan:
+    """Static (hashable) scene structure — safe as a jit static argument."""
+
+    prim_type: Tuple[int, ...]           # per-leaf PrimType code
+    lists: Tuple[ListPlan, ...]          # post-order; last is the root
+    kernel: Optional[KernelPlan]         # two-level normal form, if depth <= 2
+    num_lights: int
+
+    @property
+    def num_primitives(self) -> int:
+        return len(self.prim_type)
+
+
+def _compile_tree(root: ListNode):
+    prim_types: List[int] = []
+    prims: List[Primitive] = []
+    lists: List[ListPlan] = []
+
+    def walk(node: Node) -> Tuple[int, int]:
+        """Returns (kind, index) of the compiled node."""
+        if isinstance(node, ListNode):
+            op, neg_first, neg_rest = _MODE_FOLD[node.mode]
+            entries = []
+            for i, child in enumerate(node.children):
+                kind, idx = walk(child)
+                neg = neg_first if i == 0 else neg_rest
+                entries.append((kind, idx, neg))
+            lists.append(ListPlan(op=op, entries=tuple(entries)))
+            return KIND_LIST, len(lists) - 1
+        # Leaf primitive — assigned indices in depth-first (fold) order.
+        prims.append(node)
+        prim_types.append(int(PRIM_TYPE[type(node)]))
+        return KIND_LEAF, len(prim_types) - 1
+
+    kind, idx = walk(root)
+    assert kind == KIND_LIST and idx == len(lists) - 1
+    return prims, tuple(prim_types), tuple(lists)
+
+
+def _kernel_normal_form(lists: Sequence[ListPlan],
+                        prim_type: Sequence[int]) -> Optional[KernelPlan]:
+    """Lower a depth<=2 plan to root-fold-over-leaf-groups, or None."""
+    root = lists[-1]
+    groups: List[GroupPlan] = []
+
+    def leaf_runs(start: int, scales: Sequence[int]):
+        runs = []
+        for off, s in enumerate(scales):
+            t = prim_type[start + off]
+            if runs and runs[-1][0] == t and runs[-1][3] == s:
+                ptype, rstart, rcount, rs = runs[-1]
+                runs[-1] = (ptype, rstart, rcount + 1, rs)
+            else:
+                runs.append((t, start + off, 1, s))
+        return tuple(runs)
+
+    for kind, idx, neg in root.entries:
+        if kind == KIND_LEAF:
+            scales = (-1,) if neg else (1,)
+            groups.append(GroupPlan(gsign=1, start=idx, count=1,
+                                    scales=scales, runs=leaf_runs(idx, scales)))
+            continue
+        sub = lists[idx]
+        if not sub.entries:
+            return None  # empty sublist: fall back to the generic plan
+        leaf_idxs = []
+        signs = []
+        for skind, sidx, sneg in sub.entries:
+            if skind != KIND_LEAF:
+                return None  # depth > 2
+            leaf_idxs.append(sidx)
+            signs.append(-1 if sneg else 1)
+        start = leaf_idxs[0]
+        if leaf_idxs != list(range(start, start + len(leaf_idxs))):
+            return None  # non-contiguous (cannot happen with DFS numbering)
+        # sub value w: MIN -> +min(sign*sd); MAX -> -min(-sign*sd)
+        if sub.op == MIN:
+            gsign, scales = 1, signs
+        else:
+            gsign, scales = -1, [-s for s in signs]
+        if neg:
+            gsign = -gsign
+        groups.append(GroupPlan(gsign=gsign, start=start, count=len(scales),
+                                scales=tuple(scales),
+                                runs=leaf_runs(start, scales)))
+    return KernelPlan(root_op=root.op, groups=tuple(groups))
+
+
+def _prim_arrays(prims: Sequence[Primitive]):
+    n = len(prims)
+    pos = np.zeros((max(n, 1), 3), np.float32)
+    aux = np.zeros((max(n, 1), 3), np.float32)
+    color = np.zeros((max(n, 1), 3), np.float32)
+    if n == 0:
+        # Dummy far-away sphere, never referenced by any plan entry.
+        # (1e15 keeps |d|^2 finite in f32 during vectorized leaf eval.)
+        aux[0, 0] = 1.0
+        pos[0] = 1e15
+    for i, p in enumerate(prims):
+        pos[i] = p.position
+        color[i] = p.color
+        if isinstance(p, Sphere):
+            aux[i, 0] = p.radius
+        else:
+            aux[i] = p.size
+    return pos, aux, color
+
+
+def compile_tree(root: ListNode, lights: Sequence[Light], camera: Camera
+                 ) -> Tuple[ScenePlan, SceneTables]:
+    prims, prim_type, lists = _compile_tree(root)
+    kernel = _kernel_normal_form(lists, prim_type)
+    plan = ScenePlan(prim_type=prim_type, lists=lists, kernel=kernel,
+                     num_lights=len(lights))
+    pos, aux, color = _prim_arrays(prims)
+
+    nl = len(lights)
+    light_pos = np.zeros((max(nl, 1), 3), np.float32)
+    light_color = np.ones((max(nl, 1), 3), np.float32)
+    for i, l in enumerate(lights):
+        light_pos[i] = l.position
+        light_color[i] = l.color
+
+    tables = SceneTables(
+        prim_pos=pos, prim_aux=aux, prim_color=color,
+        light_pos=light_pos, light_color=light_color,
+        cam_position=np.asarray(camera.position, np.float32),
+        cam_direction=np.asarray(camera.direction, np.float32),
+        cam_up=np.asarray(camera.up, np.float32),
+        cam_fov=np.asarray(camera.fov, np.float32),
+    )
+    return plan, tables
+
+
+def compile_scene(scene: Scene) -> Tuple[ScenePlan, SceneTables]:
+    return compile_tree(scene.tree, scene.lights, scene.camera)

@@ -1,0 +1,192 @@
+"""CSG body model: primitives and combinator lists.
+
+Re-design of the reference's pointer-based polymorphic body tree
+(``source/body.cpp`` + ``source/include/body.h``) as plain Python dataclasses
+used only at scene-construction time.  Nothing here is traced by JAX: the
+tree is compiled to flat device tables by :mod:`raymarching_tpu.scene.compile`
+before any rendering happens (the TPU analogue of the reference's SSBO
+flattening, render.cpp:246-366 — except we do it once, ahead of time, instead
+of interpreting the tree with a per-thread stack on the device).
+
+Semantics (body.cpp):
+  - ``Surface{SD, color}``; min/max compare by SD with *first*-operand wins on
+    ties (std::min/std::max via operator<, body.cpp:12-14).
+  - Unary ``-`` negates SD, keeps color (body.cpp:16-18).
+  - Sphere SDF:  |c - p| - r                          (body.cpp:32-35)
+  - Box SDF:     max(|p - c| - s/2)   (Chebyshev)     (body.cpp:41-45)
+  - Cross SDF:   sum(b) - min(b) - max(b), b=|p-c|-s/2 (body.cpp:51-57)
+  - List fold, left to right, first element special-cased (body.cpp:66-111):
+      UNION:        s0,  then min(acc, s_i)
+      COMPLEMENT:  -s0,  then min(acc, -s_i)
+      INTERSECTION: s0,  then max(acc, s_i)
+      DIFFERENCE:   s0,  then max(acc, -s_i)
+  - Empty list: SD = +inf, color = black (body.cpp:67-70).  (The reference's
+    GLSL path returns white here, shader.comp:185-187; we standardise on the
+    C++ semantic.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import List as PyList, Sequence, Tuple, Union
+
+Vec3 = Tuple[float, float, float]
+
+WHITE: Vec3 = (1.0, 1.0, 1.0)
+BLACK: Vec3 = (0.0, 0.0, 0.0)
+
+
+class Mode(enum.IntEnum):
+    """List combination modes (body.h:17-22)."""
+
+    UNION = 0
+    COMPLEMENT = 1
+    INTERSECTION = 2
+    DIFFERENCE = 3
+
+
+class PrimType(enum.IntEnum):
+    """Leaf primitive type codes used in the flat tables."""
+
+    SPHERE = 0
+    BOX = 1
+    CROSS = 2
+
+
+def _v3(x) -> Vec3:
+    t = tuple(float(v) for v in x)
+    if len(t) != 3:
+        raise ValueError(f"expected 3 components, got {x!r}")
+    return t  # type: ignore[return-value]
+
+
+@dataclasses.dataclass
+class Sphere:
+    position: Vec3
+    radius: float
+    color: Vec3 = WHITE
+
+    def __post_init__(self):
+        self.position = _v3(self.position)
+        self.color = _v3(self.color)
+        self.radius = float(self.radius)
+
+    def sdf(self, p: Vec3) -> float:
+        """Scalar reference SDF (used by tests / the pure-Python oracle)."""
+        d = math.dist(self.position, p)
+        return d - self.radius
+
+
+@dataclasses.dataclass
+class Box:
+    position: Vec3
+    size: Vec3
+    color: Vec3 = WHITE
+
+    def __post_init__(self):
+        self.position = _v3(self.position)
+        self.size = _v3(self.size)
+        self.color = _v3(self.color)
+
+    def sdf(self, p: Vec3) -> float:
+        b = [abs(p[i] - self.position[i]) - self.size[i] / 2.0 for i in range(3)]
+        return max(b)
+
+
+@dataclasses.dataclass
+class Cross:
+    position: Vec3
+    size: Vec3
+    color: Vec3 = WHITE
+
+    def __post_init__(self):
+        self.position = _v3(self.position)
+        self.size = _v3(self.size)
+        self.color = _v3(self.color)
+
+    def sdf(self, p: Vec3) -> float:
+        b = [abs(p[i] - self.position[i]) - self.size[i] / 2.0 for i in range(3)]
+        return sum(b) - min(b) - max(b)
+
+
+Primitive = Union[Sphere, Box, Cross]
+
+PRIM_TYPE = {Sphere: PrimType.SPHERE, Box: PrimType.BOX, Cross: PrimType.CROSS}
+
+
+@dataclasses.dataclass
+class ListNode:
+    """CSG combinator list (body.h:35-41)."""
+
+    mode: Mode = Mode.UNION
+    children: PyList["Node"] = dataclasses.field(default_factory=list)
+
+    def append(self, node: "Node") -> "ListNode":
+        self.children.append(node)
+        return self
+
+    def sdf(self, p: Vec3) -> Tuple[float, Vec3]:
+        """Scalar reference evaluation, mirroring the left-to-right fold with
+        first-operand-wins ties (body.cpp:66-111). Returns (SD, color)."""
+        if not self.children:
+            return math.inf, BLACK
+
+        def eval_child(c: "Node") -> Tuple[float, Vec3]:
+            if isinstance(c, ListNode):
+                return c.sdf(p)
+            return c.sdf(p), c.color
+
+        sd, color = eval_child(self.children[0])
+        if self.mode == Mode.COMPLEMENT:
+            sd = -sd
+
+        for c in self.children[1:]:
+            csd, ccol = eval_child(c)
+            if self.mode == Mode.UNION:
+                if csd < sd:
+                    sd, color = csd, ccol
+            elif self.mode == Mode.COMPLEMENT:
+                if -csd < sd:
+                    sd, color = -csd, ccol
+            elif self.mode == Mode.INTERSECTION:
+                if csd > sd:
+                    sd, color = csd, ccol
+            elif self.mode == Mode.DIFFERENCE:
+                if -csd > sd:
+                    sd, color = -csd, ccol
+        return sd, color
+
+
+Node = Union[Primitive, ListNode]
+
+
+def count_primitives(node: Node) -> int:
+    if isinstance(node, ListNode):
+        return sum(count_primitives(c) for c in node.children)
+    return 1
+
+
+def tree_depth(node: Node) -> int:
+    """Depth in list nestings (a bare primitive is depth 0)."""
+    if isinstance(node, ListNode):
+        return 1 + max((tree_depth(c) for c in node.children), default=0)
+    return 0
+
+
+def iter_primitives(node: Node):
+    """Yield leaf primitives in depth-first (reference fold) order."""
+    if isinstance(node, ListNode):
+        for c in node.children:
+            yield from iter_primitives(c)
+    else:
+        yield node
+
+
+def bounds(size: float) -> ListNode:
+    """The ``Bounds`` construct: a COMPLEMENT list wrapping a black ``size``^3
+    box at the origin (scene.cpp:120-127) — an inverted room enclosing the
+    world so every ray terminates."""
+    box = Box(position=(0.0, 0.0, 0.0), size=(size, size, size), color=BLACK)
+    return ListNode(Mode.COMPLEMENT, [box])

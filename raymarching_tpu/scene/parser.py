@@ -1,0 +1,107 @@
+"""Scene text-file parser.
+
+Implements the exact line-oriented grammar of the reference loader
+(scene.cpp:92-190, grammar documented at reference README.md:62-79) so
+existing ``scene/objects.txt`` files run unchanged:
+
+    Bounds <size>
+    Sphere <x> <y> <z> <radius>
+    Box    <x> <y> <z> <sx> <sy> <sz>
+    Cross  <x> <y> <z> <sx> <sy> <sz>
+    DeathStar    <x> <y> <z> <radius>
+    MengerSponge <x> <y> <z> <size> <iterations>
+    Light  <x> <y> <z>
+    Camera Position|Direction|Up <x> <y> <z>
+    Camera FOV <deg>
+    Color  <r> <g> <b>
+
+Statefulness matches the reference: a running "current color" (default white)
+set by ``Color`` lines is applied to subsequently created bodies
+(scene.cpp:99, 183-185); unknown leading keywords are silently ignored (the
+C++ falls through every branch), which doubles as comment support; bodies are
+appended to a root UNION list in file order; ``Bounds`` becomes a
+COMPLEMENT-list-wrapped black box (scene.cpp:120-127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from . import generators
+from .csg import Box, Cross, ListNode, Mode, Sphere, bounds
+from .objects import Camera, Light
+
+
+@dataclasses.dataclass
+class Scene:
+    """A parsed scene: root CSG tree + lights + camera."""
+
+    tree: ListNode
+    lights: List[Light]
+    camera: Camera
+
+    @property
+    def num_primitives(self) -> int:
+        from .csg import count_primitives
+
+        return count_primitives(self.tree)
+
+
+def parse_scene(text: str) -> Scene:
+    tree = ListNode(Mode.UNION)
+    lights: List[Light] = []
+    camera = Camera()
+    color = (1.0, 1.0, 1.0)
+
+    for line in text.splitlines():
+        tokens = line.split()
+        if not tokens:
+            continue
+        cmd, args = tokens[0], tokens[1:]
+
+        try:
+            if cmd == "Sphere":
+                x, y, z, r = map(float, args[:4])
+                tree.append(Sphere((x, y, z), r, color))
+            elif cmd == "Box":
+                x, y, z, sx, sy, sz = map(float, args[:6])
+                tree.append(Box((x, y, z), (sx, sy, sz), color))
+            elif cmd == "Cross":
+                x, y, z, sx, sy, sz = map(float, args[:6])
+                tree.append(Cross((x, y, z), (sx, sy, sz), color))
+            elif cmd == "Bounds":
+                size = float(args[0])
+                tree.append(bounds(size))
+            elif cmd == "DeathStar":
+                x, y, z, r = map(float, args[:4])
+                tree.append(generators.death_star((x, y, z), r, color))
+            elif cmd == "MengerSponge":
+                x, y, z, size = map(float, args[:4])
+                iters = int(args[4])
+                tree.append(generators.menger_sponge((x, y, z), size, iters, color))
+            elif cmd == "Light":
+                x, y, z = map(float, args[:3])
+                lights.append(Light((x, y, z)))
+            elif cmd == "Camera":
+                sub, rest = args[0], args[1:]
+                if sub == "Position":
+                    camera.position = tuple(map(float, rest[:3]))
+                elif sub == "Direction":
+                    camera.direction = tuple(map(float, rest[:3]))
+                elif sub == "Up":
+                    camera.up = tuple(map(float, rest[:3]))
+                elif sub == "FOV":
+                    camera.fov = float(rest[0])
+            elif cmd == "Color":
+                color = tuple(map(float, args[:3]))
+            # Unknown keywords fall through silently, like the reference.
+        except (ValueError, IndexError) as e:
+            raise ValueError(f"malformed scene line: {line!r}") from e
+
+    return Scene(tree=tree, lights=lights, camera=camera)
+
+
+def load_scene(path: str) -> Scene:
+    with open(path, "r") as f:
+        return parse_scene(f.read())
