@@ -1,0 +1,71 @@
+"""Benchmark: Mrays/s/chip, forward+backward, MengerSponge scene.
+
+Workload (BASELINE.json north star): the demo scene (MengerSponge iters=3 +
+DeathStar + 2 spheres + floor + bounds, 2 lights — 428 primitives) at
+512x512, SSAA 2x2, 1000 march iterations, hard shadows: one forward render
+fused with a full backward sweep (gradients to every scene parameter).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is against the reference's best published number: its GL
+compute shader renders 1024x768 SSAA 3x3 in 185.161 s on a GTX 1060
+(reference README.md:95) = 0.0382 Mrays/s — forward only; we charge
+ourselves forward+backward and still compare against it.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MRAYS = 7.0778880e6 / 185.161 / 1e6  # 0.03822 Mrays/s (GTX 1060)
+
+
+def main():
+    from raymarching_tpu import RenderConfig, compile_scene, load_scene
+    from raymarching_tpu.api import render_tables, resolve_backend
+
+    width = height = 512
+    ssaa = 2
+    cfg = RenderConfig(width=width, height=height, ssaa=ssaa,
+                       iterations=1000, shadows=True,
+                       normal_mode="analytic", ray_chunk=131072)
+    scene = load_scene("scenes/demo.txt")
+    plan, tables = compile_scene(scene)
+    backend = resolve_backend("auto")
+
+    def loss_fn(t):
+        img = render_tables(plan, t, cfg, backend=backend)
+        return jnp.mean(img)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # compile + warmup
+    loss, grads = step(tables)
+    jax.block_until_ready((loss, grads))
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        loss, grads = step(tables)
+    jax.block_until_ready((loss, grads))
+    dt = (time.perf_counter() - t0) / reps
+
+    rays = width * height * ssaa * ssaa
+    mrays = rays / dt / 1e6
+    g = np.asarray(grads.prim_pos)
+    assert np.all(np.isfinite(g)), "non-finite gradients"
+    assert float(loss) > 0, "degenerate render"
+
+    print(json.dumps({
+        "metric": f"mrays_per_s_fwd_bwd_menger512_ssaa2_{backend}",
+        "value": round(mrays, 4),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,10 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     sd_fn = lambda p: scene_sd(plan, tables, p)
     o = jnp.broadcast_to(origin, dirs.shape)
 
+    # Shadow marches are always forward-only (boolean + stop_gradient), so
+    # only hand them a march_fn when it is a real override (fused kernel) —
+    # the jnp default picks its own early-exit driver.
+    shadow_march_fn = march_fn
     if march_fn is None:
         march_fn = lambda oo, dd: march(
             sd_fn, oo, dd, cfg.iterations, cfg.surface_precision,
@@ -67,7 +71,8 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         sd_fn, tables.light_pos, p_hit, n,
         iterations=cfg.iterations, surface_eps=cfg.surface_precision,
         offset_eps=cfg.offset_precision, saturation=cfg.saturation,
-        shadows=cfg.shadows, early_exit=cfg.early_exit and not differentiable)
+        shadows=cfg.shadows, early_exit=cfg.early_exit and not differentiable,
+        march_fn=shadow_march_fn)
 
     return light[..., None] * color
 

@@ -58,19 +58,29 @@ def normalize(v: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 def shadowed(scene_sd: Callable, light_pos: jnp.ndarray, p: jnp.ndarray,
              n: jnp.ndarray, iterations: int, surface_eps: float,
-             offset_eps: float, *, early_exit: bool = True) -> jnp.ndarray:
-    """Boolean shadow test by re-marching toward the light. p, n: [..., 3]."""
+             offset_eps: float, *, early_exit: bool = True,
+             march_fn: Callable = None) -> jnp.ndarray:
+    """Boolean shadow test by re-marching toward the light. p, n: [..., 3].
+
+    ``march_fn`` ((origin, dirs) -> MarchResult) overrides the jnp march —
+    the fast path routes shadow rays through the same fused kernel as
+    primary rays (the reference likewise reuses its march for shadows,
+    scene.cpp:45-50)."""
     ray = normalize(light_pos - p)
     start = p + n * (surface_eps + offset_eps)
-    res = march(scene_sd, start, ray, iterations, surface_eps,
-                differentiable=False, early_exit=early_exit)
+    if march_fn is None:
+        res = march(scene_sd, start, ray, iterations, surface_eps,
+                    differentiable=False, early_exit=early_exit)
+    else:
+        res = march_fn(start, ray)
     return jnp.sum((light_pos - res.position) * ray, axis=-1) > 0
 
 
 def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
              p: jnp.ndarray, n: jnp.ndarray, *, iterations: int,
              surface_eps: float, offset_eps: float, saturation: float,
-             shadows: bool = True, early_exit: bool = True) -> jnp.ndarray:
+             shadows: bool = True, early_exit: bool = True,
+             march_fn: Callable = None) -> jnp.ndarray:
     """Total Lambertian lighting in [saturation, 1]. p, n: [..., 3] -> [...].
 
     ``light_positions``: [L, 3]; L is static and small, so the loop over
@@ -85,7 +95,8 @@ def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
             mask = lax.stop_gradient(
                 shadowed(scene_sd, lp, lax.stop_gradient(p),
                          lax.stop_gradient(n), iterations, surface_eps,
-                         offset_eps, early_exit=early_exit))
+                         offset_eps, early_exit=early_exit,
+                         march_fn=march_fn))
             lambert = jnp.where(mask, 0.0, lambert)
         total = total + lambert
     return jnp.clip(total, saturation, 1.0)

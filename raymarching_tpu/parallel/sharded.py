@@ -1,0 +1,126 @@
+"""Multi-chip execution: rays sharded over a device mesh.
+
+The reference is a single-process, single-node program (SURVEY §2: OpenMP
+threads + one GL dispatch are its only parallelism).  This module is the new
+capability the north star mandates: data parallelism over RAYS across a
+`jax.sharding.Mesh`, the direct analogue of the reference's
+pixel-parallelism, scaled over ICI instead of OpenMP threads.
+
+Design (SURVEY §5, "How to Scale Your Model" recipe):
+  * 1-D mesh over the ``rays`` axis (multi-host slices simply contribute
+    more devices to the same axis; rays are independent, so no halo
+    exchange, no KV rotation — easier than ring attention).
+  * Image rows are the sharded dimension: each device owns H/n contiguous
+    rows of the SSAA ray grid.  Scene parameter tables are REPLICATED
+    (a few KB — the analogue of the reference broadcasting its SSBOs to
+    every GL workgroup).
+  * Forward pass: ZERO collectives — each device marches and shades its
+    block under ``shard_map``, with a per-device early-exit march (no
+    global convergence sync).
+  * Backward pass: gradients w.r.t. the replicated tables are partial sums
+    over local rays; ``shard_map``'s transpose inserts exactly one ``psum``
+    over the mesh — the ICI all-reduce, overlapped with the backward sweep
+    by XLA's scheduler.
+
+Camera-pose gradients flow too: ray generation happens inside the loss,
+replicated on every device (it is a few thousand FLOPs), so its backward
+contributions join the same psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..config import RenderConfig
+from ..scene.compile import ScenePlan, SceneTables
+from ..core import camera as cam
+from ..core.render import _shade_rays
+
+RAYS = "rays"
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = RAYS) -> Mesh:
+    """1-D mesh over the ray axis.  On a multi-host slice, ``jax.devices()``
+    already enumerates every chip in the slice, so the same 1-D mesh spans
+    hosts; ICI carries the gradient psum, DCN only the init barrier."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _check_rows(cfg: RenderConfig, mesh: Mesh) -> int:
+    n = mesh.devices.size
+    if cfg.height % n:
+        raise ValueError(
+            f"image height {cfg.height} must be divisible by the mesh size "
+            f"{n} (rows are the sharded axis)")
+    return n
+
+
+def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                   mesh: Mesh, *, differentiable: bool = False,
+                   march_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Render with image rows sharded over the mesh -> [H, W, 3] (sharded)."""
+    _check_rows(cfg, mesh)
+
+    def shade_block(tables, dirs_block):
+        # dirs_block: [H/n, W, S, 3] — this device's rows.
+        shape = dirs_block.shape
+        colors = _shade_rays(plan, tables, cfg, tables.cam_position,
+                             dirs_block.reshape(-1, 3),
+                             differentiable=differentiable,
+                             march_fn=march_fn)
+        samples = colors.reshape(shape[0], shape[1], shape[2], 3)
+        return jnp.mean(samples, axis=2)
+
+    # check_vma=False: the march while_loop initializes carries from
+    # unvarying constants, which trips the varying-manual-axes typecheck
+    # even though the computation is per-device pure.
+    sharded = shard_map(shade_block, mesh=mesh,
+                        in_specs=(P(), P(RAYS)), out_specs=P(RAYS),
+                        check_vma=False)
+
+    _, dirs = cam.generate_rays(tables, cfg)     # [H, W, S, 3], replicated calc
+    return sharded(tables, dirs)
+
+
+def mse_loss(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
+             cfg: RenderConfig, mesh: Mesh,
+             march_fn: Optional[Callable] = None) -> jnp.ndarray:
+    img = render_sharded(plan, tables, cfg, mesh, differentiable=True,
+                         march_fn=march_fn)
+    return jnp.mean((img - target) ** 2)
+
+
+def train_step(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
+               cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2,
+               march_fn: Optional[Callable] = None):
+    """One SGD step on the scene parameters against a target image.
+
+    Returns (loss, updated tables).  Differentiating through
+    ``render_sharded`` transposes the shard_map: per-device partial
+    gradients of the replicated tables are psum-reduced over ICI.
+    """
+    loss, grads = jax.value_and_grad(
+        lambda t: mse_loss(plan, t, target, cfg, mesh, march_fn))(tables)
+    new_tables = jax.tree_util.tree_map(lambda t, g: t - lr * g,
+                                        tables, grads)
+    return loss, new_tables
+
+
+def train_step_jit(plan: ScenePlan, cfg: RenderConfig, mesh: Mesh,
+                   lr: float = 1e-2):
+    """Jitted training step closure (plan/cfg/mesh static)."""
+    return jax.jit(partial(train_step, plan, cfg=cfg, mesh=mesh, lr=lr))
