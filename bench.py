@@ -31,7 +31,7 @@ def main():
     ssaa = 2
     cfg = RenderConfig(width=width, height=height, ssaa=ssaa,
                        iterations=1000, shadows=True,
-                       normal_mode="analytic", ray_chunk=131072)
+                       normal_mode="analytic", ray_chunk=65536)
     scene = load_scene("scenes/demo.txt")
     plan, tables = compile_scene(scene)
     backend = resolve_backend("auto")
@@ -42,22 +42,25 @@ def main():
 
     step = jax.jit(jax.value_and_grad(loss_fn))
 
+    def run_once():
+        loss, grads = step(tables)
+        # Force real host transfers: block_until_ready is unreliable on
+        # tunneled platforms — fetching the values is the ground truth.
+        return float(loss), np.asarray(grads.prim_pos)
+
     # compile + warmup
-    loss, grads = step(tables)
-    jax.block_until_ready((loss, grads))
+    loss, g = run_once()
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        loss, grads = step(tables)
-    jax.block_until_ready((loss, grads))
+        loss, g = run_once()
     dt = (time.perf_counter() - t0) / reps
 
     rays = width * height * ssaa * ssaa
     mrays = rays / dt / 1e6
-    g = np.asarray(grads.prim_pos)
     assert np.all(np.isfinite(g)), "non-finite gradients"
-    assert float(loss) > 0, "degenerate render"
+    assert loss > 0, "degenerate render"
 
     print(json.dumps({
         "metric": f"mrays_per_s_fwd_bwd_menger512_ssaa2_{backend}",

@@ -1,0 +1,270 @@
+// Native host runtime for raymarching_tpu.
+//
+// The reference keeps its host runtime in C++: the scene text parser
+// (scene.cpp:92-190), the CSG generators (body.cpp:113-170), and the
+// tree -> device-table flattener (render.cpp:246-366).  This library is the
+// TPU-native equivalent: it parses the identical objects.txt grammar and
+// emits the framework's flat struct-of-arrays tables directly in the
+// two-level kernel normal form (group id + fold sign per primitive) —
+// no pointer tree, no device-side interpreter.  Exposed via a minimal
+// C ABI consumed through ctypes (raymarching_tpu/native.py).
+//
+// Build: make native   -> libraymarch_host.so (links system zlib for PNG).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+enum PrimKind : int32_t { SPHERE = 0, BOX = 1, CROSS = 2 };
+
+struct Prim {
+    int32_t type;
+    float pos[3];
+    float aux[3];    // sphere: (radius, 0, 0); box/cross: size
+    float color[3];
+    int32_t group;   // group index (root child)
+    float scale;     // fold sign inside the group's min-reduction
+};
+
+struct Group {
+    int32_t gsign;   // group value = gsign * min(scale_i * sd_i)
+    int32_t count;
+};
+
+struct ParsedScene {
+    std::vector<Prim> prims;
+    std::vector<Group> groups;
+    std::vector<float> lights;           // L * 3
+    float camera[10] = {0, 0, 0, 0, 0, -1, 0, 1, 0, 90};  // pos, dir, up, fov
+};
+
+// The 20 Menger subcell offsets in reference order (body.cpp:119-144):
+// front 8 (z=-1), back 8 (z=+1), middle 4 (z=0).
+const int kMengerOffsets[20][3] = {
+    {1, -1, -1}, {0, -1, -1}, {-1, -1, -1}, {1, 1, -1}, {0, 1, -1},
+    {-1, 1, -1}, {-1, 0, -1}, {1, 0, -1},
+    {1, -1, 1}, {0, -1, 1}, {-1, -1, 1}, {1, 1, 1}, {0, 1, 1},
+    {-1, 1, 1}, {-1, 0, 1}, {1, 0, 1},
+    {-1, -1, 0}, {1, -1, 0}, {-1, 1, 0}, {1, 1, 0},
+};
+
+void pushPrim(ParsedScene &s, int32_t type, const float pos[3],
+              const float aux[3], const float color[3], int32_t group,
+              float scale) {
+    Prim p;
+    p.type = type;
+    std::memcpy(p.pos, pos, sizeof p.pos);
+    std::memcpy(p.aux, aux, sizeof p.aux);
+    std::memcpy(p.color, color, sizeof p.color);
+    p.group = group;
+    p.scale = scale;
+    s.prims.push_back(p);
+}
+
+// A bare primitive at the root: its own singleton min-group.
+int32_t newGroup(ParsedScene &s, int32_t gsign) {
+    s.groups.push_back({gsign, 0});
+    return static_cast<int32_t>(s.groups.size()) - 1;
+}
+
+void mengerRecurse(ParsedScene &s, int32_t group, const float pos[3],
+                   float size, int iterations, const float color[3]) {
+    const float d = size / 3.0f;
+    // DIFFERENCE group lowered to -min(...): first element scale -1,
+    // subtracted crosses scale +1 (compile.py _kernel_normal_form).
+    float aux[3] = {d, d, d};
+    pushPrim(s, CROSS, pos, aux, color, group, +1.0f);
+    s.groups[group].count++;
+    if (iterations >= 2) {
+        for (const auto &off : kMengerOffsets) {
+            float sub[3] = {pos[0] + off[0] * d, pos[1] + off[1] * d,
+                            pos[2] + off[2] * d};
+            mengerRecurse(s, group, sub, d, iterations - 1, color);
+        }
+    }
+}
+
+bool parseScene(const char *text, ParsedScene &out) {
+    std::istringstream stream(text);
+    std::string line;
+    float color[3] = {1.0f, 1.0f, 1.0f};
+
+    while (std::getline(stream, line)) {
+        std::istringstream in(line);
+        std::string cmd;
+        if (!(in >> cmd)) continue;
+
+        if (cmd == "Sphere") {
+            float pos[3], r;
+            if (!(in >> pos[0] >> pos[1] >> pos[2] >> r)) return false;
+            float aux[3] = {r, 0, 0};
+            int32_t g = newGroup(out, +1);
+            pushPrim(out, SPHERE, pos, aux, color, g, +1.0f);
+            out.groups[g].count++;
+        } else if (cmd == "Box" || cmd == "Cross") {
+            float pos[3], size[3];
+            if (!(in >> pos[0] >> pos[1] >> pos[2]
+                     >> size[0] >> size[1] >> size[2])) return false;
+            int32_t g = newGroup(out, +1);
+            pushPrim(out, cmd == "Box" ? BOX : CROSS, pos, size, color, g,
+                     +1.0f);
+            out.groups[g].count++;
+        } else if (cmd == "Bounds") {
+            // COMPLEMENT list of one black box (scene.cpp:120-127):
+            // value = min(-sd) => gsign +1, scale -1.
+            float size;
+            if (!(in >> size)) return false;
+            float pos[3] = {0, 0, 0};
+            float aux[3] = {size, size, size};
+            float black[3] = {0, 0, 0};
+            int32_t g = newGroup(out, +1);
+            pushPrim(out, BOX, pos, aux, black, g, -1.0f);
+            out.groups[g].count++;
+        } else if (cmd == "DeathStar") {
+            // DIFFERENCE: max(s0, -s1) = -min(-s0, s1)  (body.cpp:159-169)
+            float pos[3], r;
+            if (!(in >> pos[0] >> pos[1] >> pos[2] >> r)) return false;
+            float aux[3] = {r, 0, 0};
+            int32_t g = newGroup(out, -1);
+            pushPrim(out, SPHERE, pos, aux, color, g, -1.0f);
+            float dpos[3] = {pos[0] + 1.5f * r, pos[1], pos[2]};
+            pushPrim(out, SPHERE, dpos, aux, color, g, +1.0f);
+            out.groups[g].count += 2;
+        } else if (cmd == "MengerSponge") {
+            float pos[3], size;
+            int iterations;
+            if (!(in >> pos[0] >> pos[1] >> pos[2] >> size >> iterations))
+                return false;
+            int32_t g = newGroup(out, -1);
+            float aux[3] = {size, size, size};
+            pushPrim(out, BOX, pos, aux, color, g, -1.0f);
+            out.groups[g].count++;
+            mengerRecurse(out, g, pos, size, iterations, color);
+        } else if (cmd == "Light") {
+            float pos[3];
+            if (!(in >> pos[0] >> pos[1] >> pos[2])) return false;
+            out.lights.insert(out.lights.end(), pos, pos + 3);
+        } else if (cmd == "Camera") {
+            std::string sub;
+            if (!(in >> sub)) return false;
+            if (sub == "Position") {
+                if (!(in >> out.camera[0] >> out.camera[1] >> out.camera[2]))
+                    return false;
+            } else if (sub == "Direction") {
+                if (!(in >> out.camera[3] >> out.camera[4] >> out.camera[5]))
+                    return false;
+            } else if (sub == "Up") {
+                if (!(in >> out.camera[6] >> out.camera[7] >> out.camera[8]))
+                    return false;
+            } else if (sub == "FOV") {
+                if (!(in >> out.camera[9])) return false;
+            }
+        } else if (cmd == "Color") {
+            if (!(in >> color[0] >> color[1] >> color[2])) return false;
+        }
+        // Unknown keywords are ignored, like the reference loader.
+    }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+int rm_parse_scene_counts(const char *text, int32_t *num_prims,
+                          int32_t *num_lights) {
+    ParsedScene s;
+    if (!parseScene(text, s)) return 1;
+    *num_prims = static_cast<int32_t>(s.prims.size());
+    *num_lights = static_cast<int32_t>(s.lights.size() / 3);
+    return 0;
+}
+
+int rm_parse_scene_fill(const char *text, int32_t *prim_type, float *prim_pos,
+                        float *prim_aux, float *prim_color, int32_t *group_id,
+                        int32_t *group_count, int32_t *group_meta,
+                        float *prim_scale, float *lights, float *camera) {
+    ParsedScene s;
+    if (!parseScene(text, s)) return 1;
+    for (size_t i = 0; i < s.prims.size(); ++i) {
+        const Prim &p = s.prims[i];
+        prim_type[i] = p.type;
+        std::memcpy(prim_pos + 3 * i, p.pos, sizeof p.pos);
+        std::memcpy(prim_aux + 3 * i, p.aux, sizeof p.aux);
+        std::memcpy(prim_color + 3 * i, p.color, sizeof p.color);
+        group_id[i] = p.group;
+        prim_scale[i] = p.scale;
+    }
+    *group_count = static_cast<int32_t>(s.groups.size());
+    for (size_t g = 0; g < s.groups.size(); ++g) {
+        group_meta[2 * g] = s.groups[g].gsign;
+        group_meta[2 * g + 1] = s.groups[g].count;
+    }
+    std::memcpy(lights, s.lights.data(), s.lights.size() * sizeof(float));
+    std::memcpy(camera, s.camera, sizeof s.camera);
+    return 0;
+}
+
+// Minimal PNG writer (8-bit RGB/RGBA, filter 0, zlib-deflated) — the
+// clean-room stand-in for the reference's vendored stb_image_write.
+int rm_write_png(const char *path, int width, int height, int channels,
+                 const uint8_t *data) {
+    if (channels != 3 && channels != 4) return 2;
+
+    const size_t stride = static_cast<size_t>(width) * channels;
+    std::vector<uint8_t> raw((stride + 1) * height);
+    for (int y = 0; y < height; ++y) {
+        raw[(stride + 1) * y] = 0;  // filter type 0
+        std::memcpy(&raw[(stride + 1) * y + 1], data + stride * y, stride);
+    }
+
+    uLongf bound = compressBound(raw.size());
+    std::vector<uint8_t> idat(bound);
+    if (compress2(idat.data(), &bound, raw.data(), raw.size(), 6) != Z_OK)
+        return 3;
+    idat.resize(bound);
+
+    FILE *f = std::fopen(path, "wb");
+    if (!f) return 4;
+
+    auto be32 = [](uint32_t v, uint8_t *out) {
+        out[0] = v >> 24; out[1] = v >> 16; out[2] = v >> 8; out[3] = v;
+    };
+    auto writeChunk = [&](const char *tag, const uint8_t *payload,
+                          uint32_t len) {
+        uint8_t hdr[8];
+        be32(len, hdr);
+        std::memcpy(hdr + 4, tag, 4);
+        std::fwrite(hdr, 1, 8, f);
+        if (len) std::fwrite(payload, 1, len, f);
+        uLong crc = crc32(0L, hdr + 4, 4);
+        if (len) crc = crc32(crc, payload, len);
+        uint8_t tail[4];
+        be32(static_cast<uint32_t>(crc), tail);
+        std::fwrite(tail, 1, 4, f);
+    };
+
+    const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+    std::fwrite(sig, 1, 8, f);
+    uint8_t ihdr[13];
+    be32(static_cast<uint32_t>(width), ihdr);
+    be32(static_cast<uint32_t>(height), ihdr + 4);
+    ihdr[8] = 8;                          // bit depth
+    ihdr[9] = channels == 3 ? 2 : 6;      // color type
+    ihdr[10] = ihdr[11] = ihdr[12] = 0;
+    writeChunk("IHDR", ihdr, 13);
+    writeChunk("IDAT", idat.data(), static_cast<uint32_t>(idat.size()));
+    writeChunk("IEND", nullptr, 0);
+    std::fclose(f);
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,111 @@
+"""Command-line driver.
+
+TPU-native replacement for the reference's fixed main() pipeline
+(main.cpp:17-88): load scene -> render through the selected backend(s) with
+per-phase wall-clock prints -> save image.  Unlike the reference (no argv at
+all), everything is a flag; defaults reproduce the reference configuration
+(1024x768, SSAA 3x3, 1000 iterations).
+
+    python -m raymarching_tpu --scene scenes/demo.txt --out out.png
+    python -m raymarching_tpu --scene scenes/demo.txt --backend ref,pallas \
+        --width 512 --height 384 --ssaa 2 --compare
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .api import render_tables_jit, resolve_backend
+from .config import RenderConfig
+from .io.image import save_image
+from .scene.compile import compile_scene
+from .scene.parser import load_scene
+from .utils.timing import Phase
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="raymarching_tpu",
+        description="TPU-native differentiable sphere-tracing renderer")
+    p.add_argument("--scene", required=True, help="scene text file "
+                   "(reference objects.txt grammar)")
+    p.add_argument("--out", default="out.png", help="output image (.png/.ppm)")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--ssaa", type=int, default=3, help="SSAA kernel size")
+    p.add_argument("--iterations", type=int, default=1000)
+    p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--backend", default="auto",
+                   help="comma list of ref|jnp|pallas|auto")
+    p.add_argument("--normal-mode", choices=("fd", "analytic"), default="fd",
+                   help="fd = reference central differences; analytic = "
+                   "exact SDF gradient (faster)")
+    p.add_argument("--no-shadows", action="store_true")
+    p.add_argument("--ray-chunk", type=int, default=0,
+                   help="rays per chunk (bounds memory on the jnp path)")
+    p.add_argument("--compare", action="store_true",
+                   help="report max abs difference between backends")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import os
+    ext = os.path.splitext(args.out)[1].lower()
+    if ext not in (".png", ".ppm", ""):
+        print(f"error: unsupported output format {ext!r} "
+              "(png and ppm are supported)", file=sys.stderr)
+        return 2
+    if not os.path.exists(args.scene):
+        print(f"error: scene file not found: {args.scene}", file=sys.stderr)
+        return 2
+
+    with Phase("scene load"):
+        scene = load_scene(args.scene)
+        plan, tables = compile_scene(scene)
+    print(f"scene: {plan.num_primitives} primitives, "
+          f"{plan.num_lights} lights, "
+          f"kernel-form={'yes' if plan.kernel else 'no'}")
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, ssaa=args.ssaa,
+        iterations=args.iterations, gamma=args.gamma,
+        shadows=not args.no_shadows, normal_mode=args.normal_mode,
+        ray_chunk=args.ray_chunk)
+
+    backends = [resolve_backend(b.strip())
+                for b in args.backend.split(",") if b.strip()]
+    rays = cfg.rays_per_image
+    images = {}
+
+    from .utils.timing import profiler_trace
+    with profiler_trace(args.profile):
+        for backend in backends:
+            with Phase(f"{backend} compile+render", rays=rays) as ph:
+                img = ph.sync(render_tables_jit(plan, tables, cfg, backend))
+            with Phase(f"{backend} render", rays=rays) as ph:
+                img = ph.sync(render_tables_jit(plan, tables, cfg, backend))
+            images[backend] = img
+
+    if args.compare and len(images) > 1:
+        names = list(images)
+        ref = images[names[0]]
+        for other in names[1:]:
+            diff = float(np.abs(images[other] - ref).max())
+            print(f"max |{other} - {names[0]}| = {diff:.2e}")
+
+    final = images[backends[-1]]
+    with Phase("save"):
+        save_image(args.out, final, gamma=cfg.gamma)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,7 +95,10 @@ def render_image(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         padded = jnp.concatenate(
             [flat, jnp.broadcast_to(flat[-1:], (pad, 3))]) if pad else flat
         blocks = padded.reshape(-1, chunk, 3)
-        colors = lax.map(lambda d: shade(dirs=d), blocks)
+        # checkpoint per chunk: reverse-mode recomputes a chunk's shading
+        # instead of holding every chunk's [chunk, prims] residuals live —
+        # the standard remat memory/FLOPs trade (SURVEY §5).
+        colors = lax.map(jax.checkpoint(lambda d: shade(dirs=d)), blocks)
         colors = colors.reshape(-1, 3)[:R]
     else:
         colors = shade(dirs=flat)

@@ -1,0 +1,74 @@
+"""Phase timers and throughput reporting.
+
+The reference's entire observability story is chrono spans printed per
+backend (main.cpp:36-77).  This keeps that ergonomic (wall-clock per phase)
+and adds the metric that matters on TPU: Mrays/s, plus optional
+jax.profiler trace capture.
+
+NOTE: on tunneled TPU platforms ``block_until_ready`` can return before
+device work completes; ``Phase`` therefore synchronizes by fetching a
+designated result to host, which is always truthful.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class Phase:
+    """Wall-clock span: ``with Phase("render") as ph: ... ph.sync(x)``."""
+
+    def __init__(self, name: str, rays: Optional[int] = None,
+                 verbose: bool = True):
+        self.name = name
+        self.rays = rays
+        self.verbose = verbose
+        self.seconds = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def sync(self, value):
+        """Force the value to host (true device sync) and return it."""
+        out = np.asarray(value)
+        return out
+
+    def __exit__(self, *exc):
+        self.seconds = time.perf_counter() - self._t0
+        if self.verbose and exc[0] is None:
+            msg = f"[{self.name}] {self.seconds:.3f} s"
+            if self.rays:
+                msg += f"  ({self.rays / self.seconds / 1e6:.3f} Mrays/s)"
+            print(msg)
+        return False
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: Optional[str]):
+    """Capture a jax.profiler trace when a logdir is given."""
+    if not logdir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def march_iteration_stats(converged: np.ndarray) -> dict:
+    """Convergence summary for observability (SURVEY §5 metrics row)."""
+    converged = np.asarray(converged)
+    return {
+        "rays": int(converged.size),
+        "converged": int(converged.sum()),
+        "miss_fraction": float(1.0 - converged.mean()) if converged.size
+        else 0.0,
+    }

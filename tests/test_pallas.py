@@ -1,0 +1,116 @@
+"""Pallas march kernel vs the jnp oracle (interpret mode on CPU — the
+kernel-equivalence rung of the test pyramid, SURVEY §4).  The same kernel
+code runs compiled on real TPUs; interpret mode validates semantics."""
+
+import numpy as np
+import pytest
+
+from raymarching_tpu import RenderConfig
+from raymarching_tpu.core.march import march_while
+from raymarching_tpu.core.render import render_image
+from raymarching_tpu.core.sdf import scene_sd
+from raymarching_tpu.ops.march_op import make_march_fn
+from raymarching_tpu.ops.pallas_march import make_pallas_march
+from raymarching_tpu.scene.compile import compile_tree
+from raymarching_tpu.scene.csg import (Box, Cross, ListNode, Mode, Sphere,
+                                       bounds)
+from raymarching_tpu.scene.generators import death_star, menger_sponge
+from raymarching_tpu.scene.objects import Camera, Light
+
+ITER = 60
+CFG = RenderConfig(iterations=ITER, tile_sublanes=8)
+
+
+def _rays(n, seed=0, spread=1.0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (rng.normal(size=(n, 3)) * spread).astype(np.float32)
+    return o, d
+
+
+def _compare(tree, n=160, seed=0):
+    plan, tables = compile_tree(tree, [], Camera())
+    assert plan.kernel is not None
+    impl = make_pallas_march(plan, CFG, interpret=True)
+    o, d = _rays(n, seed)
+    res_p = impl(o, d, tables)
+    res_j = march_while(lambda p: scene_sd(plan, tables, p), o, d,
+                        ITER, CFG.surface_precision)
+    np.testing.assert_allclose(np.asarray(res_p.position),
+                               np.asarray(res_j.position),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res_p.converged),
+                                  np.asarray(res_j.converged))
+
+
+def test_union_of_each_primitive_type():
+    _compare(ListNode(Mode.UNION, [
+        bounds(40.0),
+        Sphere((0, 0, -6), 2.0),
+        Box((4, 0, -6), (2, 3, 2)),
+        Cross((-4, 1, -5), (2, 2, 2)),
+    ]))
+
+
+def test_death_star_difference():
+    _compare(ListNode(Mode.UNION, [
+        bounds(40.0),
+        death_star((0, 0, -6), 2.5),
+    ]), seed=1)
+
+
+def test_menger_iter2():
+    _compare(ListNode(Mode.UNION, [
+        bounds(40.0),
+        menger_sponge((0, 0, -8), 6.0, 2),
+    ]), n=96, seed=2)
+
+
+def test_intersection_and_complement_root():
+    _compare(ListNode(Mode.INTERSECTION, [
+        Sphere((0, 0, -6), 4.0),
+        Box((0, 0, -6), (5, 5, 5)),
+    ]), seed=3)
+    _compare(ListNode(Mode.COMPLEMENT, [
+        Sphere((0, 0, 0), 20.0),
+    ]), seed=4)
+
+
+def test_ragged_ray_count_padding():
+    """R not a multiple of the 1024-ray tile: edge padding must not change
+    real rays."""
+    tree = ListNode(Mode.UNION, [bounds(40.0), Sphere((0, 0, -6), 2.0)])
+    _compare(tree, n=37, seed=5)
+    _compare(tree, n=1025, seed=6)
+
+
+def test_full_render_pallas_vs_reference():
+    """End-to-end forward image allclose: pallas-backed render vs the
+    oracle renderer."""
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        Sphere((0.0, 0.0, -6.0), 2.5, color=(0.9, 0.4, 0.2)),
+        Box((0.0, -3.0, -6.0), (10.0, 1.0, 10.0), color=(0.6, 0.6, 0.9)),
+    ])
+    plan, tables = compile_tree(tree, [Light((6.0, 8.0, 4.0))],
+                                Camera(position=(0, 0, 6), fov=55.0))
+    cfg = RenderConfig(width=24, height=16, ssaa=1, iterations=ITER,
+                       shadows=True, normal_mode="analytic")
+    impl = make_pallas_march(plan, cfg, interpret=True)
+    sd_fn = lambda tb, p: scene_sd(plan, tb, p)
+    march_fn = make_march_fn(sd_fn, cfg.iterations, cfg.surface_precision,
+                             tables, forward_impl=impl)
+    img_p = np.asarray(render_image(plan, tables, cfg, march_fn=march_fn))
+    img_r = np.asarray(render_image(plan, tables, cfg))
+    np.testing.assert_allclose(img_p, img_r, atol=1e-4)
+
+
+def test_depth3_scene_rejected():
+    inner = ListNode(Mode.UNION, [Sphere((0, 0, 0), 1.0)])
+    mid = ListNode(Mode.DIFFERENCE, [Box((0, 0, 0), (4, 4, 4)), inner])
+    root = ListNode(Mode.UNION, [mid, ListNode(Mode.UNION, [inner])])
+    plan, tables = compile_tree(root, [], Camera())
+    if plan.kernel is None:
+        with pytest.raises(ValueError, match="normal form"):
+            make_pallas_march(plan, CFG, interpret=True)
