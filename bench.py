@@ -31,7 +31,7 @@ def main():
     ssaa = 2
     cfg = RenderConfig(width=width, height=height, ssaa=ssaa,
                        iterations=1000, shadows=True,
-                       normal_mode="analytic", ray_chunk=65536)
+                       normal_mode="fd", ray_chunk=65536)
     scene = load_scene("scenes/demo.txt")
     plan, tables = compile_scene(scene)
     backend = resolve_backend("auto")

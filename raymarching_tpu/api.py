@@ -5,8 +5,10 @@ Backends (RenderConfig.backend or the ``backend=`` argument):
     The allclose ground truth (the analogue of the reference CPU path).
   * ``"jnp"``    — fast path on XLA: while-loop forward march wrapped in the
     implicit-function custom VJP (ops.march_op).
-  * ``"pallas"`` — fast path with the fused Pallas TPU march kernel as the
-    forward driver (same IFT backward).
+  * ``"pallas"`` — fused Pallas TPU kernels for the march, shadow rays
+    (with exact early termination at the light), surface color lookup, and
+    finite-difference normals; IFT backward, with normals backpropagated by
+    rematerializing the jnp FD formula.
   * ``"auto"``   — pallas on TPU, jnp elsewhere.
 """
 
@@ -17,8 +19,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .config import RenderConfig
+from .core import shading
 from .core.render import render_image
 from .core.sdf import scene_sd
 from .ops.march_op import make_march_fn
@@ -39,34 +43,111 @@ def resolve_backend(backend: str) -> str:
     return backend
 
 
-def make_render_march_fn(plan: ScenePlan, tables: SceneTables,
-                         cfg: RenderConfig, backend: str):
-    """Build the march_fn hook for the requested backend (None = oracle)."""
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _normal_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
+               p, tables):
+    """FD scene gradient: Pallas forward, jnp-rematerialized backward."""
+    from .ops.pallas_march import pallas_surface_eval
+
+    _, _, g = pallas_surface_eval(
+        plan.kernel, cfg.fd_h, cfg.tile_sublanes, p.reshape(-1, 3), tables,
+        with_color=False, with_normal=True, interpret=interpret)
+    return g.reshape(p.shape)
+
+
+def _normal_fwd(plan, cfg, interpret, p, tables):
+    return _normal_op(plan, cfg, interpret, p, tables), (p, tables)
+
+
+def _normal_bwd(plan, cfg, interpret, residuals, g_bar):
+    p, tables = residuals
+
+    def fd(p_, tables_):
+        sd_fn = lambda q: scene_sd(plan, tables_, q)
+        return shading.normal_fd(sd_fn, p_, cfg.fd_h)
+
+    _, vjp = jax.vjp(fd, p, tables)
+    return vjp(g_bar)
+
+
+_normal_op.defvjp(_normal_fwd, _normal_bwd)
+
+
+def make_render_hooks(plan: ScenePlan, tables: SceneTables,
+                      cfg: RenderConfig, backend: str, *,
+                      interpret: bool = False) -> dict:
+    """Build the fused-implementation hooks for core.render.render_image."""
     backend = resolve_backend(backend)
     if backend == "ref":
-        return None
-    forward_impl = None
-    if backend == "pallas":
-        from .ops.pallas_march import make_pallas_march
-        forward_impl = make_pallas_march(plan, cfg)
+        return {}
+
     sd_fn = lambda tb, p: scene_sd(plan, tb, p)
-    return make_march_fn(sd_fn, cfg.iterations, cfg.surface_precision,
-                         tables, forward_impl=forward_impl)
+    if backend == "jnp":
+        return {"march_fn": make_march_fn(
+            sd_fn, cfg.iterations, cfg.surface_precision, tables)}
+    if backend != "pallas":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    from .ops.pallas_march import (make_pallas_march, pallas_march,
+                                   pallas_surface_eval)
+
+    forward_impl = make_pallas_march(plan, cfg, interpret=interpret)
+    march_fn = make_march_fn(sd_fn, cfg.iterations, cfg.surface_precision,
+                             tables, forward_impl=forward_impl)
+
+    # Kernels invoked outside a custom_vjp must see stop-gradient inputs —
+    # pallas_call has no JVP rule, and these uses are piecewise-constant /
+    # boolean anyway (shadow test, color argmin).
+    sg_tables = jax.tree_util.tree_map(lax.stop_gradient, tables)
+
+    def shadow_fn(o, d, tmax):
+        o, d, tmax = map(lax.stop_gradient, (o, d, tmax))
+        shape = o.shape
+        res = pallas_march(plan.kernel, cfg.iterations, cfg.surface_precision,
+                           cfg.tile_sublanes, o.reshape(-1, 3),
+                           d.reshape(-1, 3), sg_tables,
+                           tmax=tmax.reshape(-1), interpret=interpret)
+        from .core.march import MarchResult
+        return MarchResult(position=res.position.reshape(shape),
+                           sd=res.sd.reshape(shape[:-1]),
+                           converged=res.converged.reshape(shape[:-1]))
+
+    def surface_fn(p):
+        flat = lax.stop_gradient(p.reshape(-1, 3))
+        sd, cidx, _ = pallas_surface_eval(
+            plan.kernel, cfg.fd_h, cfg.tile_sublanes, flat, sg_tables,
+            with_color=True, with_normal=False, interpret=interpret)
+        safe = jnp.clip(cidx, 0, tables.prim_color.shape[0] - 1)
+        color = jnp.where((cidx >= 0)[..., None],
+                          jnp.asarray(tables.prim_color)[safe], 0.0)
+        return (sd.reshape(p.shape[:-1]),
+                color.reshape(p.shape[:-1] + (3,)))
+
+    def normal_fn(p):
+        return _normal_op(plan, cfg, interpret, p, tables)
+
+    hooks = {"march_fn": march_fn, "shadow_fn": shadow_fn,
+             "surface_fn": surface_fn}
+    if cfg.normal_mode == "fd":
+        hooks["normal_fn"] = normal_fn
+    return hooks
 
 
 def render_tables(plan: ScenePlan, tables: SceneTables,
                   cfg: Optional[RenderConfig] = None, *,
                   backend: Optional[str] = None,
-                  differentiable: bool = False) -> jnp.ndarray:
+                  differentiable: bool = False,
+                  interpret: bool = False) -> jnp.ndarray:
     """Render compiled tables -> [H, W, 3].  Differentiable w.r.t. every
     array in ``tables`` on all backends (IFT backward on the fast paths,
     unrolled autodiff on ``ref`` with differentiable=True)."""
     cfg = cfg or RenderConfig()
     backend = resolve_backend(backend or cfg.backend)
-    march_fn = make_render_march_fn(plan, tables, cfg, backend)
+    hooks = make_render_hooks(plan, tables, cfg, backend,
+                              interpret=interpret)
     return render_image(plan, tables, cfg,
                         differentiable=differentiable and backend == "ref",
-                        march_fn=march_fn)
+                        **hooks)
 
 
 @partial(jax.jit, static_argnames=("plan", "cfg", "backend",

@@ -44,41 +44,53 @@ class MarchResult(NamedTuple):
 MAX_STEP = 1e5
 
 
-def _march_step(scene_sd: Callable, p, sd_last, done, ray, eps):
+def _march_step(scene_sd: Callable, p, sd_last, done, t, ray, eps, tmax):
     sd = scene_sd(p)
     step = jnp.minimum(sd, MAX_STEP)
     active = jnp.logical_not(done)
-    p_new = jnp.where(active[..., None], p + step[..., None] * ray, p)
+    step = jnp.where(active, step, 0.0)
+    p_new = p + step[..., None] * ray
+    t_new = t + step
     sd_new = jnp.where(active, sd, sd_last)
     done_new = jnp.logical_or(done, sd_new < eps)
-    return p_new, sd_new, done_new
+    if tmax is not None:
+        # Early termination once the ray has passed its target distance
+        # (shadow rays: the light).  EXACT for the shadow boolean
+        # dot(light - endpoint, ray) > 0 — any endpoint at t >= tmax is at
+        # or beyond the light, and the reference march could only ever
+        # continue FORWARD from there (scene.cpp:45-50).
+        done_new = jnp.logical_or(done_new, t_new >= tmax)
+    return p_new, sd_new, done_new, t_new
 
 
 def march_while(scene_sd: Callable, origin: jnp.ndarray, ray: jnp.ndarray,
-                iterations: int, eps: float) -> MarchResult:
+                iterations: int, eps: float, tmax=None) -> MarchResult:
     """Early-exit march (forward only). origin/ray: [..., 3]."""
     batch = origin.shape[:-1]
     init = (jnp.zeros((), jnp.int32),
             origin,
             jnp.full(batch, jnp.inf, origin.dtype),
-            jnp.zeros(batch, bool))
+            jnp.zeros(batch, bool),
+            jnp.zeros(batch, origin.dtype))
 
     def cond(state):
-        it, _, _, done = state
+        it, _, _, done, _ = state
         return jnp.logical_and(it < iterations, jnp.logical_not(jnp.all(done)))
 
     def body(state):
-        it, p, sd_last, done = state
-        p, sd_last, done = _march_step(scene_sd, p, sd_last, done, ray, eps)
-        return it + 1, p, sd_last, done
+        it, p, sd_last, done, t = state
+        p, sd_last, done, t = _march_step(scene_sd, p, sd_last, done, t,
+                                          ray, eps, tmax)
+        return it + 1, p, sd_last, done, t
 
-    _, p, sd, done = lax.while_loop(cond, body, init)
-    return MarchResult(position=p, sd=sd, converged=done)
+    _, p, sd, done, _ = lax.while_loop(cond, body, init)
+    converged = jnp.logical_and(done, sd < eps)
+    return MarchResult(position=p, sd=sd, converged=converged)
 
 
 def march_scan(scene_sd: Callable, origin: jnp.ndarray, ray: jnp.ndarray,
                iterations: int, eps: float,
-               remat_chunk: int = 50) -> MarchResult:
+               remat_chunk: int = 50, tmax=None) -> MarchResult:
     """Fixed-iteration march (reverse-mode differentiable).
 
     ``remat_chunk`` > 0 splits the scan into rematerialized chunks so the
@@ -87,11 +99,12 @@ def march_scan(scene_sd: Callable, origin: jnp.ndarray, ray: jnp.ndarray,
     """
     batch = origin.shape[:-1]
     carry0 = (origin, jnp.full(batch, jnp.inf, origin.dtype),
-              jnp.zeros(batch, bool))
+              jnp.zeros(batch, bool),
+              jnp.zeros(batch, origin.dtype))
 
     def step(carry, _):
-        p, sd_last, done = carry
-        return _march_step(scene_sd, p, sd_last, done, ray, eps), None
+        p, sd_last, done, t = carry
+        return _march_step(scene_sd, p, sd_last, done, t, ray, eps, tmax), None
 
     if remat_chunk and remat_chunk < iterations:
         chunks, rem = divmod(iterations, remat_chunk)
@@ -107,16 +120,19 @@ def march_scan(scene_sd: Callable, origin: jnp.ndarray, ray: jnp.ndarray,
     else:
         carry, _ = lax.scan(step, carry0, None, length=iterations)
 
-    p, sd, done = carry
-    return MarchResult(position=p, sd=sd, converged=done)
+    p, sd, done, _ = carry
+    converged = jnp.logical_and(done, sd < eps)
+    return MarchResult(position=p, sd=sd, converged=converged)
 
 
 def march(scene_sd: Callable, origin: jnp.ndarray, ray: jnp.ndarray,
           iterations: int, eps: float, *, differentiable: bool = False,
-          early_exit: bool = True, remat_chunk: int = 50) -> MarchResult:
+          early_exit: bool = True, remat_chunk: int = 50,
+          tmax=None) -> MarchResult:
     if differentiable:
         return march_scan(scene_sd, origin, ray, iterations, eps,
-                          remat_chunk=remat_chunk)
+                          remat_chunk=remat_chunk, tmax=tmax)
     if early_exit:
-        return march_while(scene_sd, origin, ray, iterations, eps)
-    return march_scan(scene_sd, origin, ray, iterations, eps, remat_chunk=0)
+        return march_while(scene_sd, origin, ray, iterations, eps, tmax=tmax)
+    return march_scan(scene_sd, origin, ray, iterations, eps, remat_chunk=0,
+                      tmax=tmax)

@@ -33,35 +33,49 @@ from .sdf import scene_sd, scene_surface
 def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                 origin: jnp.ndarray, dirs: jnp.ndarray,
                 differentiable: bool,
-                march_fn: Optional[Callable] = None) -> jnp.ndarray:
+                march_fn: Optional[Callable] = None,
+                shadow_fn: Optional[Callable] = None,
+                surface_fn: Optional[Callable] = None,
+                normal_fn: Optional[Callable] = None) -> jnp.ndarray:
     """Render a flat batch of rays. origin [3] or [R,3]; dirs [R,3] -> [R,3].
 
-    ``march_fn``, when given, overrides the primary/shadow march driver with
-    a fused implementation (e.g. the Pallas kernel via ops.march_op); it must
-    map (origin, dirs) -> MarchResult with reference semantics.
+    Optional fused-implementation hooks (e.g. Pallas kernels via ops.*):
+      march_fn(origin, dirs) -> MarchResult          primary, differentiable
+      shadow_fn(origin, dirs, tmax) -> MarchResult   forward-only
+      surface_fn(p) -> (sd, color)                   color lookup
+      normal_fn(p) -> unnormalized SDF gradient
     """
     sd_fn = lambda p: scene_sd(plan, tables, p)
     o = jnp.broadcast_to(origin, dirs.shape)
 
-    # Shadow marches are always forward-only (boolean + stop_gradient), so
-    # only hand them a march_fn when it is a real override (fused kernel) —
-    # the jnp default picks its own early-exit driver.
-    shadow_march_fn = march_fn
     if march_fn is None:
         march_fn = lambda oo, dd: march(
             sd_fn, oo, dd, cfg.iterations, cfg.surface_precision,
             differentiable=differentiable, early_exit=cfg.early_exit)
 
     res = march_fn(o, dirs)
+    # Name the march outputs so the chunked remat policy can SAVE them:
+    # re-running a 1000-step march inside the backward sweep would double
+    # the dominant cost, while the shading that follows is cheap to
+    # recompute.
+    from jax.ad_checkpoint import checkpoint_name
+    res = type(res)(position=checkpoint_name(res.position, "march"),
+                    sd=checkpoint_name(res.sd, "march"),
+                    converged=res.converged)
     p_hit = res.position
     # The reference returns the surface evaluated one step back
     # (scene.cpp:34-42); reconstruct that point and evaluate color there.
     # (sd clamp mirrors the march's step clamp for degenerate +inf scenes.)
     from .march import MAX_STEP
     p_color = p_hit - jnp.minimum(res.sd, MAX_STEP)[..., None] * dirs
-    _, color = scene_surface(plan, tables, p_color)
+    if surface_fn is None:
+        _, color = scene_surface(plan, tables, p_color)
+    else:
+        _, color = surface_fn(p_color)
 
-    if cfg.normal_mode == "analytic":
+    if normal_fn is not None:
+        g = normal_fn(p_hit)
+    elif cfg.normal_mode == "analytic":
         g = shading.normal_analytic(sd_fn, p_hit)
     else:
         g = shading.normal_fd(sd_fn, p_hit, cfg.fd_h)
@@ -72,14 +86,17 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         iterations=cfg.iterations, surface_eps=cfg.surface_precision,
         offset_eps=cfg.offset_precision, saturation=cfg.saturation,
         shadows=cfg.shadows, early_exit=cfg.early_exit and not differentiable,
-        march_fn=shadow_march_fn)
+        shadow_fn=shadow_fn)
 
     return light[..., None] * color
 
 
 def render_image(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                  *, differentiable: bool = False,
-                 march_fn: Optional[Callable] = None) -> jnp.ndarray:
+                 march_fn: Optional[Callable] = None,
+                 shadow_fn: Optional[Callable] = None,
+                 surface_fn: Optional[Callable] = None,
+                 normal_fn: Optional[Callable] = None) -> jnp.ndarray:
     """Render the full frame -> [H, W, 3] float32 (linear, unclamped)."""
     origin, dirs = cam.generate_rays(tables, cfg)      # [H, W, S, 3]
     S = cfg.samples_per_pixel
@@ -87,7 +104,9 @@ def render_image(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     flat = dirs.reshape(R, 3)
 
     shade = partial(_shade_rays, plan, tables, cfg, origin,
-                    differentiable=differentiable, march_fn=march_fn)
+                    differentiable=differentiable, march_fn=march_fn,
+                    shadow_fn=shadow_fn, surface_fn=surface_fn,
+                    normal_fn=normal_fn)
 
     chunk = cfg.ray_chunk
     if chunk and R > chunk:
@@ -97,8 +116,12 @@ def render_image(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         blocks = padded.reshape(-1, chunk, 3)
         # checkpoint per chunk: reverse-mode recomputes a chunk's shading
         # instead of holding every chunk's [chunk, prims] residuals live —
-        # the standard remat memory/FLOPs trade (SURVEY §5).
-        colors = lax.map(jax.checkpoint(lambda d: shade(dirs=d)), blocks)
+        # the standard remat memory/FLOPs trade (SURVEY §5).  The policy
+        # saves the (small) march outputs so the backward sweep never
+        # re-runs a 1000-step march.
+        policy = jax.checkpoint_policies.save_only_these_names("march")
+        colors = lax.map(jax.checkpoint(lambda d: shade(dirs=d),
+                                        policy=policy), blocks)
         colors = colors.reshape(-1, 3)[:R]
     else:
         colors = shade(dirs=flat)

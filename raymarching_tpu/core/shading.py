@@ -62,17 +62,24 @@ def shadowed(scene_sd: Callable, light_pos: jnp.ndarray, p: jnp.ndarray,
              march_fn: Callable = None) -> jnp.ndarray:
     """Boolean shadow test by re-marching toward the light. p, n: [..., 3].
 
-    ``march_fn`` ((origin, dirs) -> MarchResult) overrides the jnp march —
-    the fast path routes shadow rays through the same fused kernel as
-    primary rays (the reference likewise reuses its march for shadows,
-    scene.cpp:45-50)."""
+    ``march_fn`` ((origin, dirs, tmax) -> MarchResult) overrides the jnp
+    march — the fast path routes shadow rays through the same fused kernel
+    as primary rays (the reference likewise reuses its march for shadows,
+    scene.cpp:45-50).
+
+    Both paths stop the march once it has passed the light (t >= tmax):
+    the shadow boolean is provably identical (any endpoint at/beyond the
+    light yields dot <= 0 = lit, and the reference march only ever moves
+    forward from there) while saving the reference's long pointless march
+    to the far Bounds wall."""
     ray = normalize(light_pos - p)
     start = p + n * (surface_eps + offset_eps)
+    tmax = jnp.linalg.norm(light_pos - start, axis=-1)
     if march_fn is None:
         res = march(scene_sd, start, ray, iterations, surface_eps,
-                    differentiable=False, early_exit=early_exit)
+                    differentiable=False, early_exit=early_exit, tmax=tmax)
     else:
-        res = march_fn(start, ray)
+        res = march_fn(start, ray, tmax)
     return jnp.sum((light_pos - res.position) * ray, axis=-1) > 0
 
 
@@ -80,7 +87,7 @@ def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
              p: jnp.ndarray, n: jnp.ndarray, *, iterations: int,
              surface_eps: float, offset_eps: float, saturation: float,
              shadows: bool = True, early_exit: bool = True,
-             march_fn: Callable = None) -> jnp.ndarray:
+             shadow_fn: Callable = None) -> jnp.ndarray:
     """Total Lambertian lighting in [saturation, 1]. p, n: [..., 3] -> [...].
 
     ``light_positions``: [L, 3]; L is static and small, so the loop over
@@ -92,11 +99,16 @@ def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
         lp = light_positions[l]
         lambert = jnp.sum(n * normalize(lp - p), axis=-1)
         if shadows:
+            from jax.ad_checkpoint import checkpoint_name
             mask = lax.stop_gradient(
                 shadowed(scene_sd, lp, lax.stop_gradient(p),
                          lax.stop_gradient(n), iterations, surface_eps,
                          offset_eps, early_exit=early_exit,
-                         march_fn=march_fn))
+                         march_fn=shadow_fn))
+            # Saved under the remat policy (core.render): shadow re-marches
+            # are the most expensive thing a backward recompute could do,
+            # and the mask is one byte per ray.
+            mask = checkpoint_name(mask, "march")
             lambert = jnp.where(mask, 0.0, lambert)
         total = total + lambert
     return jnp.clip(total, saturation, 1.0)

@@ -60,31 +60,90 @@ def _prim_sd(ptype: int, tbl, i, px, py, pz):
     return bx + by + bz - mn - mx  # cross: median of the three excesses
 
 
+# Groups at least this large get the per-tile base-bound cull.
+_CULL_MIN_GROUP = 8
+
+
+# Manual unroll factor for the primitive loops (Mosaic supports only full
+# or no fori unrolling, so we block by hand: fewer loop-carried branches,
+# scalar loads pipeline ahead of the vector ops).
+_UNROLL = 4
+
+
+def _fold_runs(tbl, runs, px, py, pz, init):
+    """min over runs of scale * prim_sd, starting from ``init``."""
+    gmin = init
+    for (ptype, start, count, scale) in runs:
+        if count <= _UNROLL:
+            for i in range(start, start + count):
+                sd = _prim_sd(ptype, tbl, i, px, py, pz)
+                gmin = jnp.minimum(gmin, float(scale) * sd)
+            continue
+        blocks, rem = divmod(count, _UNROLL)
+
+        def body(k, acc, _ptype=ptype, _scale=float(scale), _start=start):
+            i = _start + k * _UNROLL
+            for j in range(_UNROLL):
+                sd = _prim_sd(_ptype, tbl, i + j, px, py, pz)
+                acc = jnp.minimum(acc, _scale * sd)
+            return acc
+
+        gmin = jax.lax.fori_loop(0, blocks, body, gmin)
+        for i in range(start + blocks * _UNROLL, start + count):
+            sd = _prim_sd(ptype, tbl, i, px, py, pz)
+            gmin = jnp.minimum(gmin, float(scale) * sd)
+    return gmin
+
+
 def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
     """Scene SDF for a tile: static unroll over groups/runs, fori over
-    primitives within a run, all reductions as running minima in registers."""
-    inf = jnp.array(jnp.inf, dtype)
+    primitives within a run, all reductions as running minima in registers.
+
+    Exact per-tile culling for large max-groups (DIFFERENCE lists like the
+    421-cross Menger carve): the group value max(base, -cross_i, ...) is
+    bounded below by the base primitives alone, so when that cheap bound
+    already exceeds the running scene minimum on EVERY lane of the tile,
+    folding the remaining primitives cannot change the result — skip them.
+    Semantics-preserving (the skip condition is a proof, not a heuristic);
+    effectiveness comes from ray tiles being spatially coherent."""
+    inf = jnp.full(px.shape, jnp.inf, dtype)
     rsign = 1.0 if kp.root_op == MIN else -1.0
-    running = jnp.full(px.shape, jnp.inf, dtype)
+    running = inf
     for g in kp.groups:
-        gmin = jnp.full(px.shape, jnp.inf, dtype)
-        for (ptype, start, count, scale) in g.runs:
-            if count == 1:
-                sd = _prim_sd(ptype, tbl, start, px, py, pz)
-                gmin = jnp.minimum(gmin, float(scale) * sd)
-            else:
-                def body(i, acc, _ptype=ptype, _scale=float(scale)):
-                    sd = _prim_sd(_ptype, tbl, i, px, py, pz)
-                    return jnp.minimum(acc, _scale * sd)
-                gmin = jax.lax.fori_loop(start, start + count, body, gmin)
-        gval = float(g.gsign) * gmin
-        running = jnp.minimum(running, rsign * gval)
+        neg_runs = [r for r in g.runs if r[3] == -1]
+        pos_runs = [r for r in g.runs if r[3] == 1]
+        cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
+                    and g.count >= _CULL_MIN_GROUP)
+        if cullable:
+            gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
+            lb = -gmin_base          # = max over base sd <= group value
+
+            def with_rest(r, _base=gmin_base, _runs=tuple(pos_runs)):
+                gmin = _fold_runs(tbl, _runs, px, py, pz, _base)
+                return jnp.minimum(r, -gmin)
+
+            skip = jnp.all(lb >= running)
+            running = jax.lax.cond(skip, lambda r: r, with_rest, running)
+        else:
+            gmin = _fold_runs(tbl, g.runs, px, py, pz, inf)
+            gval = float(g.gsign) * gmin
+            running = jnp.minimum(running, rsign * gval)
     return rsign * running
 
 
 def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
-                  tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                  px_ref, py_ref, pz_ref, sd_ref, done_ref):
+                  has_tmax: bool, *refs):
+    """March one ray tile.  With ``has_tmax`` (shadow rays) the march also
+    terminates once the accumulated distance passes the per-ray target —
+    EXACT for the shadow boolean (see core.shading.shadowed): any endpoint
+    at/beyond the light is 'lit' and the reference march only moves
+    forward."""
+    if has_tmax:
+        (tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+         px_ref, py_ref, pz_ref, sd_ref, done_ref) = refs
+    else:
+        (tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         px_ref, py_ref, pz_ref, sd_ref, done_ref) = refs
     dtype = ox_ref.dtype
     px_ref[...] = ox_ref[...]
     py_ref[...] = oy_ref[...]
@@ -103,12 +162,21 @@ def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
         sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype)
         active = done < 0.5
         step = jnp.where(active, jnp.minimum(sd, MAX_STEP), 0.0)
-        px_ref[...] = px + step * dx_ref[...]
-        py_ref[...] = py + step * dy_ref[...]
-        pz_ref[...] = pz + step * dz_ref[...]
+        px = px + step * dx_ref[...]
+        py = py + step * dy_ref[...]
+        pz = pz + step * dz_ref[...]
+        px_ref[...] = px
+        py_ref[...] = py
+        pz_ref[...] = pz
         sd_new = jnp.where(active, sd, sd_ref[...])
         sd_ref[...] = sd_new
         done_new = jnp.where(sd_new < eps, 1.0, done)
+        if has_tmax:
+            # t = (p - o) . d  (directions are unit-length)
+            t = ((px - ox_ref[...]) * dx_ref[...]
+                 + (py - oy_ref[...]) * dy_ref[...]
+                 + (pz - oz_ref[...]) * dz_ref[...])
+            done_new = jnp.where(t >= tmax_ref[...], 1.0, done_new)
         done_ref[...] = done_new
         return it + 1, jnp.min(done_new) > 0.5
 
@@ -126,30 +194,28 @@ def _build_table(tables: SceneTables) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def _compiled_call(kp: KernelPlan, iterations: int, eps: float,
-                   tile_sublanes: int, num_tiles: int, interpret: bool):
+                   tile_sublanes: int, num_tiles: int, has_tmax: bool,
+                   interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
 
-    kernel = functools.partial(_march_kernel, kp, iterations, eps)
+    n_ray_inputs = 7 if has_tmax else 6
+    kernel = functools.partial(_march_kernel, kp, iterations, eps, has_tmax)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 6,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [ray_spec] * n_ray_inputs),
         out_specs=(ray_spec,) * 5,
         out_shape=(out_shape,) * 5,
         interpret=interpret,
     )
 
 
-def pallas_march(kp: KernelPlan, iterations: int, eps: float,
-                 tile_sublanes: int, origin: jnp.ndarray, ray: jnp.ndarray,
-                 tables: SceneTables, *, interpret: bool = False
-                 ) -> MarchResult:
-    """March a flat batch of rays. origin/ray: [R, 3] -> MarchResult."""
-    R = origin.shape[0]
+def _tiling(R: int, tile_sublanes: int):
     tile = tile_sublanes * LANES
     num_tiles = max(1, -(-R // tile))
     padded = num_tiles * tile
@@ -160,20 +226,186 @@ def pallas_march(kp: KernelPlan, iterations: int, eps: float,
         v = jnp.pad(v, ((0, padded - R),), mode="edge")
         return v.reshape(num_tiles * tile_sublanes, LANES)
 
-    comps = [prep(origin[:, a]) for a in range(3)]
-    comps += [prep(ray[:, a]) for a in range(3)]
-    tbl = _build_table(tables)
-
-    call = _compiled_call(kp, iterations, eps, tile_sublanes, num_tiles,
-                          interpret)
-    px, py, pz, sd, done = call(tbl, *comps)
-
     def unprep(v):
         return v.reshape(padded)[:R]
 
+    return num_tiles, prep, unprep
+
+
+def pallas_march(kp: KernelPlan, iterations: int, eps: float,
+                 tile_sublanes: int, origin: jnp.ndarray, ray: jnp.ndarray,
+                 tables: SceneTables, *, tmax=None, interpret: bool = False
+                 ) -> MarchResult:
+    """March a flat batch of rays. origin/ray: [R, 3] -> MarchResult.
+    ``tmax`` [R] (optional): stop rays once they pass this distance."""
+    R = origin.shape[0]
+    num_tiles, prep, unprep = _tiling(R, tile_sublanes)
+
+    comps = [prep(origin[:, a]) for a in range(3)]
+    comps += [prep(ray[:, a]) for a in range(3)]
+    if tmax is not None:
+        comps.append(prep(tmax))
+    tbl = _build_table(tables)
+
+    call = _compiled_call(kp, iterations, eps, tile_sublanes, num_tiles,
+                          tmax is not None, interpret)
+    px, py, pz, sd, done = call(tbl, *comps)
+
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
-    return MarchResult(position=p, sd=unprep(sd),
-                       converged=unprep(done) > 0.5)
+    sd = unprep(sd)
+    return MarchResult(position=p, sd=sd,
+                       converged=jnp.logical_and(unprep(done) > 0.5,
+                                                 sd < eps))
+
+
+def _fold_runs_idx(tbl, runs, px, py, pz, carry):
+    """(min, argmin-leaf) fold over runs of scale * prim_sd; strict < keeps
+    the earliest index (reference first-wins ties, body.cpp:12-14)."""
+    for (ptype, start, count, scale) in runs:
+        def step(i, c, _ptype=ptype, _scale=float(scale)):
+            acc, aidx = c
+            sd = _scale * _prim_sd(_ptype, tbl, i, px, py, pz)
+            better = sd < acc
+            return (jnp.where(better, sd, acc),
+                    jnp.where(better,
+                              jnp.full(px.shape, 1, jnp.int32) * i,
+                              aidx))
+        if count <= _UNROLL:
+            for i in range(start, start + count):
+                carry = step(i, carry)
+            continue
+        blocks = count // _UNROLL
+
+        def body(k, c, _start=start):
+            i = _start + k * _UNROLL
+            for j in range(_UNROLL):
+                c = step(i + j, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, blocks, body, carry)
+        for i in range(start + blocks * _UNROLL, start + count):
+            carry = step(i, carry)
+    return carry
+
+
+def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
+    """Scene SDF + winning leaf index, with the same exact per-tile
+    base-bound cull as _scene_sd_tile (a culled group provably loses the
+    strict-< root fold, so neither value nor winner can change)."""
+    inf = jnp.full(px.shape, jnp.inf, dtype)
+    rsign = 1.0 if kp.root_op == MIN else -1.0
+    running = inf
+    ridx = jnp.full(px.shape, -1, jnp.int32)
+
+    def root_update(running, ridx, gval, gidx):
+        v = rsign * gval
+        better = v < running
+        return (jnp.where(better, v, running),
+                jnp.where(better, gidx, ridx))
+
+    for g in kp.groups:
+        neg_runs = [r for r in g.runs if r[3] == -1]
+        cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
+                    and g.count >= _CULL_MIN_GROUP)
+        if cullable:
+            gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
+            lb = -gmin_base
+
+            def with_group(carry, _runs=g.runs):
+                r, ri = carry
+                gmin, gidx = _fold_runs_idx(
+                    tbl, _runs, px, py, pz,
+                    (inf, jnp.full(px.shape, -1, jnp.int32)))
+                return root_update(r, ri, float(-1) * gmin, gidx)
+
+            skip = jnp.all(lb >= running)
+            running, ridx = jax.lax.cond(skip, lambda c: c, with_group,
+                                         (running, ridx))
+        else:
+            gmin, gidx = _fold_runs_idx(
+                tbl, g.runs, px, py, pz,
+                (inf, jnp.full(px.shape, -1, jnp.int32)))
+            running, ridx = root_update(running, ridx,
+                                        float(g.gsign) * gmin, gidx)
+    return rsign * running, ridx
+
+
+def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
+                    with_normal: bool, tbl_ref, px_ref, py_ref, pz_ref,
+                    *out_refs):
+    """Point-evaluation kernel: scene SD (+ color index, + central-difference
+    gradient with 6 extra evals, mirroring scene::grad, scene.cpp:70-89)."""
+    dtype = px_ref.dtype
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    outs = list(out_refs)
+    sd_ref = outs.pop(0)
+    if with_color:
+        sd, idx = _scene_sd_idx_tile(kp, tbl_ref, px, py, pz, dtype)
+        outs.pop(0)[...] = idx
+    else:
+        sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype)
+    sd_ref[...] = sd
+    if with_normal:
+        h = jnp.array(fd_h, dtype)
+        ev = lambda a, b, c: _scene_sd_tile(kp, tbl_ref, a, b, c, dtype)
+        gx = ev(px + h, py, pz) - ev(px - h, py, pz)
+        gy = ev(px, py + h, pz) - ev(px, py - h, pz)
+        gz = ev(px, py, pz + h) - ev(px, py, pz - h)
+        inv = 1.0 / (2.0 * fd_h)
+        outs.pop(0)[...] = gx * inv
+        outs.pop(0)[...] = gy * inv
+        outs.pop(0)[...] = gz * inv
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
+                           with_normal: bool, tile_sublanes: int,
+                           num_tiles: int, interpret: bool):
+    rows = num_tiles * tile_sublanes
+    block = (tile_sublanes, LANES)
+    ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+
+    out_shape = [f32]
+    if with_color:
+        out_shape.append(i32)
+    if with_normal:
+        out_shape += [f32, f32, f32]
+
+    kernel = functools.partial(_surface_kernel, kp, fd_h, with_color,
+                               with_normal)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 3,
+        out_specs=tuple(ray_spec for _ in out_shape),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )
+
+
+def pallas_surface_eval(kp: KernelPlan, fd_h: float, tile_sublanes: int,
+                        p: jnp.ndarray, tables: SceneTables, *,
+                        with_color: bool, with_normal: bool,
+                        interpret: bool = False):
+    """Evaluate the scene at points p [R, 3].
+
+    Returns (sd [R], color_idx [R] or None, grad [R, 3] or None)."""
+    R = p.shape[0]
+    num_tiles, prep, unprep = _tiling(R, tile_sublanes)
+    comps = [prep(p[:, a]) for a in range(3)]
+    tbl = _build_table(tables)
+    call = _compiled_surface_call(kp, fd_h, with_color, with_normal,
+                                  tile_sublanes, num_tiles, interpret)
+    outs = list(call(tbl, *comps))
+    sd = unprep(outs.pop(0))
+    cidx = unprep(outs.pop(0)) if with_color else None
+    grad = None
+    if with_normal:
+        grad = jnp.stack([unprep(outs.pop(0)) for _ in range(3)], axis=-1)
+    return sd, cidx, grad
 
 
 def make_pallas_march(plan: ScenePlan, cfg: RenderConfig,

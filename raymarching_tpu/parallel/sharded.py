@@ -71,17 +71,23 @@ def _check_rows(cfg: RenderConfig, mesh: Mesh) -> int:
 
 def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                    mesh: Mesh, *, differentiable: bool = False,
-                   march_fn: Optional[Callable] = None) -> jnp.ndarray:
-    """Render with image rows sharded over the mesh -> [H, W, 3] (sharded)."""
+                   backend: str = "ref") -> jnp.ndarray:
+    """Render with image rows sharded over the mesh -> [H, W, 3] (sharded).
+
+    ``backend`` selects the per-device march implementation (api backends);
+    the Pallas kernels compose with shard_map — each device runs the same
+    fused kernels on its own row block."""
     _check_rows(cfg, mesh)
 
     def shade_block(tables, dirs_block):
         # dirs_block: [H/n, W, S, 3] — this device's rows.
+        from ..api import make_render_hooks
+        hooks = make_render_hooks(plan, tables, cfg, backend)
         shape = dirs_block.shape
         colors = _shade_rays(plan, tables, cfg, tables.cam_position,
                              dirs_block.reshape(-1, 3),
                              differentiable=differentiable,
-                             march_fn=march_fn)
+                             **hooks)
         samples = colors.reshape(shape[0], shape[1], shape[2], 3)
         return jnp.mean(samples, axis=2)
 
@@ -98,15 +104,15 @@ def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
 
 def mse_loss(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
              cfg: RenderConfig, mesh: Mesh,
-             march_fn: Optional[Callable] = None) -> jnp.ndarray:
+             backend: str = "ref") -> jnp.ndarray:
     img = render_sharded(plan, tables, cfg, mesh, differentiable=True,
-                         march_fn=march_fn)
+                         backend=backend)
     return jnp.mean((img - target) ** 2)
 
 
 def train_step(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
                cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2,
-               march_fn: Optional[Callable] = None):
+               backend: str = "ref"):
     """One SGD step on the scene parameters against a target image.
 
     Returns (loss, updated tables).  Differentiating through
@@ -114,7 +120,7 @@ def train_step(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
     gradients of the replicated tables are psum-reduced over ICI.
     """
     loss, grads = jax.value_and_grad(
-        lambda t: mse_loss(plan, t, target, cfg, mesh, march_fn))(tables)
+        lambda t: mse_loss(plan, t, target, cfg, mesh, backend))(tables)
     new_tables = jax.tree_util.tree_map(lambda t, g: t - lr * g,
                                         tables, grads)
     return loss, new_tables
