@@ -36,6 +36,24 @@ def main():
     plan, tables = compile_scene(scene)
     backend = resolve_backend("auto")
 
+    # Fused-generator fast mode (space-folded Menger, validated identical
+    # zero set): enable it only if its image passes an allclose gate
+    # against the exact-table path on this hardware, keeping the headline
+    # number honest.
+    fused_ok = False
+    if backend == "pallas" and any(
+            g.fused for g in (plan.kernel.groups if plan.kernel else ())):
+        gate_cfg = cfg.replace(width=128, height=128, ray_chunk=0)
+        a = np.asarray(render_tables(plan, tables, gate_cfg,
+                                     backend=backend))
+        b = np.asarray(render_tables(
+            plan, tables, gate_cfg.replace(fused_generators=True),
+            backend=backend))
+        diff = np.abs(a - b).max(axis=-1)
+        fused_ok = bool((diff < 5e-3).mean() > 0.995)
+    if fused_ok:
+        cfg = cfg.replace(fused_generators=True)
+
     def loss_fn(t):
         img = render_tables(plan, t, cfg, backend=backend)
         return jnp.mean(img)
@@ -62,8 +80,9 @@ def main():
     assert np.all(np.isfinite(g)), "non-finite gradients"
     assert loss > 0, "degenerate render"
 
+    tag = f"{backend}_fused" if fused_ok else backend
     print(json.dumps({
-        "metric": f"mrays_per_s_fwd_bwd_menger512_ssaa2_{backend}",
+        "metric": f"mrays_per_s_fwd_bwd_menger512_ssaa2_{tag}",
         "value": round(mrays, 4),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 2),

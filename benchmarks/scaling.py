@@ -1,0 +1,77 @@
+"""Scaling-efficiency harness: rays/s vs mesh size.
+
+BASELINE target: >= 85% rays/s scaling efficiency at 2 hosts.  On a real
+multi-chip/multi-host slice this measures the ray-sharded training step at
+every mesh width; on a CPU host it runs against the 8-virtual-device fake
+mesh (same code path, demonstrates the harness).
+
+    python benchmarks/scaling.py [--devices 1 2 4 8] [--fake]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="*", default=None)
+    ap.add_argument("--fake", action="store_true",
+                    help="force an 8-virtual-device CPU mesh")
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=256)
+    args = ap.parse_args()
+
+    if args.fake:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raymarching_tpu import RenderConfig, compile_scene, load_scene
+    from raymarching_tpu.parallel.sharded import make_mesh, train_step
+    from raymarching_tpu.parallel import distributed
+
+    distributed.initialize()
+
+    if jax.devices()[0].platform == "cpu":
+        print("NOTE: virtual CPU devices share the same host cores — "
+              "efficiency numbers here only validate the code path, not "
+              "scaling; run on a real slice for the BASELINE metric.")
+    n_avail = len(jax.devices())
+    sizes = args.devices or [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    scene = load_scene(os.path.join(os.path.dirname(__file__), "..",
+                                    "scenes", "config3.txt"))
+    plan, tables = compile_scene(scene)
+
+    base_rate = None
+    for n in sizes:
+        cfg = RenderConfig(width=args.width,
+                           height=(args.height // n) * n or n,
+                           ssaa=1, iterations=300, normal_mode="analytic")
+        mesh = make_mesh(n)
+        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        step = jax.jit(lambda t: train_step(plan, t, target, cfg, mesh,
+                                            lr=0.0))
+        loss, _ = step(tables)
+        float(loss)                         # compile + sync
+        t0 = time.perf_counter()
+        loss, _ = step(tables)
+        float(loss)
+        dt = time.perf_counter() - t0
+        rate = cfg.rays_per_image / dt / 1e6
+        if base_rate is None:
+            base_rate = rate / n
+        eff = rate / (base_rate * n) * 100.0
+        print(f"devices={n:3d}: {dt:7.3f}s  {rate:8.3f} Mrays/s "
+              f"efficiency={eff:6.1f}%")
+
+
+if __name__ == "__main__":
+    main()

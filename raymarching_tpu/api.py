@@ -51,7 +51,8 @@ def _normal_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
 
     _, _, g = pallas_surface_eval(
         plan.kernel, cfg.fd_h, cfg.tile_sublanes, p.reshape(-1, 3), tables,
-        with_color=False, with_normal=True, interpret=interpret)
+        with_color=False, with_normal=True, fused=cfg.fused_generators,
+        interpret=interpret)
     return g.reshape(p.shape)
 
 
@@ -61,9 +62,15 @@ def _normal_fwd(plan, cfg, interpret, p, tables):
 
 def _normal_bwd(plan, cfg, interpret, residuals, g_bar):
     p, tables = residuals
+    # Differentiate the SAME field the forward kernel evaluated: folded
+    # generators when fused mode is on (also ~60x cheaper to transpose).
+    from .core.sdf import scene_sd_fused
 
     def fd(p_, tables_):
-        sd_fn = lambda q: scene_sd(plan, tables_, q)
+        if cfg.fused_generators:
+            sd_fn = lambda q: scene_sd_fused(plan, tables_, q)
+        else:
+            sd_fn = lambda q: scene_sd(plan, tables_, q)
         return shading.normal_fd(sd_fn, p_, cfg.fd_h)
 
     _, vjp = jax.vjp(fd, p, tables)
@@ -91,6 +98,13 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
     from .ops.pallas_march import (make_pallas_march, pallas_march,
                                    pallas_surface_eval)
 
+    if cfg.fused_generators:
+        # IFT backward must differentiate the same (folded) field the
+        # kernel marched — and its f_theta transpose then costs O(active
+        # prims), not O(20^k).
+        from .core.sdf import scene_sd_fused
+        sd_fn = lambda tb, p: scene_sd_fused(plan, tb, p)
+
     forward_impl = make_pallas_march(plan, cfg, interpret=interpret)
     march_fn = make_march_fn(sd_fn, cfg.iterations, cfg.surface_precision,
                              tables, forward_impl=forward_impl)
@@ -106,7 +120,8 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
         res = pallas_march(plan.kernel, cfg.iterations, cfg.surface_precision,
                            cfg.tile_sublanes, o.reshape(-1, 3),
                            d.reshape(-1, 3), sg_tables,
-                           tmax=tmax.reshape(-1), interpret=interpret)
+                           tmax=tmax.reshape(-1),
+                           fused=cfg.fused_generators, interpret=interpret)
         from .core.march import MarchResult
         return MarchResult(position=res.position.reshape(shape),
                            sd=res.sd.reshape(shape[:-1]),
@@ -116,7 +131,8 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
         flat = lax.stop_gradient(p.reshape(-1, 3))
         sd, cidx, _ = pallas_surface_eval(
             plan.kernel, cfg.fd_h, cfg.tile_sublanes, flat, sg_tables,
-            with_color=True, with_normal=False, interpret=interpret)
+            with_color=True, with_normal=False,
+            fused=cfg.fused_generators, interpret=interpret)
         safe = jnp.clip(cidx, 0, tables.prim_color.shape[0] - 1)
         color = jnp.where((cidx >= 0)[..., None],
                           jnp.asarray(tables.prim_color)[safe], 0.0)

@@ -84,6 +84,14 @@ def main(argv=None) -> int:
     rays = cfg.rays_per_image
     images = {}
 
+    # Host -> device upload of the scene tables, timed separately like the
+    # reference's render::push SSBO upload (main.cpp:59-63): demonstrates
+    # that scene upload is negligible next to rendering.
+    import jax
+    with Phase("push (tables to device)"):
+        tables = jax.device_put(tables)
+        jax.block_until_ready(tables)
+
     from .utils.timing import profiler_trace
     with profiler_trace(args.profile):
         for backend in backends:

@@ -62,6 +62,17 @@ class RenderConfig:
     # the [rays, primitives] working set in HBM on the jnp path.
     ray_chunk: int = 0
 
+    # Evaluate procedural generators (MengerSponge) by space folding in the
+    # Pallas kernels: O(iterations) per query instead of the explicit
+    # 20^k cross table.  The folded field has the SAME zero set and is
+    # conservative (never larger than the table field), so marches converge
+    # to identical surfaces; distance VALUES differ away from surfaces, so
+    # trajectories and rare edge pixels can shift within march precision.
+    # Gradients attribute to the generator's own parameters (box position/
+    # size) rather than to 20^k tied cross copies.  Off = exact table
+    # semantics.
+    fused_generators: bool = False
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

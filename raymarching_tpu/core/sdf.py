@@ -150,6 +150,69 @@ def scene_surface(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray):
     return sd, color
 
 
+def _run_sd(tables: SceneTables, ptype: int, start: int, count: int,
+            p: jnp.ndarray) -> jnp.ndarray:
+    """Distances for one same-type leaf run: p [..., 3] -> [..., count]."""
+    pos = jnp.asarray(tables.prim_pos)[start:start + count]
+    aux = jnp.asarray(tables.prim_aux)[start:start + count]
+    d = p[..., None, :] - pos
+    if ptype == int(PrimType.SPHERE):
+        return jnp.sqrt(jnp.sum(d * d, axis=-1)) - aux[..., 0]
+    b = jnp.abs(d) - aux * 0.5
+    mx = jnp.max(b, axis=-1)
+    if ptype == int(PrimType.BOX):
+        return mx
+    return jnp.sum(b, axis=-1) - jnp.min(b, axis=-1) - mx
+
+
+def _menger_carve_jnp(tables: SceneTables, box_idx: int, iters: int,
+                      p: jnp.ndarray) -> jnp.ndarray:
+    """jnp mirror of ops.pallas_march._menger_carve (space-folded union of
+    the sponge's crosses; same math, for the IFT/normal backward)."""
+    c = jnp.asarray(tables.prim_pos)[box_idx]
+    s = jnp.asarray(tables.prim_aux)[box_idx, 0]
+    q = p - c
+    pitch = s / 3.0
+    csize = s / 3.0
+    carve = jnp.full(p.shape[:-1], _INF, p.dtype)
+    for k in range(iters):
+        b = jnp.abs(q) - csize * 0.5
+        cross = (jnp.sum(b, -1) - jnp.min(b, -1) - jnp.max(b, -1))
+        carve = jnp.minimum(carve, cross)
+        if k + 1 < iters:
+            cell = jnp.clip(jnp.round(q / pitch), -1.0, 1.0)
+            q = q - cell * pitch
+            pitch = pitch / 3.0
+            csize = csize / 3.0
+    return carve
+
+
+def scene_sd_fused(plan: ScenePlan, tables: SceneTables,
+                   p: jnp.ndarray) -> jnp.ndarray:
+    """Scene SDF with fused generator groups (RenderConfig.fused_generators
+    semantics): Menger groups evaluate by space folding — O(iters) instead
+    of O(20^k) — so reverse-mode through this function (the IFT backward's
+    f_theta route) never touches the 20^k cross table.  Non-generator
+    groups match the exact table evaluation."""
+    kp = plan.kernel
+    assert kp is not None, "fused evaluation requires kernel normal form"
+    rsign = 1.0 if kp.root_op == MIN else -1.0
+    running = jnp.full(p.shape[:-1], _INF, p.dtype)
+    for g in kp.groups:
+        if g.fused is not None and g.fused[0] == "menger":
+            box_sd = _run_sd(tables, int(PrimType.BOX), g.start, 1, p)[..., 0]
+            carve = _menger_carve_jnp(tables, g.start, g.fused[1], p)
+            gval = jnp.maximum(box_sd, -carve)
+        else:
+            gmin = jnp.full(p.shape[:-1], _INF, p.dtype)
+            for (ptype, start, count, scale) in g.runs:
+                sd = _run_sd(tables, ptype, start, count, p)
+                gmin = jnp.minimum(gmin, jnp.min(float(scale) * sd, axis=-1))
+            gval = float(g.gsign) * gmin
+        running = jnp.minimum(running, rsign * gval)
+    return rsign * running
+
+
 def scene_sd_kernel_form(plan: ScenePlan, tables: SceneTables,
                          p: jnp.ndarray) -> jnp.ndarray:
     """Distance via the two-level kernel normal form (jnp mirror of the

@@ -95,7 +95,46 @@ def _fold_runs(tbl, runs, px, py, pz, init):
     return gmin
 
 
-def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
+def _cross_sd_q(qx, qy, qz, half):
+    bx = jnp.abs(qx) - half
+    by = jnp.abs(qy) - half
+    bz = jnp.abs(qz) - half
+    mx = jnp.maximum(jnp.maximum(bx, by), bz)
+    mn = jnp.minimum(jnp.minimum(bx, by), bz)
+    return bx + by + bz - mn - mx
+
+
+def _menger_carve(tbl, box_idx: int, iters: int, px, py, pz, dtype):
+    """Space-folding evaluation of the union of the sponge's 20^k crosses.
+
+    Per level k the crosses sit on a ±pitch sublattice of the previous
+    level's cells; folding the query into the nearest cell makes one cross
+    evaluation stand for the whole level.  Properties (proved against the
+    explicit table): identical zero set (cross arms along a cell column
+    coincide between neighboring cells; phantom cells lie inside ancestor
+    carvings), and conservative values (a min over a superset), so sphere
+    tracing converges to the same surfaces.  O(iters) work vs O(20^k).
+    Box centre/size read from the group's base primitive row —
+    differentiable Menger parameters are (position, size)."""
+    cx, cy, cz = tbl[box_idx, 0], tbl[box_idx, 1], tbl[box_idx, 2]
+    s = tbl[box_idx, 3]
+    qx, qy, qz = px - cx, py - cy, pz - cz
+    pitch = s / 3.0
+    csize = s / 3.0
+    carve = jnp.full(px.shape, jnp.inf, dtype)
+    for k in range(iters):
+        carve = jnp.minimum(carve, _cross_sd_q(qx, qy, qz, csize * 0.5))
+        if k + 1 < iters:
+            def fold(q, _p=pitch):
+                cell = jnp.clip(jnp.round(q / _p), -1.0, 1.0)
+                return q - cell * _p
+            qx, qy, qz = fold(qx), fold(qy), fold(qz)
+            pitch = pitch / 3.0
+            csize = csize / 3.0
+    return carve
+
+
+def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
     """Scene SDF for a tile: static unroll over groups/runs, fori over
     primitives within a run, all reductions as running minima in registers.
 
@@ -112,15 +151,22 @@ def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
     for g in kp.groups:
         neg_runs = [r for r in g.runs if r[3] == -1]
         pos_runs = [r for r in g.runs if r[3] == 1]
+        use_fused = fused and g.fused is not None and g.fused[0] == "menger"
         cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
-                    and g.count >= _CULL_MIN_GROUP)
+                    and (g.count >= _CULL_MIN_GROUP or use_fused))
         if cullable:
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
             lb = -gmin_base          # = max over base sd <= group value
 
-            def with_rest(r, _base=gmin_base, _runs=tuple(pos_runs)):
-                gmin = _fold_runs(tbl, _runs, px, py, pz, _base)
-                return jnp.minimum(r, -gmin)
+            if use_fused:
+                def with_rest(r, _base=gmin_base, _g=g):
+                    carve = _menger_carve(tbl, _g.start, _g.fused[1],
+                                          px, py, pz, dtype)
+                    return jnp.minimum(r, -jnp.minimum(_base, carve))
+            else:
+                def with_rest(r, _base=gmin_base, _runs=tuple(pos_runs)):
+                    gmin = _fold_runs(tbl, _runs, px, py, pz, _base)
+                    return jnp.minimum(r, -gmin)
 
             skip = jnp.all(lb >= running)
             running = jax.lax.cond(skip, lambda r: r, with_rest, running)
@@ -132,7 +178,7 @@ def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
 
 
 def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
-                  has_tmax: bool, *refs):
+                  has_tmax: bool, fused: bool, *refs):
     """March one ray tile.  With ``has_tmax`` (shadow rays) the march also
     terminates once the accumulated distance passes the per-ray target —
     EXACT for the shadow boolean (see core.shading.shadowed): any endpoint
@@ -159,7 +205,7 @@ def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
         it, _ = carry
         px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
         done = done_ref[...]
-        sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype)
+        sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype, fused=fused)
         active = done < 0.5
         step = jnp.where(active, jnp.minimum(sd, MAX_STEP), 0.0)
         px = px + step * dx_ref[...]
@@ -195,7 +241,7 @@ def _build_table(tables: SceneTables) -> jnp.ndarray:
 @functools.lru_cache(maxsize=64)
 def _compiled_call(kp: KernelPlan, iterations: int, eps: float,
                    tile_sublanes: int, num_tiles: int, has_tmax: bool,
-                   interpret: bool):
+                   fused: bool, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
@@ -203,7 +249,8 @@ def _compiled_call(kp: KernelPlan, iterations: int, eps: float,
     out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
 
     n_ray_inputs = 7 if has_tmax else 6
-    kernel = functools.partial(_march_kernel, kp, iterations, eps, has_tmax)
+    kernel = functools.partial(_march_kernel, kp, iterations, eps, has_tmax,
+                               fused)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -234,8 +281,8 @@ def _tiling(R: int, tile_sublanes: int):
 
 def pallas_march(kp: KernelPlan, iterations: int, eps: float,
                  tile_sublanes: int, origin: jnp.ndarray, ray: jnp.ndarray,
-                 tables: SceneTables, *, tmax=None, interpret: bool = False
-                 ) -> MarchResult:
+                 tables: SceneTables, *, tmax=None, fused: bool = False,
+                 interpret: bool = False) -> MarchResult:
     """March a flat batch of rays. origin/ray: [R, 3] -> MarchResult.
     ``tmax`` [R] (optional): stop rays once they pass this distance."""
     R = origin.shape[0]
@@ -248,7 +295,7 @@ def pallas_march(kp: KernelPlan, iterations: int, eps: float,
     tbl = _build_table(tables)
 
     call = _compiled_call(kp, iterations, eps, tile_sublanes, num_tiles,
-                          tmax is not None, interpret)
+                          tmax is not None, fused, interpret)
     px, py, pz, sd, done = call(tbl, *comps)
 
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
@@ -288,10 +335,12 @@ def _fold_runs_idx(tbl, runs, px, py, pz, carry):
     return carry
 
 
-def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
+def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
     """Scene SDF + winning leaf index, with the same exact per-tile
     base-bound cull as _scene_sd_tile (a culled group provably loses the
-    strict-< root fold, so neither value nor winner can change)."""
+    strict-< root fold, so neither value nor winner can change).  Fused
+    generator groups report their base primitive as the winner (every leaf
+    of a generator shares one color, body.cpp:149-169)."""
     inf = jnp.full(px.shape, jnp.inf, dtype)
     rsign = 1.0 if kp.root_op == MIN else -1.0
     running = inf
@@ -305,18 +354,28 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
 
     for g in kp.groups:
         neg_runs = [r for r in g.runs if r[3] == -1]
+        use_fused = fused and g.fused is not None and g.fused[0] == "menger"
         cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
-                    and g.count >= _CULL_MIN_GROUP)
+                    and (g.count >= _CULL_MIN_GROUP or use_fused))
         if cullable:
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
             lb = -gmin_base
 
-            def with_group(carry, _runs=g.runs):
-                r, ri = carry
-                gmin, gidx = _fold_runs_idx(
-                    tbl, _runs, px, py, pz,
-                    (inf, jnp.full(px.shape, -1, jnp.int32)))
-                return root_update(r, ri, float(-1) * gmin, gidx)
+            if use_fused:
+                def with_group(carry, _base=gmin_base, _g=g):
+                    r, ri = carry
+                    carve = _menger_carve(tbl, _g.start, _g.fused[1],
+                                          px, py, pz, dtype)
+                    gval = -jnp.minimum(_base, carve)
+                    gidx = jnp.full(px.shape, _g.start, jnp.int32)
+                    return root_update(r, ri, gval, gidx)
+            else:
+                def with_group(carry, _runs=g.runs):
+                    r, ri = carry
+                    gmin, gidx = _fold_runs_idx(
+                        tbl, _runs, px, py, pz,
+                        (inf, jnp.full(px.shape, -1, jnp.int32)))
+                    return root_update(r, ri, float(-1) * gmin, gidx)
 
             skip = jnp.all(lb >= running)
             running, ridx = jax.lax.cond(skip, lambda c: c, with_group,
@@ -331,8 +390,8 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
 
 
 def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
-                    with_normal: bool, tbl_ref, px_ref, py_ref, pz_ref,
-                    *out_refs):
+                    with_normal: bool, fused: bool, tbl_ref, px_ref, py_ref,
+                    pz_ref, *out_refs):
     """Point-evaluation kernel: scene SD (+ color index, + central-difference
     gradient with 6 extra evals, mirroring scene::grad, scene.cpp:70-89)."""
     dtype = px_ref.dtype
@@ -340,14 +399,16 @@ def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
     outs = list(out_refs)
     sd_ref = outs.pop(0)
     if with_color:
-        sd, idx = _scene_sd_idx_tile(kp, tbl_ref, px, py, pz, dtype)
+        sd, idx = _scene_sd_idx_tile(kp, tbl_ref, px, py, pz, dtype,
+                                     fused=fused)
         outs.pop(0)[...] = idx
     else:
-        sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype)
+        sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype, fused=fused)
     sd_ref[...] = sd
     if with_normal:
         h = jnp.array(fd_h, dtype)
-        ev = lambda a, b, c: _scene_sd_tile(kp, tbl_ref, a, b, c, dtype)
+        ev = lambda a, b, c: _scene_sd_tile(kp, tbl_ref, a, b, c, dtype,
+                                            fused=fused)
         gx = ev(px + h, py, pz) - ev(px - h, py, pz)
         gy = ev(px, py + h, pz) - ev(px, py - h, pz)
         gz = ev(px, py, pz + h) - ev(px, py, pz - h)
@@ -359,8 +420,9 @@ def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
-                           with_normal: bool, tile_sublanes: int,
-                           num_tiles: int, interpret: bool):
+                           with_normal: bool, fused: bool,
+                           tile_sublanes: int, num_tiles: int,
+                           interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
@@ -375,7 +437,7 @@ def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
         out_shape += [f32, f32, f32]
 
     kernel = functools.partial(_surface_kernel, kp, fd_h, with_color,
-                               with_normal)
+                               with_normal, fused)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -389,7 +451,7 @@ def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
 def pallas_surface_eval(kp: KernelPlan, fd_h: float, tile_sublanes: int,
                         p: jnp.ndarray, tables: SceneTables, *,
                         with_color: bool, with_normal: bool,
-                        interpret: bool = False):
+                        fused: bool = False, interpret: bool = False):
     """Evaluate the scene at points p [R, 3].
 
     Returns (sd [R], color_idx [R] or None, grad [R, 3] or None)."""
@@ -397,7 +459,7 @@ def pallas_surface_eval(kp: KernelPlan, fd_h: float, tile_sublanes: int,
     num_tiles, prep, unprep = _tiling(R, tile_sublanes)
     comps = [prep(p[:, a]) for a in range(3)]
     tbl = _build_table(tables)
-    call = _compiled_surface_call(kp, fd_h, with_color, with_normal,
+    call = _compiled_surface_call(kp, fd_h, with_color, with_normal, fused,
                                   tile_sublanes, num_tiles, interpret)
     outs = list(call(tbl, *comps))
     sd = unprep(outs.pop(0))
@@ -423,7 +485,8 @@ def make_pallas_march(plan: ScenePlan, cfg: RenderConfig,
         res = pallas_march(plan.kernel, cfg.iterations,
                            cfg.surface_precision, cfg.tile_sublanes,
                            origin.reshape(-1, 3), ray.reshape(-1, 3),
-                           tables, interpret=interpret)
+                           tables, fused=cfg.fused_generators,
+                           interpret=interpret)
         return MarchResult(position=res.position.reshape(shape),
                            sd=res.sd.reshape(shape[:-1]),
                            converged=res.converged.reshape(shape[:-1]))

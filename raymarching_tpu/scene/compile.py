@@ -97,6 +97,12 @@ class GroupPlan:
 
     ``runs`` splits the group's contiguous leaf range into maximal
     same-(type, scale) runs: (prim_type, start, count, scale).
+
+    ``fused``: optional fast-path descriptor from generator provenance,
+    e.g. ("menger", iterations) — the group's box lives at leaf ``start``
+    and the kernel may evaluate the carve by space folding instead of the
+    explicit 20^k cross table (opt-in via RenderConfig.fused_generators;
+    same zero set, conservative distances — see ops.pallas_march).
     """
 
     gsign: int                                   # +1 | -1
@@ -104,6 +110,7 @@ class GroupPlan:
     count: int                                   # number of leaves
     scales: Tuple[int, ...]                      # per-leaf +-1, len == count
     runs: Tuple[Tuple[int, int, int, int], ...]  # (ptype, start, count, scale)
+    fused: Optional[Tuple] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +139,7 @@ def _compile_tree(root: ListNode):
     prim_types: List[int] = []
     prims: List[Primitive] = []
     lists: List[ListPlan] = []
+    provenance = {}  # list plan index -> fused descriptor
 
     def walk(node: Node) -> Tuple[int, int]:
         """Returns (kind, index) of the compiled node."""
@@ -143,6 +151,9 @@ def _compile_tree(root: ListNode):
                 neg = neg_first if i == 0 else neg_rest
                 entries.append((kind, idx, neg))
             lists.append(ListPlan(op=op, entries=tuple(entries)))
+            from .generators import MengerNode
+            if isinstance(node, MengerNode):
+                provenance[len(lists) - 1] = ("menger", node.iterations)
             return KIND_LIST, len(lists) - 1
         # Leaf primitive — assigned indices in depth-first (fold) order.
         prims.append(node)
@@ -151,12 +162,14 @@ def _compile_tree(root: ListNode):
 
     kind, idx = walk(root)
     assert kind == KIND_LIST and idx == len(lists) - 1
-    return prims, tuple(prim_types), tuple(lists)
+    return prims, tuple(prim_types), tuple(lists), provenance
 
 
 def _kernel_normal_form(lists: Sequence[ListPlan],
-                        prim_type: Sequence[int]) -> Optional[KernelPlan]:
+                        prim_type: Sequence[int],
+                        provenance=None) -> Optional[KernelPlan]:
     """Lower a depth<=2 plan to root-fold-over-leaf-groups, or None."""
+    provenance = provenance or {}
     root = lists[-1]
     groups: List[GroupPlan] = []
 
@@ -199,7 +212,9 @@ def _kernel_normal_form(lists: Sequence[ListPlan],
             gsign = -gsign
         groups.append(GroupPlan(gsign=gsign, start=start, count=len(scales),
                                 scales=tuple(scales),
-                                runs=leaf_runs(start, scales)))
+                                runs=leaf_runs(start, scales),
+                                fused=(provenance.get(idx)
+                                       if not neg else None)))
     return KernelPlan(root_op=root.op, groups=tuple(groups))
 
 
@@ -225,8 +240,8 @@ def _prim_arrays(prims: Sequence[Primitive]):
 
 def compile_tree(root: ListNode, lights: Sequence[Light], camera: Camera
                  ) -> Tuple[ScenePlan, SceneTables]:
-    prims, prim_type, lists = _compile_tree(root)
-    kernel = _kernel_normal_form(lists, prim_type)
+    prims, prim_type, lists, provenance = _compile_tree(root)
+    kernel = _kernel_normal_form(lists, prim_type, provenance)
     plan = ScenePlan(prim_type=prim_type, lists=lists, kernel=kernel,
                      num_lights=len(lights))
     pos, aux, color = _prim_arrays(prims)

@@ -44,10 +44,25 @@ def _generate_menger(result: ListNode, position: Vec3, size: float,
             _generate_menger(result, sub, d, iterations - 1, color)
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class MengerNode(ListNode):
+    """A Menger sponge DIFFERENCE list with provenance.
+
+    Behaves exactly like the explicit 422-body list; the ``iterations``
+    field lets the scene compiler additionally emit a fused space-folding
+    evaluation (O(iterations) per query instead of O(20^k)) for the Pallas
+    fast path — see ops.pallas_march and RenderConfig.fused_generators."""
+
+    iterations: int = 3
+
+
 def menger_sponge(position: Vec3, size: float, iterations: int = 3,
                   color: Vec3 = WHITE) -> ListNode:
     """Box minus a depth-first union of crosses (body.cpp:149-156)."""
-    result = ListNode(Mode.DIFFERENCE)
+    result = MengerNode(Mode.DIFFERENCE, iterations=int(iterations))
     result.append(Box(position=position, size=(size, size, size), color=color))
     _generate_menger(result, tuple(position), float(size), int(iterations), color)
     return result
