@@ -58,9 +58,9 @@ def main(argv=None) -> int:
 
     import os
     ext = os.path.splitext(args.out)[1].lower()
-    if ext not in (".png", ".ppm", ""):
+    if ext not in (".png", ".ppm", ".jpg", ".jpeg", ""):
         print(f"error: unsupported output format {ext!r} "
-              "(png and ppm are supported)", file=sys.stderr)
+              "(png, ppm, jpg are supported)", file=sys.stderr)
         return 2
     if not os.path.exists(args.scene):
         print(f"error: scene file not found: {args.scene}", file=sys.stderr)

@@ -146,7 +146,7 @@ def scene_surface(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray):
     sd, ci = _fold_values(plan, leaf, with_color=True)
     safe = jnp.clip(ci, 0, tables.prim_color.shape[0] - 1)
     color = jnp.where((ci >= 0)[..., None],
-                      tables.prim_color[safe], 0.0)
+                      jnp.asarray(tables.prim_color)[safe], 0.0)
     return sd, color
 
 

@@ -1,0 +1,91 @@
+"""CLI driver + image IO + utility modules."""
+
+import numpy as np
+import pytest
+
+from raymarching_tpu.cli import build_parser, main
+from raymarching_tpu.io.image import save_image, to_uint8
+from raymarching_tpu.utils.debug import check_finite, print_v3
+from raymarching_tpu.utils.timing import Phase, march_iteration_stats
+
+
+class TestCli:
+    def test_render_to_png(self, tmp_path, scenes_dir):
+        out = str(tmp_path / "out.png")
+        rc = main(["--scene", str(scenes_dir / "config1.txt"), "--out", out,
+                   "--width", "16", "--height", "8", "--ssaa", "1",
+                   "--iterations", "30", "--backend", "jnp",
+                   "--normal-mode", "analytic"])
+        assert rc == 0
+        data = open(out, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_compare_backends(self, tmp_path, scenes_dir, capsys):
+        out = str(tmp_path / "out.ppm")
+        rc = main(["--scene", str(scenes_dir / "config1.txt"), "--out", out,
+                   "--width", "16", "--height", "8", "--ssaa", "1",
+                   "--iterations", "30", "--backend", "ref,jnp",
+                   "--compare"])
+        assert rc == 0
+        captured = capsys.readouterr().out
+        assert "max |jnp - ref|" in captured
+
+    def test_missing_scene(self, tmp_path):
+        rc = main(["--scene", "/definitely/not/here.txt",
+                   "--out", str(tmp_path / "x.png")])
+        assert rc == 2
+
+    def test_bad_extension(self, tmp_path, scenes_dir):
+        rc = main(["--scene", str(scenes_dir / "config1.txt"),
+                   "--out", str(tmp_path / "x.bmp")])
+        assert rc == 2
+
+    def test_parser_defaults_match_reference(self):
+        args = build_parser().parse_args(["--scene", "x"])
+        # reference constants.h:11-12,14,26 and gamma=1
+        assert (args.width, args.height) == (1024, 768)
+        assert args.iterations == 1000
+        assert args.ssaa == 3
+        assert args.gamma == 1.0
+
+
+class TestImageIO:
+    def test_to_uint8_clamps_and_rounds(self):
+        img = np.array([[[-0.5, 0.0, 0.5], [1.0, 2.0, 0.998]]], np.float32)
+        out = to_uint8(img)
+        np.testing.assert_array_equal(out[0, 0], [0, 0, 128])
+        np.testing.assert_array_equal(out[0, 1], [255, 255, 254])
+
+    def test_gamma(self):
+        img = np.full((1, 1, 3), 0.25, np.float32)
+        out = to_uint8(img, gamma=2.0)
+        assert abs(int(out[0, 0, 0]) - round(0.5 * 255)) <= 1
+
+    def test_save_rejects_unknown_format(self, tmp_path):
+        with pytest.raises(ValueError, match="unsupported"):
+            save_image(str(tmp_path / "x.bmp"), np.zeros((2, 2, 3)))
+
+    def test_save_jpeg_with_pillow(self, tmp_path):
+        pytest.importorskip("PIL")
+        path = str(tmp_path / "x.jpg")
+        save_image(path, np.full((8, 8, 3), 0.5, np.float32))
+        assert open(path, "rb").read(2) == b"\xff\xd8"  # JPEG SOI
+
+
+class TestUtils:
+    def test_check_finite_raises(self):
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            check_finite({"a": np.array([1.0, np.nan])}, "t")
+        check_finite({"a": np.array([1.0, 2.0])})  # no raise
+
+    def test_phase_timing(self, capsys):
+        with Phase("x", rays=1000) as ph:
+            ph.sync(np.zeros(3))
+        out = capsys.readouterr().out
+        assert "[x]" in out and "Mrays/s" in out
+
+    def test_march_stats(self):
+        stats = march_iteration_stats(np.array([True, True, False]))
+        assert stats["rays"] == 3
+        assert stats["converged"] == 2
+        assert 0.3 < stats["miss_fraction"] < 0.4
