@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="report max abs difference between backends")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace")
+    p.add_argument("--stats", action="store_true",
+                   help="print march convergence / iteration statistics")
     return p
 
 
@@ -107,6 +109,15 @@ def main(argv=None) -> int:
         for other in names[1:]:
             diff = float(np.abs(images[other] - ref).max())
             print(f"max |{other} - {names[0]}| = {diff:.2e}")
+
+    if args.stats:
+        import json as _json
+
+        from .utils.timing import profile_march
+        stats_cfg = cfg.replace(width=min(cfg.width, 256),
+                                height=min(cfg.height, 192), ssaa=1)
+        print("march stats (primary rays, reduced res):",
+              _json.dumps(profile_march(plan, tables, stats_cfg)))
 
     final = images[backends[-1]]
     with Phase("save"):

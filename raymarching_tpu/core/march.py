@@ -125,6 +125,35 @@ def march_scan(scene_sd: Callable, origin: jnp.ndarray, ray: jnp.ndarray,
     return MarchResult(position=p, sd=sd, converged=converged)
 
 
+def march_profile(scene_sd: Callable, origin: jnp.ndarray, ray: jnp.ndarray,
+                  iterations: int, eps: float):
+    """March with per-ray step counting -> (MarchResult, steps [..] int32).
+
+    Observability path (SURVEY §5 metrics row: march-iteration histograms);
+    the hot kernels don't pay for the counter."""
+    batch = origin.shape[:-1]
+    init = (jnp.zeros((), jnp.int32), origin,
+            jnp.full(batch, jnp.inf, origin.dtype),
+            jnp.zeros(batch, bool),
+            jnp.zeros(batch, origin.dtype),
+            jnp.zeros(batch, jnp.int32))
+
+    def cond(state):
+        it, _, _, done, _, _ = state
+        return jnp.logical_and(it < iterations, jnp.logical_not(jnp.all(done)))
+
+    def body(state):
+        it, p, sd_last, done, t, steps = state
+        steps = steps + jnp.logical_not(done).astype(jnp.int32)
+        p, sd_last, done, t = _march_step(scene_sd, p, sd_last, done, t,
+                                          ray, eps, None)
+        return it + 1, p, sd_last, done, t, steps
+
+    _, p, sd, done, _, steps = lax.while_loop(cond, body, init)
+    converged = jnp.logical_and(done, sd < eps)
+    return MarchResult(position=p, sd=sd, converged=converged), steps
+
+
 def march(scene_sd: Callable, origin: jnp.ndarray, ray: jnp.ndarray,
           iterations: int, eps: float, *, differentiable: bool = False,
           early_exit: bool = True, remat_chunk: int = 50,

@@ -102,6 +102,34 @@ def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     return sharded(tables, dirs)
 
 
+def render_sharded_gspmd(plan: ScenePlan, tables: SceneTables,
+                         cfg: RenderConfig, mesh: Mesh,
+                         backend: str = "ref") -> jnp.ndarray:
+    """GSPMD alternative to the shard_map path: annotate shardings and let
+    XLA partition the whole renderer (jit + with_sharding_constraint).
+
+    Same layout (rows sharded, tables replicated).  The shard_map path is
+    preferred for the Pallas backend (explicit per-device kernels, no
+    global convergence sync); this variant demonstrates the
+    compiler-partitioned idiom and serves as a differential check.
+    """
+    _check_rows(cfg, mesh)
+    from ..api import make_render_hooks
+    from ..core.render import render_image
+
+    row_sharding = jax.sharding.NamedSharding(mesh, P(RAYS))
+    repl = jax.sharding.NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=row_sharding)
+    def run(tables):
+        hooks = make_render_hooks(plan, tables, cfg, backend)
+        img = render_image(plan, tables, cfg, **hooks)
+        return jax.lax.with_sharding_constraint(img, row_sharding)
+
+    tables = jax.device_put(tables, repl)
+    return run(tables)
+
+
 def mse_loss(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
              cfg: RenderConfig, mesh: Mesh,
              backend: str = "ref") -> jnp.ndarray:

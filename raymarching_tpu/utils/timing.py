@@ -63,12 +63,43 @@ def profiler_trace(logdir: Optional[str]):
         jax.profiler.stop_trace()
 
 
-def march_iteration_stats(converged: np.ndarray) -> dict:
+def march_iteration_stats(converged: np.ndarray,
+                          steps: Optional[np.ndarray] = None) -> dict:
     """Convergence summary for observability (SURVEY §5 metrics row)."""
     converged = np.asarray(converged)
-    return {
+    out = {
         "rays": int(converged.size),
         "converged": int(converged.sum()),
         "miss_fraction": float(1.0 - converged.mean()) if converged.size
         else 0.0,
     }
+    if steps is not None:
+        steps = np.asarray(steps)
+        out["steps"] = {
+            "mean": float(steps.mean()),
+            "p50": int(np.percentile(steps, 50)),
+            "p90": int(np.percentile(steps, 90)),
+            "p99": int(np.percentile(steps, 99)),
+            "max": int(steps.max()),
+        }
+    return out
+
+
+def profile_march(plan, tables, cfg) -> dict:
+    """Render-shaped march profile: convergence + step histogram for the
+    primary rays of ``cfg``'s camera (jnp path; observability only)."""
+    import jax
+
+    from ..core import camera as cam
+    from ..core.march import march_profile
+    from ..core.sdf import scene_sd
+
+    origin, dirs = cam.generate_rays(tables, cfg)
+    dirs = dirs.reshape(-1, 3)
+    o = np.broadcast_to(np.asarray(origin), dirs.shape)
+
+    res, steps = jax.jit(lambda oo, dd: march_profile(
+        lambda p: scene_sd(plan, tables, p), oo, dd,
+        cfg.iterations, cfg.surface_precision))(o, dirs)
+    return march_iteration_stats(np.asarray(res.converged),
+                                 np.asarray(steps))
