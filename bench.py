@@ -41,7 +41,7 @@ def main():
     # against the exact-table path on this hardware, keeping the headline
     # number honest.
     fused_ok = False
-    if backend == "pallas" and any(
+    if backend in ("pallas", "mega") and any(
             g.fused for g in (plan.kernel.groups if plan.kernel else ())):
         gate_cfg = cfg.replace(width=128, height=128, ray_chunk=0)
         a = np.asarray(render_tables(plan, tables, gate_cfg,

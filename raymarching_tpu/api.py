@@ -9,7 +9,11 @@ Backends (RenderConfig.backend or the ``backend=`` argument):
     (with exact early termination at the light), surface color lookup, and
     finite-difference normals; IFT backward, with normals backpropagated by
     rematerializing the jnp FD formula.
-  * ``"auto"``   — pallas on TPU, jnp elsewhere.
+  * ``"mega"``   — the whole per-ray pipeline (march + color + FD normal +
+    shadows + Lambert) in ONE pallas_call per ray chunk
+    (ops.pallas_render); same IFT backward replayed from saved kernel
+    outputs.  Fastest; falls back to jnp for depth>2 CSG.
+  * ``"auto"``   — mega on TPU, jnp elsewhere.
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ def _on_tpu() -> bool:
 
 def resolve_backend(backend: str) -> str:
     if backend == "auto":
-        return "pallas" if _on_tpu() else "jnp"
+        return "mega" if _on_tpu() else "jnp"
     return backend
 
 
@@ -149,6 +153,38 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
     return hooks
 
 
+def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                 interpret: bool) -> jnp.ndarray:
+    """Single-kernel render: the whole per-ray pipeline in one pallas_call
+    (ops.pallas_render), SSAA averaging outside.
+
+    Rays are processed in ray_chunk blocks via lax.map (no remat — the
+    custom VJP already saves exactly its residuals): XLA's backward for a
+    mapped chunk does many small color scatter-adds instead of one giant
+    one, which benchmarks several times faster on TPU."""
+    from .core import camera as cam
+    from .ops.pallas_render import fused_render_op
+
+    origin, dirs = cam.generate_rays(tables, cfg)
+    S = cfg.samples_per_pixel
+    R = cfg.height * cfg.width * S
+    flat = dirs.reshape(R, 3)
+
+    chunk = cfg.ray_chunk
+    if chunk and R > chunk:
+        pad = (-R) % chunk
+        padded = jnp.concatenate(
+            [flat, jnp.broadcast_to(flat[-1:], (pad, 3))]) if pad else flat
+        blocks = padded.reshape(-1, chunk, 3)
+        colors = jax.lax.map(
+            lambda d: fused_render_op(plan, cfg, interpret, tables,
+                                      origin, d), blocks)
+        colors = colors.reshape(-1, 3)[:R]
+    else:
+        colors = fused_render_op(plan, cfg, interpret, tables, origin, flat)
+    return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)
+
+
 def render_tables(plan: ScenePlan, tables: SceneTables,
                   cfg: Optional[RenderConfig] = None, *,
                   backend: Optional[str] = None,
@@ -159,6 +195,11 @@ def render_tables(plan: ScenePlan, tables: SceneTables,
     unrolled autodiff on ``ref`` with differentiable=True)."""
     cfg = cfg or RenderConfig()
     backend = resolve_backend(backend or cfg.backend)
+    if backend == "mega":
+        if plan.kernel is None:
+            backend = "jnp"           # depth>2 CSG: no kernel normal form
+        else:
+            return _render_mega(plan, tables, cfg, interpret)
     hooks = make_render_hooks(plan, tables, cfg, backend,
                               interpret=interpret)
     return render_image(plan, tables, cfg,

@@ -1,0 +1,304 @@
+"""Single fused Pallas render kernel: the whole per-ray pipeline in one
+kernel launch.
+
+Where ops.pallas_march splits the pipeline into four kernels (march, shadow
+x lights, surface, normal) glued by XLA, this kernel runs the ENTIRE
+reference per-pixel program (scene.cpp:26-32 + render.cpp:104-115) for a
+ray tile without leaving VMEM/registers:
+
+    march -> color index at the pre-step point -> FD normal ->
+    per-light shadow march with exact at-light termination -> Lambert
+    accumulate with the [saturation, 1] clamp.
+
+Outputs per ray: hit point + sd + converged (the IFT backward residuals),
+color index, and the scalar light term.  The backward pass reuses the same
+modular jnp formulations as the multi-kernel path (see api.fused_render_op).
+
+The reference's GLSL kernel (shader.comp:328-370) is the same fusion shape —
+one invocation does march+grad+shadow+shade — but as a divergent
+interpreter; here every stage is a static unroll over the compiled plan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..core.march import MAX_STEP
+from ..scene.compile import KernelPlan, ScenePlan, SceneTables
+from .pallas_march import (LANES, _build_table, _scene_sd_idx_tile,
+                           _scene_sd_tile, _tiling)
+
+
+def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
+                  tmax=None):
+    """March a tile; state lives in scoped VMEM scratch (Mosaic cannot yet
+    relayout splat-initialized vectors through while-loop carries), the
+    loop carry is scalars only.  Returns (px, py, pz, sd, done-mask)."""
+    dtype = dx.dtype
+    shape = dx.shape
+
+    def scoped(px_s, py_s, pz_s, sd_s, done_s):
+        px_s[...] = ox + 0.0 * dx   # force a materialized layout
+        py_s[...] = oy + 0.0 * dy
+        pz_s[...] = oz + 0.0 * dz
+        sd_s[...] = jnp.full(shape, jnp.inf, dtype)
+        done_s[...] = jnp.zeros(shape, dtype)
+
+        def cond(c):
+            it, all_done = c
+            return jnp.logical_and(it < iterations,
+                                   jnp.logical_not(all_done))
+
+        def body(c):
+            it, _ = c
+            px, py, pz = px_s[...], py_s[...], pz_s[...]
+            done = done_s[...]
+            sd = _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=fused)
+            active = done < 0.5
+            step = jnp.where(active, jnp.minimum(sd, MAX_STEP), 0.0)
+            px = px + step * dx
+            py = py + step * dy
+            pz = pz + step * dz
+            px_s[...], py_s[...], pz_s[...] = px, py, pz
+            sd_new = jnp.where(active, sd, sd_s[...])
+            sd_s[...] = sd_new
+            done = jnp.where(sd_new < eps, 1.0, done)
+            if tmax is not None:
+                t = ((px - ox) * dx + (py - oy) * dy + (pz - oz) * dz)
+                done = jnp.where(t >= tmax, 1.0, done)
+            done_s[...] = done
+            return it + 1, jnp.min(done) > 0.5
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
+        return px_s[...], py_s[...], pz_s[...], sd_s[...], done_s[...]
+
+    return pl.run_scoped(
+        scoped, *(pltpu.VMEM(shape, jnp.float32) for _ in range(5)))
+
+
+def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
+                   offset_eps: float, saturation: float, fd_h: float,
+                   num_lights: int, shadows: bool, fused: bool,
+                   tbl_ref, lights_ref, org_ref, dx_ref, dy_ref, dz_ref,
+                   px_ref, py_ref, pz_ref, sd_ref, done_ref, cidx_ref,
+                   light_ref, smask_ref):
+    dtype = dx_ref.dtype
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    ox = jnp.full(dx.shape, org_ref[0], dtype)
+    oy = jnp.full(dx.shape, org_ref[1], dtype)
+    oz = jnp.full(dx.shape, org_ref[2], dtype)
+
+    # 1. primary march
+    px, py, pz, sd, done = _march_values(kp, tbl_ref, ox, oy, oz,
+                                         dx, dy, dz, iterations, eps, fused)
+    px_ref[...], py_ref[...], pz_ref[...] = px, py, pz
+    sd_ref[...], done_ref[...] = sd, done
+
+    # 2. color index at the pre-step point (scene.cpp:34-42 semantics)
+    step = jnp.minimum(sd, MAX_STEP)
+    _, cidx = _scene_sd_idx_tile(kp, tbl_ref, px - step * dx, py - step * dy,
+                                 pz - step * dz, dtype, fused=fused)
+    cidx_ref[...] = cidx
+
+    # 3. FD normal at the hit point (scene.cpp:70-89)
+    h = jnp.array(fd_h, dtype)
+    ev = lambda a, b, c: _scene_sd_tile(kp, tbl_ref, a, b, c, dtype,
+                                        fused=fused)
+    gx = ev(px + h, py, pz) - ev(px - h, py, pz)
+    gy = ev(px, py + h, pz) - ev(px, py - h, pz)
+    gz = ev(px, py, pz + h) - ev(px, py, pz - h)
+    gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+    inv = 1.0 / jnp.maximum(gn, jnp.finfo(jnp.float32).tiny)
+    nx, ny, nz = gx * inv, gy * inv, gz * inv
+
+    # 4. multi-light Lambert with boolean shadows (scene.cpp:45-62).
+    # Per-light shadow booleans also go out as a bitmask so the backward
+    # replay can reconstruct the clamp/masking exactly.
+    total = jnp.zeros(dx.shape, dtype)
+    smask = jnp.zeros(dx.shape, jnp.int32)
+    for li in range(num_lights):
+        lx = jnp.asarray(lights_ref[li, 0], dtype)
+        ly = jnp.asarray(lights_ref[li, 1], dtype)
+        lz = jnp.asarray(lights_ref[li, 2], dtype)
+        rx, ry, rz = lx - px, ly - py, lz - pz
+        rd = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        rinv = 1.0 / jnp.maximum(rd, jnp.finfo(jnp.float32).tiny)
+        rx, ry, rz = rx * rinv, ry * rinv, rz * rinv
+        lambert = nx * rx + ny * ry + nz * rz
+        if shadows:
+            off = eps + offset_eps
+            sx, sy, sz = px + nx * off, py + ny * off, pz + nz * off
+            t2x, t2y, t2z = lx - sx, ly - sy, lz - sz
+            tmax = jnp.sqrt(t2x * t2x + t2y * t2y + t2z * t2z)
+            qx, qy, qz, _, _ = _march_values(
+                kp, tbl_ref, sx, sy, sz, rx, ry, rz, iterations, eps,
+                fused, tmax=tmax)
+            passed = ((lx - qx) * rx + (ly - qy) * ry + (lz - qz) * rz) <= 0
+            smask = jnp.where(passed, smask,
+                              jnp.bitwise_or(smask, 1 << li))
+            lambert = jnp.where(passed, lambert, 0.0)
+        total = total + lambert
+    light_ref[...] = jnp.clip(total, saturation, 1.0)
+    smask_ref[...] = smask
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
+                          offset_eps: float, saturation: float, fd_h: float,
+                          num_lights: int, shadows: bool, fused: bool,
+                          tile_sublanes: int, num_tiles: int,
+                          interpret: bool):
+    rows = num_tiles * tile_sublanes
+    block = (tile_sublanes, LANES)
+    ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+
+    kernel = functools.partial(_render_kernel, kp, iterations, eps,
+                               offset_eps, saturation, fd_h, num_lights,
+                               shadows, fused)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[smem, smem, smem] + [ray_spec] * 3,
+        out_specs=(ray_spec,) * 8,
+        out_shape=(f32, f32, f32, f32, f32, i32, f32, i32),
+        interpret=interpret,
+    )
+
+
+def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
+                       origin: jnp.ndarray, dirs: jnp.ndarray,
+                       tables: SceneTables, *, interpret: bool = False):
+    """Fully fused forward: dirs [R, 3], origin [3] ->
+    (p_hit [R,3], sd [R], converged [R], cidx [R], light [R], smask [R])."""
+    kp = plan.kernel
+    assert kp is not None
+    R = dirs.shape[0]
+    num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
+    comps = [prep(dirs[:, a]) for a in range(3)]
+    tbl = _build_table(tables)
+    lights = jnp.concatenate(
+        [jnp.asarray(tables.light_pos),
+         jnp.zeros((tables.light_pos.shape[0], 1), jnp.float32)], axis=1)
+    org = jnp.asarray(origin, jnp.float32).reshape(3)
+
+    call = _compiled_render_call(
+        kp, cfg.iterations, cfg.surface_precision, cfg.offset_precision,
+        cfg.saturation, cfg.fd_h, int(plan.num_lights), cfg.shadows,
+        cfg.fused_generators, cfg.tile_sublanes, num_tiles, interpret)
+    px, py, pz, sd, done, cidx, light, smask = call(tbl, lights, org, *comps)
+
+    p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
+    sd = unprep(sd)
+    return (p, sd,
+            jnp.logical_and(unprep(done) > 0.5, sd < cfg.surface_precision),
+            unprep(cidx), unprep(light), unprep(smask))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: fused Pallas forward + modular jnp backward.
+# ---------------------------------------------------------------------------
+
+_DENOM_EPS = 1e-6
+
+
+def _sd_fn(plan, cfg):
+    if cfg.fused_generators:
+        from ..core.sdf import scene_sd_fused
+        return lambda tb, q: scene_sd_fused(plan, tb, q)
+    from ..core.sdf import scene_sd
+    return lambda tb, q: scene_sd(plan, tb, q)
+
+
+def _replay_shade(plan, cfg, tables, p, cidx, smask):
+    """Differentiable jnp replay of shading from saved kernel outputs.
+
+    Uses the SAVED discrete decisions (color winner, shadow booleans) so the
+    backward transposes exactly the branch the kernel took; continuous parts
+    (normal, Lambert, clamp) are recomputed differentiably."""
+    from ..core import shading as sh
+
+    sdf = _sd_fn(plan, cfg)
+    sd_one = lambda q: sdf(tables, q)
+
+    p_color_color = jnp.where(
+        (cidx >= 0)[..., None],
+        jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)], 0.0)
+
+    g = sh.normal_fd(sd_one, p, cfg.fd_h)
+    n = sh.normalize(g)
+
+    total = jnp.zeros(p.shape[:-1], p.dtype)
+    for li in range(int(plan.num_lights)):
+        lp = jnp.asarray(tables.light_pos)[li]
+        lambert = jnp.sum(n * sh.normalize(lp - p), axis=-1)
+        shadowed = (smask >> li) & 1
+        total = total + jnp.where(shadowed == 1, 0.0, lambert)
+    light = jnp.clip(total, cfg.saturation, 1.0)
+    return light[..., None] * p_color_color
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_render_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
+                    tables, origin, dirs):
+    """Colors [R, 3] for rays (origin [3], dirs [R, 3]) — one kernel."""
+    p, sd, conv, cidx, light, smask = pallas_render_rays(
+        plan, cfg, origin, dirs, tables, interpret=interpret)
+    color = jnp.where((cidx >= 0)[..., None],
+                      jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)],
+                      0.0)
+    return light[..., None] * color
+
+
+def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
+    p, sd, conv, cidx, light, smask = pallas_render_rays(
+        plan, cfg, origin, dirs, tables, interpret=interpret)
+    color = jnp.where((cidx >= 0)[..., None],
+                      jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)],
+                      0.0)
+    out = light[..., None] * color
+    t = jnp.sum((p - origin) * dirs, axis=-1) / jnp.sum(dirs * dirs, axis=-1)
+    return out, (tables, origin, dirs, p, sd, conv, cidx, smask, t)
+
+
+def _fused_bwd(plan, cfg, interpret, residuals, g_out):
+    tables, origin, dirs, p, sd, conv, cidx, smask, t = residuals
+
+    # 1. Transpose the shading replay w.r.t. (tables, p).  The ray
+    # direction enters shading only through the saved discrete color
+    # winner, so it carries no shading cotangent.
+    def shade(tables_, p_):
+        return _replay_shade(plan, cfg, tables_, p_, cidx, smask)
+
+    _, vjp_shade = jax.vjp(shade, tables, p)
+    tables_bar, p_bar = vjp_shade(g_out)
+
+    # 2. Implicit-function route for the hit point (see ops.march_op).
+    sdf = _sd_fn(plan, cfg)
+    _, vjp_f = jax.vjp(lambda tb, q: sdf(tb, q), tables, p)
+    ones = jnp.ones(p.shape[:-1], p.dtype)
+    _, grad_p = vjp_f(ones)
+    denom = jnp.sum(grad_p * dirs, axis=-1)
+    denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
+                      jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
+    t_bar = jnp.where(conv, jnp.sum(p_bar * dirs, axis=-1), 0.0)
+    w = -t_bar / denom
+    tables_bar2, gp_w = vjp_f(w)
+
+    o_bar = jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1)))
+    d_bar = t[..., None] * (p_bar + gp_w)
+    tables_bar = jax.tree_util.tree_map(jnp.add, tables_bar, tables_bar2)
+    return tables_bar, o_bar, d_bar
+
+
+fused_render_op.defvjp(_fused_fwd, _fused_bwd)

@@ -1,0 +1,94 @@
+"""Single-kernel (mega) render path: equivalence against the multi-kernel
+pallas pipeline and gradient agreement with the jnp IFT fast path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raymarching_tpu import RenderConfig
+from raymarching_tpu.api import render_tables
+from raymarching_tpu.scene.compile import compile_tree
+from raymarching_tpu.scene.csg import Box, ListNode, Mode, Sphere, bounds
+from raymarching_tpu.scene.generators import death_star, menger_sponge
+from raymarching_tpu.scene.objects import Camera, Light
+
+CFG = RenderConfig(width=24, height=16, ssaa=2, iterations=80,
+                   shadows=True, normal_mode="fd")
+
+
+def _world():
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        Sphere((0.0, 0.0, -6.0), 2.5, color=(0.9, 0.4, 0.2)),
+        death_star((4.0, 1.0, -8.0), 2.0, color=(0.2, 0.4, 0.9)),
+        Box((0.0, -3.0, -6.0), (10.0, 1.0, 10.0), color=(0.6, 0.6, 0.9)),
+    ])
+    return compile_tree(tree, [Light((6.0, 8.0, 4.0)),
+                               Light((-5.0, 6.0, 0.0))],
+                        Camera(position=(0, 0, 6), fov=55.0))
+
+
+def test_mega_matches_multikernel_image():
+    plan, tables = _world()
+    m = np.asarray(render_tables(plan, tables, CFG, backend="mega",
+                                 interpret=True))
+    p = np.asarray(render_tables(plan, tables, CFG, backend="pallas",
+                                 interpret=True))
+    np.testing.assert_allclose(m, p, atol=1e-6)
+
+
+def test_mega_gradients_match_jnp():
+    plan, tables = _world()
+
+    def loss(t, backend, interpret=False):
+        img = render_tables(plan, t, CFG, backend=backend,
+                            interpret=interpret, differentiable=True)
+        return jnp.mean(img * img)
+
+    gm = jax.grad(lambda t: loss(t, "mega", True))(tables)
+    gj = jax.grad(lambda t: loss(t, "jnp"))(tables)
+    for field in ("prim_pos", "prim_aux", "prim_color", "light_pos",
+                  "cam_position", "cam_direction", "cam_up", "cam_fov"):
+        a = np.asarray(getattr(gm, field), np.float64)
+        b = np.asarray(getattr(gj, field), np.float64)
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, b, rtol=0.02, atol=0.005 * scale,
+            err_msg=f"mega gradient mismatch in {field}")
+
+
+def test_mega_fused_generators():
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        menger_sponge((0.0, 0.0, -8.0), 6.0, 2, color=(0.9, 0.9, 0.8)),
+    ])
+    plan, tables = compile_tree(tree, [Light((6.0, 10.0, 4.0))],
+                                Camera(position=(0, 1, 4), fov=60.0))
+    cfg = CFG.replace(fused_generators=True, ssaa=1)
+    m = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                 interpret=True))
+    p = np.asarray(render_tables(plan, tables, cfg, backend="pallas",
+                                 interpret=True))
+    np.testing.assert_allclose(m, p, atol=1e-6)
+
+
+def test_mega_no_shadows():
+    plan, tables = _world()
+    cfg = CFG.replace(shadows=False, ssaa=1)
+    m = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                 interpret=True))
+    r = np.asarray(render_tables(plan, tables, cfg, backend="ref"))
+    np.testing.assert_allclose(m, r, atol=5e-4)
+
+
+def test_mega_depth3_falls_back():
+    inner = ListNode(Mode.DIFFERENCE, [Sphere((0, 0, -5), 2.0),
+                                       Sphere((1, 0, -5), 1.0)])
+    mid = ListNode(Mode.INTERSECTION, [inner, Box((0, 0, -5), (3, 3, 3))])
+    root = ListNode(Mode.UNION, [bounds(40.0), mid])
+    plan, tables = compile_tree(root, [Light((5, 5, 5))], Camera())
+    assert plan.kernel is None
+    cfg = CFG.replace(ssaa=1)
+    m = np.asarray(render_tables(plan, tables, cfg, backend="mega"))
+    r = np.asarray(render_tables(plan, tables, cfg, backend="ref"))
+    np.testing.assert_allclose(m, r, atol=5e-4)
