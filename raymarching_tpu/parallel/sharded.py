@@ -71,7 +71,8 @@ def _check_rows(cfg: RenderConfig, mesh: Mesh) -> int:
 
 def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                    mesh: Mesh, *, differentiable: bool = False,
-                   backend: str = "ref") -> jnp.ndarray:
+                   backend: str = "ref",
+                   interpret: bool = False) -> jnp.ndarray:
     """Render with image rows sharded over the mesh -> [H, W, 3] (sharded).
 
     ``backend`` selects the per-device march implementation (api backends);
@@ -81,13 +82,23 @@ def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
 
     def shade_block(tables, dirs_block):
         # dirs_block: [H/n, W, S, 3] — this device's rows.
-        from ..api import make_render_hooks
-        hooks = make_render_hooks(plan, tables, cfg, backend)
+        from ..api import make_render_hooks, resolve_backend
         shape = dirs_block.shape
-        colors = _shade_rays(plan, tables, cfg, tables.cam_position,
-                             dirs_block.reshape(-1, 3),
-                             differentiable=differentiable,
-                             **hooks)
+        resolved = resolve_backend(backend)
+        if resolved == "mega" and plan.kernel is not None:
+            from ..ops.pallas_render import fused_render_op
+            colors = fused_render_op(plan, cfg, interpret, tables,
+                                     tables.cam_position,
+                                     dirs_block.reshape(-1, 3))
+        else:
+            if resolved == "mega":
+                resolved = "jnp"      # depth>2 CSG fallback
+            hooks = make_render_hooks(plan, tables, cfg, resolved,
+                                      interpret=interpret)
+            colors = _shade_rays(plan, tables, cfg, tables.cam_position,
+                                 dirs_block.reshape(-1, 3),
+                                 differentiable=differentiable,
+                                 **hooks)
         samples = colors.reshape(shape[0], shape[1], shape[2], 3)
         return jnp.mean(samples, axis=2)
 

@@ -68,9 +68,16 @@ def menger_sponge(position: Vec3, size: float, iterations: int = 3,
     return result
 
 
+@dataclasses.dataclass
+class DeathStarNode(ListNode):
+    """DeathStar DIFFERENCE list with provenance (for scene serialization —
+    the objects.txt grammar can only express this CSG via its generator
+    command)."""
+
+
 def death_star(position: Vec3, radius: float, color: Vec3 = WHITE) -> ListNode:
     """Sphere minus sphere offset +1.5r in x (body.cpp:159-169)."""
-    result = ListNode(Mode.DIFFERENCE)
+    result = DeathStarNode(Mode.DIFFERENCE)
     result.append(Sphere(position=position, radius=radius, color=color))
     diff_pos = (position[0] + 1.5 * radius, position[1], position[2])
     result.append(Sphere(position=diff_pos, radius=radius, color=color))

@@ -97,3 +97,17 @@ def test_mesh_subset():
         jax.jit(lambda t: render_sharded(plan, t, CFG, mesh))(tables))
     img_single = np.asarray(render_tables(plan, tables, CFG, backend="jnp"))
     np.testing.assert_allclose(img, img_single, atol=2e-5)
+
+
+def test_sharded_mega_matches_single_device():
+    """The production config: mega kernel under shard_map (interpret on
+    the CPU mesh)."""
+    plan, tables = _world()
+    mesh = make_mesh(4)
+    cfg = CFG.replace(normal_mode="fd")
+    img = np.asarray(jax.jit(lambda t: render_sharded(
+        plan, t, cfg, mesh, backend="mega", interpret=True))(tables))
+    from raymarching_tpu.api import render_tables
+    single = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                      interpret=True))
+    np.testing.assert_allclose(img, single, atol=2e-5)
