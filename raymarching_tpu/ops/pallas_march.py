@@ -69,6 +69,12 @@ _CULL_MIN_GROUP = 8
 # scalar loads pipeline ahead of the vector ops).
 _UNROLL = 4
 
+# March steps per early-exit check: the all-converged test is a
+# vector->scalar reduction that serializes against the VPU pipeline, so it
+# runs every K steps instead of every step.  Converged lanes are frozen by
+# the mask either way, so up to K-1 extra masked iterations change nothing.
+_EXIT_CHECK_EVERY = 4
+
 
 def _fold_runs(tbl, runs, px, py, pz, init):
     """min over runs of scale * prim_sd, starting from ``init``."""
@@ -197,12 +203,17 @@ def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
     sd_ref[...] = jnp.full(ox_ref.shape, jnp.inf, dtype)
     done_ref[...] = jnp.zeros(ox_ref.shape, dtype)   # f32 mask: 0 = active
 
+    # K steps per while iteration; the remainder runs unrolled after the
+    # loop so the TOTAL evaluation cap stays exactly ``iterations``
+    # (reference parity for never-converging rays, scene.cpp:35).
+    K = min(_EXIT_CHECK_EVERY, max(iterations, 1))
+    main = (iterations // K) * K
+
     def cond(carry):
         it, all_done = carry
-        return jnp.logical_and(it < iterations, jnp.logical_not(all_done))
+        return jnp.logical_and(it < main, jnp.logical_not(all_done))
 
-    def body(carry):
-        it, _ = carry
+    def one_step(_):
         px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
         done = done_ref[...]
         sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype, fused=fused)
@@ -224,9 +235,18 @@ def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
                  + (pz - oz_ref[...]) * dz_ref[...])
             done_new = jnp.where(t >= tmax_ref[...], 1.0, done_new)
         done_ref[...] = done_new
-        return it + 1, jnp.min(done_new) > 0.5
+        return done_new
+
+    def body(carry):
+        it, _ = carry
+        done_new = None
+        for _ in range(K):
+            done_new = one_step(None)
+        return it + K, jnp.min(done_new) > 0.5
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
+    for _ in range(iterations - main):
+        one_step(None)
 
 
 def _build_table(tables: SceneTables) -> jnp.ndarray:

@@ -44,6 +44,8 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
     dtype = dx.dtype
     shape = dx.shape
 
+    from .pallas_march import _EXIT_CHECK_EVERY
+
     def scoped(px_s, py_s, pz_s, sd_s, done_s):
         px_s[...] = ox + 0.0 * dx   # force a materialized layout
         py_s[...] = oy + 0.0 * dy
@@ -51,13 +53,17 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
         sd_s[...] = jnp.full(shape, jnp.inf, dtype)
         done_s[...] = jnp.zeros(shape, dtype)
 
+        # K steps per exit check (the all-done reduce serializes the VPU);
+        # remainder unrolled after the loop so the evaluation cap stays
+        # exactly ``iterations``.
+        K = min(_EXIT_CHECK_EVERY, max(iterations, 1))
+        main = (iterations // K) * K
+
         def cond(c):
             it, all_done = c
-            return jnp.logical_and(it < iterations,
-                                   jnp.logical_not(all_done))
+            return jnp.logical_and(it < main, jnp.logical_not(all_done))
 
-        def body(c):
-            it, _ = c
+        def one_step(_):
             px, py, pz = px_s[...], py_s[...], pz_s[...]
             done = done_s[...]
             sd = _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=fused)
@@ -74,9 +80,18 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
                 t = ((px - ox) * dx + (py - oy) * dy + (pz - oz) * dz)
                 done = jnp.where(t >= tmax, 1.0, done)
             done_s[...] = done
-            return it + 1, jnp.min(done) > 0.5
+            return done
+
+        def body(c):
+            it, _ = c
+            done = None
+            for _ in range(K):
+                done = one_step(None)
+            return it + K, jnp.min(done) > 0.5
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
+        for _ in range(iterations - main):
+            one_step(None)
         return px_s[...], py_s[...], pz_s[...], sd_s[...], done_s[...]
 
     return pl.run_scoped(
