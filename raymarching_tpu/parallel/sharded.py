@@ -60,6 +60,32 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = RAYS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(hosts: int, chips: int) -> Mesh:
+    """(hosts, chips) mesh with BOTH axes sharding rays.
+
+    A renderer has exactly one data axis worth scaling (rays — pixels are
+    independent; there is no tensor/pipeline/expert dimension in a 428-
+    float-parameter scene, SURVEY §2 parallelism table), so a multi-host
+    topology maps both mesh axes onto the ray axis: the outer axis keeps
+    each host's rows local (DCN never carries ray data) while the inner
+    axis spreads rows over each host's chips (ICI).  Use
+    ``PartitionSpec(("hosts", "chips"))`` — parallel.render_sharded does
+    this automatically when handed a 2-D mesh."""
+    devices = jax.devices()[:hosts * chips]
+    if len(devices) < hosts * chips:
+        raise ValueError(f"need {hosts * chips} devices, "
+                         f"have {len(jax.devices())}")
+    return Mesh(np.asarray(devices).reshape(hosts, chips),
+                ("hosts", "chips"))
+
+
+def _ray_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding image rows over EVERY mesh axis (1-D rays
+    mesh or 2-D hosts x chips mesh)."""
+    names = tuple(mesh.axis_names)
+    return P(names if len(names) > 1 else names[0])
+
+
 def _check_rows(cfg: RenderConfig, mesh: Mesh) -> int:
     n = mesh.devices.size
     if cfg.height % n:
@@ -105,8 +131,9 @@ def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     # check_vma=False: the march while_loop initializes carries from
     # unvarying constants, which trips the varying-manual-axes typecheck
     # even though the computation is per-device pure.
+    spec = _ray_spec(mesh)
     sharded = shard_map(shade_block, mesh=mesh,
-                        in_specs=(P(), P(RAYS)), out_specs=P(RAYS),
+                        in_specs=(P(), spec), out_specs=spec,
                         check_vma=False)
 
     _, dirs = cam.generate_rays(tables, cfg)     # [H, W, S, 3], replicated calc
@@ -128,7 +155,7 @@ def render_sharded_gspmd(plan: ScenePlan, tables: SceneTables,
     from ..api import make_render_hooks
     from ..core.render import render_image
 
-    row_sharding = jax.sharding.NamedSharding(mesh, P(RAYS))
+    row_sharding = jax.sharding.NamedSharding(mesh, _ray_spec(mesh))
     repl = jax.sharding.NamedSharding(mesh, P())
 
     @partial(jax.jit, out_shardings=row_sharding)

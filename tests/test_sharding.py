@@ -111,3 +111,20 @@ def test_sharded_mega_matches_single_device():
     single = np.asarray(render_tables(plan, tables, cfg, backend="mega",
                                       interpret=True))
     np.testing.assert_allclose(img, single, atol=2e-5)
+
+
+def test_2d_mesh_hosts_by_chips():
+    """Both axes of a (hosts, chips) mesh shard the ray axis."""
+    from raymarching_tpu.parallel.sharded import make_mesh_2d
+
+    plan, tables = _world()
+    mesh = make_mesh_2d(2, 4)
+    img = np.asarray(
+        jax.jit(lambda t: render_sharded(plan, t, CFG, mesh))(tables))
+    single = np.asarray(render_tables(plan, tables, CFG, backend="jnp"))
+    np.testing.assert_allclose(img, single, atol=2e-5)
+
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    loss, t2 = jax.jit(
+        lambda t: train_step(plan, t, target, CFG, mesh, lr=0.01))(tables)
+    assert np.isfinite(float(loss))
