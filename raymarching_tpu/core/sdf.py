@@ -21,7 +21,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ..scene.compile import (KIND_LEAF, KIND_LIST, MAX, MIN, ScenePlan,
+from ..scene.compile import (KIND_LEAF, KIND_LIST, MIN, ScenePlan,
                              SceneTables)
 from ..scene.csg import PrimType
 

@@ -36,8 +36,7 @@ from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .csg import (BLACK, ListNode, Mode, Node, PRIM_TYPE, Primitive, PrimType,
-                  Sphere, iter_primitives)
+from .csg import (ListNode, Mode, Node, PRIM_TYPE, Primitive, Sphere)
 from .objects import Camera, Light
 from .parser import Scene
 

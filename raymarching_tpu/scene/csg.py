@@ -30,7 +30,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import List as PyList, Sequence, Tuple, Union
+from typing import List as PyList, Tuple, Union
 
 Vec3 = Tuple[float, float, float]
 

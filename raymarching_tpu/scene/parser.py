@@ -26,7 +26,7 @@ COMPLEMENT-list-wrapped black box (scene.cpp:120-127).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 from . import generators
 from .csg import Box, Cross, ListNode, Mode, Sphere, bounds

@@ -16,14 +16,13 @@ Two entry points:
 from __future__ import annotations
 
 import io
-from typing import Optional
 
 import numpy as np
 
-from .compile import ScenePlan, SceneTables
+from .compile import SceneTables
 from .csg import Box, Cross, ListNode, Mode, Sphere
 from .generators import DeathStarNode, MengerNode
-from .objects import Camera, Light
+from .objects import Camera
 from .parser import Scene
 
 
