@@ -63,6 +63,17 @@ def _prim_sd(ptype: int, tbl, i, px, py, pz):
 # Groups at least this large get the per-tile base-bound cull.
 _CULL_MIN_GROUP = 8
 
+# Primitive tables up to this many rows live in SMEM (scalar memory);
+# larger scenes spill the table to VMEM (P=1024 compiles, P=2048 overflows
+# SMEM on v5e — measured).  VMEM scalar loads are slower but keep big
+# scenes on the kernel path.
+_SMEM_PRIM_LIMIT = 1024
+
+
+def _tbl_spec(num_prims: int) -> pl.BlockSpec:
+    space = pltpu.SMEM if num_prims <= _SMEM_PRIM_LIMIT else pltpu.VMEM
+    return pl.BlockSpec(memory_space=space)
+
 
 # Manual unroll factor for the primitive loops (Mosaic supports only full
 # or no fori unrolling, so we block by hand: fewer loop-carried branches,
@@ -261,7 +272,7 @@ def _build_table(tables: SceneTables) -> jnp.ndarray:
 @functools.lru_cache(maxsize=64)
 def _compiled_call(kp: KernelPlan, iterations: int, eps: float,
                    tile_sublanes: int, num_tiles: int, has_tmax: bool,
-                   fused: bool, interpret: bool):
+                   fused: bool, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
@@ -274,7 +285,7 @@ def _compiled_call(kp: KernelPlan, iterations: int, eps: float,
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=([_tbl_spec(num_prims)]
                   + [ray_spec] * n_ray_inputs),
         out_specs=(ray_spec,) * 5,
         out_shape=(out_shape,) * 5,
@@ -315,7 +326,8 @@ def pallas_march(kp: KernelPlan, iterations: int, eps: float,
     tbl = _build_table(tables)
 
     call = _compiled_call(kp, iterations, eps, tile_sublanes, num_tiles,
-                          tmax is not None, fused, interpret)
+                          tmax is not None, fused,
+                          int(tables.prim_pos.shape[0]), interpret)
     px, py, pz, sd, done = call(tbl, *comps)
 
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
@@ -442,7 +454,7 @@ def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
 def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
                            with_normal: bool, fused: bool,
                            tile_sublanes: int, num_tiles: int,
-                           interpret: bool):
+                           num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
@@ -461,7 +473,7 @@ def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 3,
+        in_specs=[_tbl_spec(num_prims)] + [ray_spec] * 3,
         out_specs=tuple(ray_spec for _ in out_shape),
         out_shape=tuple(out_shape),
         interpret=interpret,
@@ -480,7 +492,8 @@ def pallas_surface_eval(kp: KernelPlan, fd_h: float, tile_sublanes: int,
     comps = [prep(p[:, a]) for a in range(3)]
     tbl = _build_table(tables)
     call = _compiled_surface_call(kp, fd_h, with_color, with_normal, fused,
-                                  tile_sublanes, num_tiles, interpret)
+                                  tile_sublanes, num_tiles,
+                                  int(tables.prim_pos.shape[0]), interpret)
     outs = list(call(tbl, *comps))
     sd = unprep(outs.pop(0))
     cidx = unprep(outs.pop(0)) if with_color else None

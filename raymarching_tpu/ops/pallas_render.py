@@ -33,7 +33,7 @@ from ..config import RenderConfig
 from ..core.march import MAX_STEP
 from ..scene.compile import KernelPlan, ScenePlan, SceneTables
 from .pallas_march import (LANES, _build_table, _scene_sd_idx_tile,
-                           _scene_sd_tile, _tiling)
+                           _scene_sd_tile, _tbl_spec, _tiling)
 
 
 def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
@@ -169,7 +169,7 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           offset_eps: float, saturation: float, fd_h: float,
                           num_lights: int, shadows: bool, fused: bool,
                           tile_sublanes: int, num_tiles: int,
-                          interpret: bool):
+                          num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
@@ -184,7 +184,7 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[smem, smem, smem] + [ray_spec] * 3,
+        in_specs=[_tbl_spec(num_prims), smem, smem] + [ray_spec] * 3,
         out_specs=(ray_spec,) * 8,
         out_shape=(f32, f32, f32, f32, f32, i32, f32, i32),
         interpret=interpret,
@@ -210,7 +210,8 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     call = _compiled_render_call(
         kp, cfg.iterations, cfg.surface_precision, cfg.offset_precision,
         cfg.saturation, cfg.fd_h, int(plan.num_lights), cfg.shadows,
-        cfg.fused_generators, cfg.tile_sublanes, num_tiles, interpret)
+        cfg.fused_generators, cfg.tile_sublanes, num_tiles,
+        int(tables.prim_pos.shape[0]), interpret)
     px, py, pz, sd, done, cidx, light, smask = call(tbl, lights, org, *comps)
 
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
