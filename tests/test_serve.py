@@ -1,0 +1,71 @@
+"""Render server: drive the HTTP surface end-to-end in-process."""
+
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from raymarching_tpu.serve import _make_handler
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler("jnp"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+SCENE = """
+Bounds 60.0
+Camera Position 0 0 8
+Light 5 8 5
+Color 0.9 0.3 0.2
+Sphere 0 0 -4 2
+"""
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        assert r.status == 200
+        assert b'"ok"' in r.read()
+
+
+def test_render_png(server):
+    req = urllib.request.Request(
+        server + "/render?width=32&height=24&iterations=60&ssaa=1",
+        data=SCENE.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "image/png"
+        body = r.read()
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_render_ppm(server):
+    req = urllib.request.Request(
+        server + "/render?width=16&height=8&iterations=40&format=ppm",
+        data=SCENE.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        body = r.read()
+    assert body.startswith(b"P6\n16 8\n255\n")
+    pixels = np.frombuffer(body.split(b"255\n", 1)[1], np.uint8)
+    assert pixels.size == 16 * 8 * 3
+
+
+def test_malformed_scene_400(server):
+    req = urllib.request.Request(server + "/render?width=8&height=8",
+                                 data=b"Sphere 1 2 zzz 4", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope")
+    assert e.value.code == 404
