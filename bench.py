@@ -32,7 +32,9 @@ def main():
     cfg = RenderConfig(width=width, height=height, ssaa=ssaa,
                        iterations=1000, shadows=True,
                        normal_mode="fd", ray_chunk=65536)
-    scene = load_scene("scenes/demo.txt")
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    scene = load_scene(os.path.join(here, "scenes", "demo.txt"))
     plan, tables = compile_scene(scene)
     backend = resolve_backend("auto")
 
