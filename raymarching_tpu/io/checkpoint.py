@@ -18,6 +18,29 @@ import numpy as np
 from ..scene.compile import SceneTables
 
 
+def save_checkpoint_orbax(path: str, tables: SceneTables, *,
+                          step: int = 0) -> None:
+    """Orbax-backed checkpoint (multi-host-safe atomic writes); requires
+    orbax-checkpoint.  For single-host use, ``save_checkpoint`` (npz) is
+    equivalent and dependency-free."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path),
+               {"tables": tables._asdict(), "step": np.asarray(step)},
+               force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str):
+    """-> (tables, step) from an orbax checkpoint."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path))
+    return SceneTables(**state["tables"]), int(state["step"])
+
+
 def save_checkpoint(path: str, tables: SceneTables, *, step: int = 0,
                     extra: Optional[dict] = None) -> None:
     """Atomically write tables (+ scalars in ``extra``) to ``path``."""

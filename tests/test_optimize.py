@@ -62,3 +62,17 @@ def test_fit_resume(tmp_path):
     res = fit(plan, tables0, target, CFG, steps=14, lr=2e-2, backend="jnp",
               trainable=("prim_pos",), checkpoint_path=path, resume=True)
     assert res.steps == 4
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from raymarching_tpu.io.checkpoint import (load_checkpoint_orbax,
+                                               save_checkpoint_orbax)
+
+    _, tables = _world(0.5)
+    path = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(path, tables, step=9)
+    loaded, step = load_checkpoint_orbax(path)
+    assert step == 9
+    np.testing.assert_array_equal(np.asarray(loaded.prim_pos),
+                                  np.asarray(tables.prim_pos))
