@@ -195,18 +195,23 @@ def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
 
 
 def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
-                  has_tmax: bool, fused: bool, *refs):
+                  has_tmax: bool, fused: bool, with_steps: bool, *refs):
     """March one ray tile.  With ``has_tmax`` (shadow rays) the march also
     terminates once the accumulated distance passes the per-ray target —
     EXACT for the shadow boolean (see core.shading.shadowed): any endpoint
     at/beyond the light is 'lit' and the reference march only moves
-    forward."""
+    forward.  ``with_steps`` adds a per-ray iteration counter output
+    (observability; zero cost when off)."""
+    refs = list(refs)
+    steps_ref = refs.pop() if with_steps else None
     if has_tmax:
         (tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
          px_ref, py_ref, pz_ref, sd_ref, done_ref) = refs
     else:
         (tbl_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
          px_ref, py_ref, pz_ref, sd_ref, done_ref) = refs
+    if with_steps:
+        steps_ref[...] = jnp.zeros(ox_ref.shape, jnp.float32)
     dtype = ox_ref.dtype
     px_ref[...] = ox_ref[...]
     py_ref[...] = oy_ref[...]
@@ -229,6 +234,8 @@ def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
         done = done_ref[...]
         sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype, fused=fused)
         active = done < 0.5
+        if with_steps:
+            steps_ref[...] = steps_ref[...] + jnp.where(active, 1.0, 0.0)
         step = jnp.where(active, jnp.minimum(sd, MAX_STEP), 0.0)
         px = px + step * dx_ref[...]
         py = py + step * dy_ref[...]
@@ -272,7 +279,8 @@ def _build_table(tables: SceneTables) -> jnp.ndarray:
 @functools.lru_cache(maxsize=64)
 def _compiled_call(kp: KernelPlan, iterations: int, eps: float,
                    tile_sublanes: int, num_tiles: int, has_tmax: bool,
-                   fused: bool, num_prims: int, interpret: bool):
+                   fused: bool, num_prims: int, with_steps: bool,
+                   interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
@@ -280,15 +288,16 @@ def _compiled_call(kp: KernelPlan, iterations: int, eps: float,
     out_shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
 
     n_ray_inputs = 7 if has_tmax else 6
+    n_outputs = 6 if with_steps else 5
     kernel = functools.partial(_march_kernel, kp, iterations, eps, has_tmax,
-                               fused)
+                               fused, with_steps)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=([_tbl_spec(num_prims)]
                   + [ray_spec] * n_ray_inputs),
-        out_specs=(ray_spec,) * 5,
-        out_shape=(out_shape,) * 5,
+        out_specs=(ray_spec,) * n_outputs,
+        out_shape=(out_shape,) * n_outputs,
         interpret=interpret,
     )
 
@@ -313,9 +322,11 @@ def _tiling(R: int, tile_sublanes: int):
 def pallas_march(kp: KernelPlan, iterations: int, eps: float,
                  tile_sublanes: int, origin: jnp.ndarray, ray: jnp.ndarray,
                  tables: SceneTables, *, tmax=None, fused: bool = False,
-                 interpret: bool = False) -> MarchResult:
+                 with_steps: bool = False,
+                 interpret: bool = False):
     """March a flat batch of rays. origin/ray: [R, 3] -> MarchResult.
-    ``tmax`` [R] (optional): stop rays once they pass this distance."""
+    ``tmax`` [R] (optional): stop rays once they pass this distance.
+    ``with_steps``: also return per-ray iteration counts [R]."""
     R = origin.shape[0]
     num_tiles, prep, unprep = _tiling(R, tile_sublanes)
 
@@ -327,14 +338,22 @@ def pallas_march(kp: KernelPlan, iterations: int, eps: float,
 
     call = _compiled_call(kp, iterations, eps, tile_sublanes, num_tiles,
                           tmax is not None, fused,
-                          int(tables.prim_pos.shape[0]), interpret)
-    px, py, pz, sd, done = call(tbl, *comps)
+                          int(tables.prim_pos.shape[0]), with_steps,
+                          interpret)
+    outs = call(tbl, *comps)
+    if with_steps:
+        px, py, pz, sd, done, steps = outs
+    else:
+        px, py, pz, sd, done = outs
 
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
     sd = unprep(sd)
-    return MarchResult(position=p, sd=sd,
-                       converged=jnp.logical_and(unprep(done) > 0.5,
-                                                 sd < eps))
+    res = MarchResult(position=p, sd=sd,
+                      converged=jnp.logical_and(unprep(done) > 0.5,
+                                                sd < eps))
+    if with_steps:
+        return res, unprep(steps).astype(jnp.int32)
+    return res
 
 
 def _fold_runs_idx(tbl, runs, px, py, pz, carry):

@@ -85,21 +85,34 @@ def march_iteration_stats(converged: np.ndarray,
     return out
 
 
-def profile_march(plan, tables, cfg) -> dict:
+def profile_march(plan, tables, cfg, backend: str = "jnp") -> dict:
     """Render-shaped march profile: convergence + step histogram for the
-    primary rays of ``cfg``'s camera (jnp path; observability only)."""
+    primary rays of ``cfg``'s camera.
+
+    ``backend``: "jnp" (anywhere) or "pallas" (the real kernel's counters,
+    incl. the per-tile early-exit and culling behaviour on hardware)."""
     import jax
+    import jax.numpy as jnp
 
     from ..core import camera as cam
-    from ..core.march import march_profile
-    from ..core.sdf import scene_sd
 
     origin, dirs = cam.generate_rays(tables, cfg)
-    dirs = dirs.reshape(-1, 3)
+    dirs = jnp.reshape(dirs, (-1, 3))
     o = np.broadcast_to(np.asarray(origin), dirs.shape)
 
-    res, steps = jax.jit(lambda oo, dd: march_profile(
-        lambda p: scene_sd(plan, tables, p), oo, dd,
-        cfg.iterations, cfg.surface_precision))(o, dirs)
+    if backend == "pallas":
+        from ..ops.pallas_march import pallas_march
+
+        res, steps = jax.jit(lambda oo, dd, tb: pallas_march(
+            plan.kernel, cfg.iterations, cfg.surface_precision,
+            cfg.tile_sublanes, oo, dd, tb,
+            fused=cfg.fused_generators, with_steps=True))(o, dirs, tables)
+    else:
+        from ..core.march import march_profile
+        from ..core.sdf import scene_sd
+
+        res, steps = jax.jit(lambda oo, dd: march_profile(
+            lambda p: scene_sd(plan, tables, p), oo, dd,
+            cfg.iterations, cfg.surface_precision))(o, dirs)
     return march_iteration_stats(np.asarray(res.converged),
                                  np.asarray(steps))

@@ -114,3 +114,21 @@ def test_depth3_scene_rejected():
     if plan.kernel is None:
         with pytest.raises(ValueError, match="normal form"):
             make_pallas_march(plan, CFG, interpret=True)
+
+
+def test_march_step_counters():
+    """with_steps: per-ray iteration counts from the kernel (interpret)
+    match the jnp profile path."""
+    from raymarching_tpu.core.march import march_profile
+    from raymarching_tpu.ops.pallas_march import pallas_march
+
+    tree = ListNode(Mode.UNION, [bounds(40.0), Sphere((0, 0, -6), 2.0)])
+    plan, tables = compile_tree(tree, [], Camera())
+    o, d = _rays(96, seed=9)
+    res_p, steps_p = pallas_march(plan.kernel, ITER, 1e-3, 8, o, d, tables,
+                                  with_steps=True, interpret=True)
+    res_j, steps_j = march_profile(
+        lambda p: scene_sd(plan, tables, p), o, d, ITER, 1e-3)
+    # kernel tiles may run a few extra MASKED iterations (per-tile exit,
+    # K-step checks) but per-ray ACTIVE step counts are identical
+    np.testing.assert_array_equal(np.asarray(steps_p), np.asarray(steps_j))
