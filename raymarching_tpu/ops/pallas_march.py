@@ -386,6 +386,165 @@ def _fold_runs_idx(tbl, runs, px, py, pz, carry):
     return carry
 
 
+def _prim_sd_grad(ptype: int, tbl, i, px, py, pz):
+    """(sd, dsd/dp) of primitive ``i`` — hand-derived a.e. gradients:
+    sphere: (p-c)/|p-c|; box: sign on the argmax axis (Chebyshev); cross:
+    sign on the MEDIAN axis (sum - min - max selects it)."""
+    cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
+    dx, dy, dz = px - cx, py - cy, pz - cz
+    if ptype == int(PrimType.SPHERE):
+        r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        inv = 1.0 / jnp.maximum(r, jnp.float32(1e-30))
+        return r - tbl[i, 3], dx * inv, dy * inv, dz * inv
+    hx, hy, hz = tbl[i, 3] * 0.5, tbl[i, 4] * 0.5, tbl[i, 5] * 0.5
+    bx = jnp.abs(dx) - hx
+    by = jnp.abs(dy) - hy
+    bz = jnp.abs(dz) - hz
+    sx, sy, sz = jnp.sign(dx), jnp.sign(dy), jnp.sign(dz)
+    mx = jnp.maximum(jnp.maximum(bx, by), bz)
+    if ptype == int(PrimType.BOX):
+        # one-hot on the (first) argmax axis, ties to x then y
+        on_x = bx >= jnp.maximum(by, bz)
+        on_y = jnp.logical_and(jnp.logical_not(on_x), by >= bz)
+        gx = jnp.where(on_x, sx, 0.0)
+        gy = jnp.where(on_y, sy, 0.0)
+        gz = jnp.where(jnp.logical_or(on_x, on_y), 0.0, sz)
+        return mx, gx, gy, gz
+    mn = jnp.minimum(jnp.minimum(bx, by), bz)
+    sd = bx + by + bz - mn - mx
+    # median axis: not the argmax, not the argmin
+    max_x = bx >= jnp.maximum(by, bz)
+    max_y = jnp.logical_and(jnp.logical_not(max_x), by >= bz)
+    min_x = bx <= jnp.minimum(by, bz)
+    min_y = jnp.logical_and(jnp.logical_not(min_x), by <= bz)
+    med_x = jnp.logical_not(jnp.logical_or(max_x, min_x))
+    med_y = jnp.logical_not(jnp.logical_or(
+        jnp.logical_or(max_y, min_y), med_x))
+    med_z = jnp.logical_not(jnp.logical_or(med_x, med_y))
+    gx = jnp.where(med_x, sx, 0.0)
+    gy = jnp.where(med_y, sy, 0.0)
+    gz = jnp.where(med_z, sz, 0.0)
+    return sd, gx, gy, gz
+
+
+def _fold_runs_grad(tbl, runs, px, py, pz, carry):
+    """(min, winner-gradient) fold over runs of scale * prim_sd."""
+    for (ptype, start, count, scale) in runs:
+        def step(i, c, _ptype=ptype, _scale=float(scale)):
+            acc, gx, gy, gz = c
+            sd, ggx, ggy, ggz = _prim_sd_grad(_ptype, tbl, i, px, py, pz)
+            sd = _scale * sd
+            better = sd < acc
+            return (jnp.where(better, sd, acc),
+                    jnp.where(better, _scale * ggx, gx),
+                    jnp.where(better, _scale * ggy, gy),
+                    jnp.where(better, _scale * ggz, gz))
+        if count <= _UNROLL:
+            for i in range(start, start + count):
+                carry = step(i, carry)
+            continue
+        blocks = count // _UNROLL
+
+        def body(k, c, _start=start):
+            i = _start + k * _UNROLL
+            for j in range(_UNROLL):
+                c = step(i + j, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, blocks, body, carry)
+        for i in range(start + blocks * _UNROLL, start + count):
+            carry = step(i, carry)
+    return carry
+
+
+def _menger_carve_grad(tbl, box_idx: int, iters: int, px, py, pz, dtype):
+    """(carve, grad) for the space-folded Menger union: the folds are
+    translations a.e., so the winning cross's gradient passes through."""
+    cx, cy, cz = tbl[box_idx, 0], tbl[box_idx, 1], tbl[box_idx, 2]
+    s = tbl[box_idx, 3]
+    qx, qy, qz = px - cx, py - cy, pz - cz
+    pitch = s / 3.0
+    csize = s / 3.0
+    carve = jnp.full(px.shape, jnp.inf, dtype)
+    gx = jnp.zeros(px.shape, dtype)
+    gy = jnp.zeros(px.shape, dtype)
+    gz = jnp.zeros(px.shape, dtype)
+    for k in range(iters):
+        half = csize * 0.5
+        bx = jnp.abs(qx) - half
+        by = jnp.abs(qy) - half
+        bz = jnp.abs(qz) - half
+        sd = bx + by + bz - jnp.minimum(jnp.minimum(bx, by), bz) \
+            - jnp.maximum(jnp.maximum(bx, by), bz)
+        max_x = bx >= jnp.maximum(by, bz)
+        max_y = jnp.logical_and(jnp.logical_not(max_x), by >= bz)
+        min_x = bx <= jnp.minimum(by, bz)
+        min_y = jnp.logical_and(jnp.logical_not(min_x), by <= bz)
+        med_x = jnp.logical_not(jnp.logical_or(max_x, min_x))
+        med_y = jnp.logical_not(jnp.logical_or(
+            jnp.logical_or(max_y, min_y), med_x))
+        med_z = jnp.logical_not(jnp.logical_or(med_x, med_y))
+        better = sd < carve
+        carve = jnp.where(better, sd, carve)
+        gx = jnp.where(better, jnp.where(med_x, jnp.sign(qx), 0.0), gx)
+        gy = jnp.where(better, jnp.where(med_y, jnp.sign(qy), 0.0), gy)
+        gz = jnp.where(better, jnp.where(med_z, jnp.sign(qz), 0.0), gz)
+        if k + 1 < iters:
+            def fold(q, _p=pitch):
+                cell = jnp.clip(jnp.round(q / _p), -1.0, 1.0)
+                return q - cell * _p
+            qx, qy, qz = fold(qx), fold(qy), fold(qz)
+            pitch = pitch / 3.0
+            csize = csize / 3.0
+    return carve, gx, gy, gz
+
+
+def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
+                        fused=False):
+    """(scene sd, analytic dsd/dp): the winner's gradient through every
+    fold.  One evaluation instead of six FD evaluations — the 'analytic'
+    normal mode of the fused render kernel (the jnp analogue is
+    core.shading.normal_analytic)."""
+    inf = jnp.full(px.shape, jnp.inf, dtype)
+    zero = jnp.zeros(px.shape, dtype)
+    rsign = 1.0 if kp.root_op == MIN else -1.0
+    running, rgx, rgy, rgz = inf, zero, zero, zero
+
+    def root_update(state, gval, ggx, ggy, ggz):
+        running, rgx, rgy, rgz = state
+        v = rsign * gval
+        better = v < running
+        return (jnp.where(better, v, running),
+                jnp.where(better, ggx, rgx),
+                jnp.where(better, ggy, rgy),
+                jnp.where(better, ggz, rgz))
+
+    state = (running, rgx, rgy, rgz)
+    for g in kp.groups:
+        use_fused = fused and g.fused is not None and g.fused[0] == "menger"
+        if use_fused:
+            box_sd, bgx, bgy, bgz = _prim_sd_grad(
+                int(PrimType.BOX), tbl, g.start, px, py, pz)
+            carve, cgx, cgy, cgz = _menger_carve_grad(
+                tbl, g.start, g.fused[1], px, py, pz, dtype)
+            better = box_sd >= -carve    # gval = max(box, -carve)
+            gval = jnp.maximum(box_sd, -carve)
+            ggx = jnp.where(better, bgx, -cgx)
+            ggy = jnp.where(better, bgy, -cgy)
+            ggz = jnp.where(better, bgz, -cgz)
+            state = root_update(state, gval, ggx, ggy, ggz)
+        else:
+            gmin, ggx, ggy, ggz = _fold_runs_grad(
+                tbl, g.runs, px, py, pz, (inf, zero, zero, zero))
+            gs = float(g.gsign)
+            state = root_update(state, gs * gmin, gs * ggx, gs * ggy,
+                                gs * ggz)
+    running, rgx, rgy, rgz = state
+    # sd = rsign * min_i(rsign * gval_i): the rsign factors cancel in the
+    # chain rule, so the winner's stored gval-gradient is returned as-is.
+    return rsign * running, rgx, rgy, rgz
+
+
 def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
     """Scene SDF + winning leaf index, with the same exact per-tile
     base-bound cull as _scene_sd_tile (a culled group provably loses the
@@ -441,10 +600,13 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
 
 
 def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
-                    with_normal: bool, fused: bool, tbl_ref, px_ref, py_ref,
-                    pz_ref, *out_refs):
-    """Point-evaluation kernel: scene SD (+ color index, + central-difference
-    gradient with 6 extra evals, mirroring scene::grad, scene.cpp:70-89)."""
+                    with_normal: bool, fused: bool, analytic: bool,
+                    tbl_ref, px_ref, py_ref, pz_ref, *out_refs):
+    """Point-evaluation kernel: scene SD (+ color index, + gradient).
+
+    Gradient modes: central differences with 6 extra evals (mirroring
+    scene::grad, scene.cpp:70-89 — the parity default) or the hand-derived
+    analytic winner gradient (one eval)."""
     dtype = px_ref.dtype
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     outs = list(out_refs)
@@ -456,7 +618,13 @@ def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
     else:
         sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype, fused=fused)
     sd_ref[...] = sd
-    if with_normal:
+    if with_normal and analytic:
+        _, gx, gy, gz = _scene_sd_grad_tile(kp, tbl_ref, px, py, pz, dtype,
+                                            fused=fused)
+        outs.pop(0)[...] = gx
+        outs.pop(0)[...] = gy
+        outs.pop(0)[...] = gz
+    elif with_normal:
         h = jnp.array(fd_h, dtype)
         ev = lambda a, b, c: _scene_sd_tile(kp, tbl_ref, a, b, c, dtype,
                                             fused=fused)
@@ -471,7 +639,7 @@ def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
-                           with_normal: bool, fused: bool,
+                           with_normal: bool, fused: bool, analytic: bool,
                            tile_sublanes: int, num_tiles: int,
                            num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
@@ -488,7 +656,7 @@ def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
         out_shape += [f32, f32, f32]
 
     kernel = functools.partial(_surface_kernel, kp, fd_h, with_color,
-                               with_normal, fused)
+                               with_normal, fused, analytic)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -502,7 +670,8 @@ def _compiled_surface_call(kp: KernelPlan, fd_h: float, with_color: bool,
 def pallas_surface_eval(kp: KernelPlan, fd_h: float, tile_sublanes: int,
                         p: jnp.ndarray, tables: SceneTables, *,
                         with_color: bool, with_normal: bool,
-                        fused: bool = False, interpret: bool = False):
+                        fused: bool = False, analytic: bool = False,
+                        interpret: bool = False):
     """Evaluate the scene at points p [R, 3].
 
     Returns (sd [R], color_idx [R] or None, grad [R, 3] or None)."""
@@ -511,7 +680,7 @@ def pallas_surface_eval(kp: KernelPlan, fd_h: float, tile_sublanes: int,
     comps = [prep(p[:, a]) for a in range(3)]
     tbl = _build_table(tables)
     call = _compiled_surface_call(kp, fd_h, with_color, with_normal, fused,
-                                  tile_sublanes, num_tiles,
+                                  analytic, tile_sublanes, num_tiles,
                                   int(tables.prim_pos.shape[0]), interpret)
     outs = list(call(tbl, *comps))
     sd = unprep(outs.pop(0))

@@ -101,6 +101,7 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
 def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    offset_eps: float, saturation: float, fd_h: float,
                    num_lights: int, shadows: bool, fused: bool,
+                   analytic: bool,
                    tbl_ref, lights_ref, org_ref, dx_ref, dy_ref, dz_ref,
                    px_ref, py_ref, pz_ref, sd_ref, done_ref, cidx_ref,
                    light_ref, smask_ref):
@@ -122,13 +123,19 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                                  pz - step * dz, dtype, fused=fused)
     cidx_ref[...] = cidx
 
-    # 3. FD normal at the hit point (scene.cpp:70-89)
-    h = jnp.array(fd_h, dtype)
-    ev = lambda a, b, c: _scene_sd_tile(kp, tbl_ref, a, b, c, dtype,
-                                        fused=fused)
-    gx = ev(px + h, py, pz) - ev(px - h, py, pz)
-    gy = ev(px, py + h, pz) - ev(px, py - h, pz)
-    gz = ev(px, py, pz + h) - ev(px, py, pz - h)
+    # 3. normal at the hit point: FD (reference parity, scene.cpp:70-89)
+    # or the hand-derived analytic winner gradient (one eval vs six)
+    if analytic:
+        from .pallas_march import _scene_sd_grad_tile
+        _, gx, gy, gz = _scene_sd_grad_tile(kp, tbl_ref, px, py, pz, dtype,
+                                            fused=fused)
+    else:
+        h = jnp.array(fd_h, dtype)
+        ev = lambda a, b, c: _scene_sd_tile(kp, tbl_ref, a, b, c, dtype,
+                                            fused=fused)
+        gx = ev(px + h, py, pz) - ev(px - h, py, pz)
+        gy = ev(px, py + h, pz) - ev(px, py - h, pz)
+        gz = ev(px, py, pz + h) - ev(px, py, pz - h)
     gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
     inv = 1.0 / jnp.maximum(gn, jnp.finfo(jnp.float32).tiny)
     nx, ny, nz = gx * inv, gy * inv, gz * inv
@@ -168,7 +175,7 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
 def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           offset_eps: float, saturation: float, fd_h: float,
                           num_lights: int, shadows: bool, fused: bool,
-                          tile_sublanes: int, num_tiles: int,
+                          analytic: bool, tile_sublanes: int, num_tiles: int,
                           num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -179,7 +186,7 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
 
     kernel = functools.partial(_render_kernel, kp, iterations, eps,
                                offset_eps, saturation, fd_h, num_lights,
-                               shadows, fused)
+                               shadows, fused, analytic)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
@@ -210,7 +217,8 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     call = _compiled_render_call(
         kp, cfg.iterations, cfg.surface_precision, cfg.offset_precision,
         cfg.saturation, cfg.fd_h, int(plan.num_lights), cfg.shadows,
-        cfg.fused_generators, cfg.tile_sublanes, num_tiles,
+        cfg.fused_generators, cfg.normal_mode == "analytic",
+        cfg.tile_sublanes, num_tiles,
         int(tables.prim_pos.shape[0]), interpret)
     px, py, pz, sd, done, cidx, light, smask = call(tbl, lights, org, *comps)
 

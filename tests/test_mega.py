@@ -92,3 +92,38 @@ def test_mega_depth3_falls_back():
     m = np.asarray(render_tables(plan, tables, cfg, backend="mega"))
     r = np.asarray(render_tables(plan, tables, cfg, backend="ref"))
     np.testing.assert_allclose(m, r, atol=5e-4)
+
+
+def test_mega_analytic_normals():
+    """normal_mode='analytic' in the mega kernel: hand-derived winner
+    gradients vs the jnp autodiff analytic normal."""
+    plan, tables = _world()
+    cfg = CFG.replace(normal_mode="analytic", ssaa=1)
+    m = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                 interpret=True))
+    # jnp backend with analytic normals = autodiff gradient of the same field
+    r = np.asarray(render_tables(plan, tables, cfg, backend="jnp"))
+    diff = np.abs(m - r).max(axis=-1)
+    assert (diff < 5e-3).mean() > 0.99, f"bad pixels {(diff>=5e-3).sum()}"
+    assert np.median(diff) < 1e-4
+
+
+def test_mega_analytic_normals_fused_menger():
+    from raymarching_tpu.scene.generators import menger_sponge
+
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        menger_sponge((0.0, 0.0, -8.0), 6.0, 2, color=(0.9, 0.9, 0.8)),
+    ])
+    plan, tables = compile_tree(tree, [Light((6.0, 10.0, 4.0))],
+                                Camera(position=(0, 1, 4), fov=60.0))
+    cfg = CFG.replace(normal_mode="analytic", ssaa=1, fused_generators=True)
+    a = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                 interpret=True))
+    b = np.asarray(render_tables(plan, tables,
+                                 cfg.replace(normal_mode="fd"),
+                                 backend="mega", interpret=True))
+    # analytic vs FD normals agree except at kinks/edges
+    diff = np.abs(a - b).max(axis=-1)
+    assert (diff < 1e-2).mean() > 0.95
+    assert np.median(diff) < 1e-3
