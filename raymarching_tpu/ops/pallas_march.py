@@ -151,6 +151,60 @@ def _menger_carve(tbl, box_idx: int, iters: int, px, py, pz, dtype):
     return carve
 
 
+class _TableView:
+    """Table wrapper with pre-read scalars for statically-indexed
+    primitives.  Constructed BEFORE a march loop, so the (loop-invariant)
+    scalar loads are traced outside the loop body and read once per tile
+    instead of once per step; dynamically-indexed (fori) reads pass
+    through to the underlying ref."""
+
+    def __init__(self, tbl, cache):
+        self._tbl = tbl
+        self._cache = cache
+
+    def __getitem__(self, key):
+        i, j = key
+        if isinstance(i, (int, np.integer)):   # fori indices are tracers
+            v = self._cache.get((int(i), j))
+            if v is not None:
+                return v
+        return self._tbl[key]
+
+
+# Preload at most this many scalars (register/SMEM pressure guard).
+_PRELOAD_LIMIT = 256
+
+
+def preload_table(kp: KernelPlan, tbl, fused: bool):
+    """Build a _TableView caching every scalar the fold will read through a
+    STATIC index (unrolled runs, fori leftovers, fused generator bases)."""
+    cache = {}
+
+    def load(i, js):
+        for j in js:
+            if (i, j) not in cache:
+                cache[(i, j)] = tbl[i, j]
+
+    for g in kp.groups:
+        use_fused = fused and g.fused is not None and g.fused[0] == "menger"
+        for (ptype, start, count, scale) in g.runs:
+            if use_fused and scale == 1:
+                continue               # replaced by the folded carve
+            js = range(4) if ptype == int(PrimType.SPHERE) else range(6)
+            if count <= _UNROLL:
+                idxs = range(start, start + count)
+            else:
+                blocks = count // _UNROLL
+                idxs = range(start + blocks * _UNROLL, start + count)
+            for i in idxs:
+                load(i, js)
+        if use_fused:
+            load(g.start, range(4))    # folded carve reads pos + size.x
+    if len(cache) > _PRELOAD_LIMIT:
+        return tbl
+    return _TableView(tbl, cache)
+
+
 def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
     """Scene SDF for a tile: static unroll over groups/runs, fori over
     primitives within a run, all reductions as running minima in registers.
@@ -213,6 +267,8 @@ def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
     if with_steps:
         steps_ref[...] = jnp.zeros(ox_ref.shape, jnp.float32)
     dtype = ox_ref.dtype
+    # hoist loop-invariant scalar loads out of the march loop
+    tbl_ref = preload_table(kp, tbl_ref, fused)
     px_ref[...] = ox_ref[...]
     py_ref[...] = oy_ref[...]
     pz_ref[...] = oz_ref[...]

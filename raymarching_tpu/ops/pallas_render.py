@@ -33,7 +33,8 @@ from ..config import RenderConfig
 from ..core.march import MAX_STEP
 from ..scene.compile import KernelPlan, ScenePlan, SceneTables
 from .pallas_march import (LANES, _build_table, _scene_sd_idx_tile,
-                           _scene_sd_tile, _tbl_spec, _tiling)
+                           _scene_sd_tile, _tbl_spec, _tiling,
+                           preload_table)
 
 
 def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
@@ -106,6 +107,8 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    px_ref, py_ref, pz_ref, sd_ref, done_ref, cidx_ref,
                    light_ref, smask_ref):
     dtype = dx_ref.dtype
+    # hoist loop-invariant scalar loads out of every march/eval below
+    tbl_ref = preload_table(kp, tbl_ref, fused)
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     ox = jnp.full(dx.shape, org_ref[0], dtype)
     oy = jnp.full(dx.shape, org_ref[1], dtype)
