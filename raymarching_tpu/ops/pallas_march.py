@@ -174,6 +174,12 @@ class _TableView:
 # Preload at most this many scalars (register/SMEM pressure guard).
 _PRELOAD_LIMIT = 256
 
+# Apply the per-tile cull to fused generator groups: OFF — the folded
+# carve is only ~30 vector ops, and the cull's all-lanes reduce + lax.cond
+# measures 14% SLOWER than just evaluating it (the cull stays essential
+# for exact-table groups, where it skips 400+ primitive folds).
+_CULL_FUSED = False
+
 
 def preload_table(kp: KernelPlan, tbl, fused: bool):
     """Build a _TableView caching every scalar the fold will read through a
@@ -224,8 +230,15 @@ def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
         pos_runs = [r for r in g.runs if r[3] == 1]
         use_fused = fused and g.fused is not None and g.fused[0] == "menger"
         cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
-                    and (g.count >= _CULL_MIN_GROUP or use_fused))
-        if cullable:
+                    and (g.count >= _CULL_MIN_GROUP or use_fused)
+                    and (_CULL_FUSED or not use_fused))
+        if use_fused and not cullable:
+            gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
+            carve = _menger_carve(tbl, g.start, g.fused[1], px, py, pz,
+                                  dtype)
+            running = jnp.minimum(running,
+                                  rsign * -jnp.minimum(gmin_base, carve))
+        elif cullable:
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
             lb = -gmin_base          # = max over base sd <= group value
 
@@ -622,8 +635,16 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
         neg_runs = [r for r in g.runs if r[3] == -1]
         use_fused = fused and g.fused is not None and g.fused[0] == "menger"
         cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
-                    and (g.count >= _CULL_MIN_GROUP or use_fused))
-        if cullable:
+                    and (g.count >= _CULL_MIN_GROUP or use_fused)
+                    and (_CULL_FUSED or not use_fused))
+        if use_fused and not cullable:
+            gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
+            carve = _menger_carve(tbl, g.start, g.fused[1], px, py, pz,
+                                  dtype)
+            running, ridx = root_update(
+                running, ridx, -jnp.minimum(gmin_base, carve),
+                jnp.full(px.shape, g.start, jnp.int32))
+        elif cullable:
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
             lb = -gmin_base
 
