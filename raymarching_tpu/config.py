@@ -56,10 +56,10 @@ class RenderConfig:
     backend: str = "auto"
 
     # Rays per Pallas program instance: (tile_sublanes, 128) grid tiles.
-    # 16 benchmarks ~14% faster than 8 on the demo scene (fewer grid
-    # steps amortize per-tile latencies; early-exit granularity suffers
-    # only marginally on coherent tiles).
-    tile_sublanes: int = 16
+    # Swept on the demo scene: 8 -> 16 (+14%) -> 32 (+3%), 64 flat —
+    # fewer grid steps amortize per-tile latencies; early-exit granularity
+    # suffers only marginally on coherent tiles.
+    tile_sublanes: int = 32
 
     # Process rays in chunks of this many (0 = whole frame at once) to bound
     # the [rays, primitives] working set in HBM on the jnp path.
