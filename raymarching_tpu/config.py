@@ -56,10 +56,12 @@ class RenderConfig:
     backend: str = "auto"
 
     # Rays per Pallas program instance: (tile_sublanes, 128) grid tiles.
-    # Swept on the demo scene: 8 -> 16 (+14%) -> 32 (+3%), 64 flat —
-    # fewer grid steps amortize per-tile latencies; early-exit granularity
-    # suffers only marginally on coherent tiles.
-    tile_sublanes: int = 32
+    # Swept on the demo scene: fused mode prefers 32 (+3% over 16), but
+    # the exact-table path prefers 16 strongly (bigger tiles blunt the
+    # early exit when every extra step folds 400+ primitives: config5
+    # 1.89s at 16 vs 2.46s at 32).  16 is the balanced default; override
+    # per workload if needed.
+    tile_sublanes: int = 16
 
     # Process rays in chunks of this many (0 = whole frame at once) to bound
     # the [rays, primitives] working set in HBM on the jnp path.
