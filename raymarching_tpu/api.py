@@ -50,13 +50,14 @@ def resolve_backend(backend: str) -> str:
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _normal_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                p, tables):
-    """FD scene gradient: Pallas forward, jnp-rematerialized backward."""
+    """Scene gradient (FD stencil or analytic winner gradient, per
+    cfg.normal_mode): Pallas forward, jnp-rematerialized backward."""
     from .ops.pallas_march import pallas_surface_eval
 
     _, _, g = pallas_surface_eval(
         plan.kernel, cfg.fd_h, cfg.tile_sublanes, p.reshape(-1, 3), tables,
         with_color=False, with_normal=True, fused=cfg.fused_generators,
-        interpret=interpret)
+        analytic=cfg.normal_mode == "analytic", interpret=interpret)
     return g.reshape(p.shape)
 
 
@@ -67,17 +68,21 @@ def _normal_fwd(plan, cfg, interpret, p, tables):
 def _normal_bwd(plan, cfg, interpret, residuals, g_bar):
     p, tables = residuals
     # Differentiate the SAME field the forward kernel evaluated: folded
-    # generators when fused mode is on (also ~60x cheaper to transpose).
+    # generators when fused mode is on (also ~60x cheaper to transpose),
+    # and the SAME estimator (the analytic winner gradient is reverse-mode
+    # through the sd field a.e., so jax.grad of sd reproduces it).
     from .core.sdf import scene_sd_fused
 
-    def fd(p_, tables_):
+    def estimator(p_, tables_):
         if cfg.fused_generators:
             sd_fn = lambda q: scene_sd_fused(plan, tables_, q)
         else:
             sd_fn = lambda q: scene_sd(plan, tables_, q)
+        if cfg.normal_mode == "analytic":
+            return shading.normal_analytic(sd_fn, p_)
         return shading.normal_fd(sd_fn, p_, cfg.fd_h)
 
-    _, vjp = jax.vjp(fd, p, tables)
+    _, vjp = jax.vjp(estimator, p, tables)
     return vjp(g_bar)
 
 
@@ -146,11 +151,11 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
     def normal_fn(p):
         return _normal_op(plan, cfg, interpret, p, tables)
 
-    hooks = {"march_fn": march_fn, "shadow_fn": shadow_fn,
-             "surface_fn": surface_fn}
-    if cfg.normal_mode == "fd":
-        hooks["normal_fn"] = normal_fn
-    return hooks
+    # Both normal modes route through the Pallas surface kernel (FD stencil
+    # or in-kernel analytic winner gradient) — never the jnp scene_sd,
+    # whose [rays, prims] leaf matrix the kernel path exists to avoid.
+    return {"march_fn": march_fn, "shadow_fn": shadow_fn,
+            "surface_fn": surface_fn, "normal_fn": normal_fn}
 
 
 def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,

@@ -262,7 +262,13 @@ def _replay_shade(plan, cfg, tables, p, cidx, smask):
         (cidx >= 0)[..., None],
         jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)], 0.0)
 
-    g = sh.normal_fd(sd_one, p, cfg.fd_h)
+    # Differentiate the SAME normal estimator the forward kernel evaluated
+    # (the analytic winner gradient == reverse-mode through the sd field
+    # a.e., so jax.vjp of sd reproduces it; FD replays the 6-eval stencil).
+    if cfg.normal_mode == "analytic":
+        g = sh.normal_analytic(sd_one, p)
+    else:
+        g = sh.normal_fd(sd_one, p, cfg.fd_h)
     n = sh.normalize(g)
 
     total = jnp.zeros(p.shape[:-1], p.dtype)

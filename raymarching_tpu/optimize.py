@@ -60,11 +60,14 @@ def fit(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
     target = jnp.asarray(target, jnp.float32)
 
     start_step = 0
+    restored_opt_state = None
     if resume and checkpoint_path:
         import os
         if os.path.exists(checkpoint_path):
-            tables, start_step, _ = load_checkpoint(checkpoint_path)
+            tables, start_step, extra = load_checkpoint(checkpoint_path)
             tables = jax.tree_util.tree_map(jnp.asarray, tables)
+            restored_opt_state = _opt_state_from_extra(
+                opt.init(tables), extra)
 
     if mesh is not None:
         from .parallel.sharded import mse_loss
@@ -84,7 +87,13 @@ def fit(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
         updates, opt_state = opt.update(grads, opt_state, t)
         return loss, optax.apply_updates(t, updates), opt_state
 
-    opt_state = opt.init(tables)
+    opt_state = (restored_opt_state if restored_opt_state is not None
+                 else opt.init(tables))
+
+    def _save(step):
+        save_checkpoint(checkpoint_path, jax.device_get(tables), step=step,
+                        extra=_opt_state_to_extra(jax.device_get(opt_state)))
+
     losses = []
     for step in range(start_step, steps):
         loss, tables, opt_state = step_fn(tables, opt_state)
@@ -92,8 +101,33 @@ def fit(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
         if callback is not None:
             callback(step, losses[-1], tables)
         if checkpoint_path and (step + 1) % checkpoint_every == 0:
-            save_checkpoint(checkpoint_path, jax.device_get(tables),
-                            step=step + 1)
+            _save(step + 1)
     if checkpoint_path:
-        save_checkpoint(checkpoint_path, jax.device_get(tables), step=steps)
+        _save(steps)
     return FitResult(tables=tables, losses=losses, steps=steps - start_step)
+
+
+def _opt_state_to_extra(opt_state) -> dict:
+    """Flatten an optax state pytree into the checkpoint ``extra`` dict
+    (leaves keyed by flattening order; structure is rebuilt from a fresh
+    ``opt.init`` on restore, so only leaf values need persisting)."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    return {f"opt_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+
+
+def _opt_state_from_extra(template_state, extra: dict):
+    """Rebuild optimizer state from checkpointed leaves; returns None (fresh
+    init) when the checkpoint predates opt-state saving or the optimizer's
+    structure changed (different leaf count/shape)."""
+    keys = sorted((k for k in extra if k.startswith("opt_")),
+                  key=lambda k: int(k[4:]))
+    if not keys:
+        return None
+    leaves, treedef = jax.tree_util.tree_flatten(template_state)
+    saved = [extra[k] for k in keys]
+    if len(saved) != len(leaves) or any(
+            np.shape(s) != np.shape(l) for s, l in zip(saved, leaves)):
+        return None
+    saved = [jnp.asarray(s, jnp.asarray(l).dtype)
+             for s, l in zip(saved, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, saved)

@@ -25,6 +25,17 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+# Resource guards: one request may not demand an arbitrarily large compile
+# or working set (each novel resolution tuple triggers a fresh jit compile,
+# and the frame buffer is rays x state).  Out-of-range asks get a 422;
+# oversized scene bodies a 413.
+MAX_WIDTH = 4096
+MAX_HEIGHT = 4096
+MAX_SSAA = 4
+MAX_ITERATIONS = 10_000
+MAX_BODY_BYTES = 1 << 20          # 1 MiB of scene text (~25k lines)
+DEFAULT_RAY_CHUNK = 65536
+
 
 def _make_handler(backend: str):
     from .api import render_tables_jit, resolve_backend
@@ -64,17 +75,30 @@ def _make_handler(backend: str):
             q = dict(urllib.parse.parse_qsl(url.query))
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._json(413, {"error": "scene body too large "
+                                              f"(max {MAX_BODY_BYTES} B)"})
+                    return
                 text = self.rfile.read(length).decode()
+                limits = [("width", int(q.get("width", 512)), 1, MAX_WIDTH),
+                          ("height", int(q.get("height", 384)), 1,
+                           MAX_HEIGHT),
+                          ("ssaa", int(q.get("ssaa", 1)), 1, MAX_SSAA),
+                          ("iterations", int(q.get("iterations", 1000)), 1,
+                           MAX_ITERATIONS)]
+                for name, val, lo, hi in limits:
+                    if not lo <= val <= hi:
+                        self._json(422, {"error": f"{name}={val} out of "
+                                                  f"range [{lo}, {hi}]"})
+                        return
                 scene = parse_scene(text)
                 plan, tables = compile_scene(scene)
                 cfg = RenderConfig(
-                    width=int(q.get("width", 512)),
-                    height=int(q.get("height", 384)),
-                    ssaa=int(q.get("ssaa", 1)),
-                    iterations=int(q.get("iterations", 1000)),
+                    width=limits[0][1], height=limits[1][1],
+                    ssaa=limits[2][1], iterations=limits[3][1],
                     gamma=float(q.get("gamma", 1.0)),
                     shadows=q.get("shadows", "1") != "0",
-                    normal_mode="fd")
+                    normal_mode="fd", ray_chunk=DEFAULT_RAY_CHUNK)
                 img = np.asarray(render_tables_jit(plan, tables, cfg,
                                                    resolved))
                 data = to_uint8(img, cfg.gamma)

@@ -108,6 +108,43 @@ def test_mega_analytic_normals():
     assert np.median(diff) < 1e-4
 
 
+def test_mega_analytic_gradients_match_jnp():
+    """Backward replay must differentiate the SAME normal estimator the
+    forward evaluated: in analytic mode the replay uses normal_analytic
+    (reverse-mode of the sd field == the kernel's winner gradient a.e.)."""
+    plan, tables = _world()
+    cfg = CFG.replace(normal_mode="analytic", ssaa=1)
+
+    def loss(t, backend, interpret=False):
+        img = render_tables(plan, t, cfg, backend=backend,
+                            interpret=interpret, differentiable=True)
+        return jnp.mean(img * img)
+
+    gm = jax.grad(lambda t: loss(t, "mega", True))(tables)
+    gj = jax.grad(lambda t: loss(t, "jnp"))(tables)
+    for field in ("prim_pos", "prim_aux", "prim_color", "light_pos"):
+        a = np.asarray(getattr(gm, field), np.float64)
+        b = np.asarray(getattr(gj, field), np.float64)
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, b, rtol=0.02, atol=0.005 * scale,
+            err_msg=f"analytic-mode mega gradient mismatch in {field}")
+
+
+def test_pallas_analytic_normal_routed_through_kernel():
+    """The pallas backend's analytic normals go through the surface kernel
+    (winner gradient), not a jnp scene_sd fallback — values must agree with
+    the jnp backend's autodiff normal of the same field."""
+    plan, tables = _world()
+    cfg = CFG.replace(normal_mode="analytic", ssaa=1)
+    p = np.asarray(render_tables(plan, tables, cfg, backend="pallas",
+                                 interpret=True))
+    r = np.asarray(render_tables(plan, tables, cfg, backend="jnp"))
+    diff = np.abs(p - r).max(axis=-1)
+    assert (diff < 5e-3).mean() > 0.99, f"bad pixels {(diff>=5e-3).sum()}"
+    assert np.median(diff) < 1e-4
+
+
 def test_mega_analytic_normals_fused_menger():
     from raymarching_tpu.scene.generators import menger_sponge
 

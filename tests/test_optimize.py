@@ -64,6 +64,27 @@ def test_fit_resume(tmp_path):
     assert res.steps == 4
 
 
+def test_fit_resume_restores_optimizer_state(tmp_path):
+    """Resuming an Adam run must continue the SAME optimization trajectory:
+    a 6+6-step run with a checkpoint/restart in the middle lands on the
+    same parameters as an uninterrupted 12-step run."""
+    plan, tables0 = _world(0.0)
+    _, tables_target = _world(0.3)
+    target = render_tables(plan, tables_target, CFG, backend="jnp")
+    path = str(tmp_path / "fit.npz")
+
+    full = fit(plan, tables0, target, CFG, steps=12, lr=2e-2, backend="jnp",
+               trainable=("prim_pos",))
+    fit(plan, tables0, target, CFG, steps=6, lr=2e-2, backend="jnp",
+        trainable=("prim_pos",), checkpoint_path=path, checkpoint_every=100)
+    resumed = fit(plan, tables0, target, CFG, steps=12, lr=2e-2,
+                  backend="jnp", trainable=("prim_pos",),
+                  checkpoint_path=path, resume=True)
+    np.testing.assert_allclose(np.asarray(resumed.tables.prim_pos),
+                               np.asarray(full.tables.prim_pos),
+                               rtol=0, atol=1e-6)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     from raymarching_tpu.io.checkpoint import (load_checkpoint_orbax,

@@ -69,3 +69,27 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server + "/nope")
     assert e.value.code == 404
+
+
+@pytest.mark.parametrize("query", [
+    "width=100000&height=8",          # width over cap
+    "width=8&height=8&ssaa=9",        # ssaa over cap
+    "width=8&height=8&iterations=0",  # iterations under floor
+    "width=-2&height=8",              # negative
+])
+def test_oversized_request_422(server, query):
+    req = urllib.request.Request(server + "/render?" + query,
+                                 data=SCENE.encode(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 422
+
+
+def test_huge_body_413(server):
+    from raymarching_tpu.serve import MAX_BODY_BYTES
+    req = urllib.request.Request(server + "/render?width=8&height=8",
+                                 data=b"#" * (MAX_BODY_BYTES + 1),
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 413
