@@ -65,15 +65,20 @@ def main():
         dt = time.perf_counter() - t0
         rays = cfg.rays_per_image
 
-        # allclose gate vs the oracle at reduced resolution.  Isolated
-        # pixels on shadow/occlusion edges can flip from last-ulp f32
-        # differences between compiled backends, so the gate is
-        # "99.5% of pixels within 5e-3" (same contract as the test suite),
-        # with the median reported for the bulk.
-        small = cfg.replace(width=max(cfg.width // 8, 16),
-                            height=max(cfg.height // 8, 16))
-        a = np.asarray(render_tables(plan, tables, small, backend=backend))
-        b = np.asarray(render_tables(plan, tables, small, backend="ref"))
+        # allclose gate AT THE BENCHMARKED RESOLUTION, against the jnp
+        # path: an independent implementation of the same exact-table
+        # semantics (XLA while-march + scene_sd — none of the Pallas kernel
+        # code), cheap enough to run at full resolution.  jnp==ref
+        # equivalence is itself covered by the CI suite, so transitively
+        # this anchors the published number to the oracle.  Isolated pixels
+        # on shadow/occlusion edges can flip from last-ulp f32 differences
+        # between compiled backends, so the gate is "99.5% of pixels within
+        # 5e-3" (same contract as the test suite), with the median reported
+        # for the bulk.
+        a = img
+        gate_backend = "jnp" if backend != "jnp" else "ref"
+        b = np.asarray(render_tables(plan, tables, cfg,
+                                     backend=gate_backend))
         diff = np.abs(a - b).max(axis=-1)
         frac = float((diff < 5e-3).mean())
         gate = "OK" if frac > 0.995 else f"FAIL ({frac:.4f} within tol)"

@@ -170,23 +170,25 @@ def render_sharded_gspmd(plan: ScenePlan, tables: SceneTables,
 
 def mse_loss(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
              cfg: RenderConfig, mesh: Mesh,
-             backend: str = "ref") -> jnp.ndarray:
+             backend: str = "ref", interpret: bool = False) -> jnp.ndarray:
     img = render_sharded(plan, tables, cfg, mesh, differentiable=True,
-                         backend=backend)
+                         backend=backend, interpret=interpret)
     return jnp.mean((img - target) ** 2)
 
 
 def train_step(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
                cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2,
-               backend: str = "ref"):
+               backend: str = "ref", interpret: bool = False):
     """One SGD step on the scene parameters against a target image.
 
     Returns (loss, updated tables).  Differentiating through
     ``render_sharded`` transposes the shard_map: per-device partial
     gradients of the replicated tables are psum-reduced over ICI.
+    ``interpret`` runs the Pallas kernels in interpret mode (CPU meshes).
     """
     loss, grads = jax.value_and_grad(
-        lambda t: mse_loss(plan, t, target, cfg, mesh, backend))(tables)
+        lambda t: mse_loss(plan, t, target, cfg, mesh, backend,
+                           interpret))(tables)
     new_tables = jax.tree_util.tree_map(lambda t, g: t - lr * g,
                                         tables, grads)
     return loss, new_tables
