@@ -86,9 +86,11 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         iterations=cfg.iterations, surface_eps=cfg.surface_precision,
         offset_eps=cfg.offset_precision, saturation=cfg.saturation,
         shadows=cfg.shadows, early_exit=cfg.early_exit and not differentiable,
-        shadow_fn=shadow_fn)
+        shadow_fn=shadow_fn,
+        light_colors=(tables.light_color if plan.colored_lights else None))
 
-    return light[..., None] * color
+    light = light if plan.colored_lights else light[..., None]
+    return light * color
 
 
 def render_image(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,

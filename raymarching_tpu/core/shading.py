@@ -87,14 +87,23 @@ def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
              p: jnp.ndarray, n: jnp.ndarray, *, iterations: int,
              surface_eps: float, offset_eps: float, saturation: float,
              shadows: bool = True, early_exit: bool = True,
-             shadow_fn: Callable = None) -> jnp.ndarray:
+             shadow_fn: Callable = None,
+             light_colors: jnp.ndarray = None) -> jnp.ndarray:
     """Total Lambertian lighting in [saturation, 1]. p, n: [..., 3] -> [...].
 
     ``light_positions``: [L, 3]; L is static and small, so the loop over
     lights is a Python loop (fully unrolled under jit), exactly mirroring the
     reference's per-light loop (scene.cpp:55-61).
+
+    ``light_colors`` [L, 3] (scene-format extension — the reference parses
+    per-light color but never sets it, scene.cpp:154-158): when given, each
+    light's Lambert term is weighted per channel and the clamp applies per
+    channel; returns [..., 3].  With all-white lights this is exactly the
+    scalar path broadcast, so reference scenes are bit-identical either way.
     """
-    total = jnp.zeros(p.shape[:-1], p.dtype)
+    colored = light_colors is not None
+    shape = p.shape if colored else p.shape[:-1]
+    total = jnp.zeros(shape, p.dtype)
     for l in range(light_positions.shape[0]):
         lp = light_positions[l]
         lambert = jnp.sum(n * normalize(lp - p), axis=-1)
@@ -110,5 +119,8 @@ def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
             # and the mask is one byte per ray.
             mask = checkpoint_name(mask, "march")
             lambert = jnp.where(mask, 0.0, lambert)
-        total = total + lambert
+        if colored:
+            total = total + lambert[..., None] * light_colors[l]
+        else:
+            total = total + lambert
     return jnp.clip(total, saturation, 1.0)

@@ -102,10 +102,15 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
 def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    offset_eps: float, saturation: float, fd_h: float,
                    num_lights: int, shadows: bool, fused: bool,
-                   analytic: bool,
+                   analytic: bool, colored: bool,
                    tbl_ref, lights_ref, org_ref, dx_ref, dy_ref, dz_ref,
-                   px_ref, py_ref, pz_ref, sd_ref, done_ref, cidx_ref,
-                   light_ref, smask_ref):
+                   *out_refs):
+    if colored:
+        (px_ref, py_ref, pz_ref, sd_ref, done_ref, cidx_ref,
+         lr_ref, lg_ref, lb_ref, smask_ref) = out_refs
+    else:
+        (px_ref, py_ref, pz_ref, sd_ref, done_ref, cidx_ref,
+         light_ref, smask_ref) = out_refs
     dtype = dx_ref.dtype
     # hoist loop-invariant scalar loads out of every march/eval below
     tbl_ref = preload_table(kp, tbl_ref, fused)
@@ -145,8 +150,11 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
 
     # 4. multi-light Lambert with boolean shadows (scene.cpp:45-62).
     # Per-light shadow booleans also go out as a bitmask so the backward
-    # replay can reconstruct the clamp/masking exactly.
-    total = jnp.zeros(dx.shape, dtype)
+    # replay can reconstruct the clamp/masking exactly.  ``colored``
+    # (LightColor scene extension) accumulates per channel — bit-identical
+    # to the scalar path when every light is white, hence compiled only
+    # when the scene actually uses it.
+    total = [jnp.zeros(dx.shape, dtype) for _ in range(3 if colored else 1)]
     smask = jnp.zeros(dx.shape, jnp.int32)
     for li in range(num_lights):
         lx = jnp.asarray(lights_ref[li, 0], dtype)
@@ -169,8 +177,18 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
             smask = jnp.where(passed, smask,
                               jnp.bitwise_or(smask, 1 << li))
             lambert = jnp.where(passed, lambert, 0.0)
-        total = total + lambert
-    light_ref[...] = jnp.clip(total, saturation, 1.0)
+        if colored:
+            for c in range(3):
+                total[c] = total[c] + lambert * jnp.asarray(
+                    lights_ref[li, 4 + c], dtype)
+        else:
+            total[0] = total[0] + lambert
+    if colored:
+        lr_ref[...] = jnp.clip(total[0], saturation, 1.0)
+        lg_ref[...] = jnp.clip(total[1], saturation, 1.0)
+        lb_ref[...] = jnp.clip(total[2], saturation, 1.0)
+    else:
+        light_ref[...] = jnp.clip(total[0], saturation, 1.0)
     smask_ref[...] = smask
 
 
@@ -178,8 +196,8 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
 def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           offset_eps: float, saturation: float, fd_h: float,
                           num_lights: int, shadows: bool, fused: bool,
-                          analytic: bool, tile_sublanes: int, num_tiles: int,
-                          num_prims: int, interpret: bool):
+                          analytic: bool, colored: bool, tile_sublanes: int,
+                          num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
@@ -189,14 +207,16 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
 
     kernel = functools.partial(_render_kernel, kp, iterations, eps,
                                offset_eps, saturation, fd_h, num_lights,
-                               shadows, fused, analytic)
+                               shadows, fused, analytic, colored)
+    light_outs = (f32, f32, f32) if colored else (f32,)
+    out_shape = (f32, f32, f32, f32, f32, i32) + light_outs + (i32,)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[_tbl_spec(num_prims), smem, smem] + [ray_spec] * 3,
-        out_specs=(ray_spec,) * 8,
-        out_shape=(f32, f32, f32, f32, f32, i32, f32, i32),
+        out_specs=(ray_spec,) * len(out_shape),
+        out_shape=out_shape,
         interpret=interpret,
     )
 
@@ -208,28 +228,38 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     (p_hit [R,3], sd [R], converged [R], cidx [R], light [R], smask [R])."""
     kp = plan.kernel
     assert kp is not None
+    colored = plan.colored_lights
     R = dirs.shape[0]
     num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
     comps = [prep(dirs[:, a]) for a in range(3)]
     tbl = _build_table(tables)
+    # [L, 8] SMEM rows: position xyz, pad, color rgb, pad.
+    L = tables.light_pos.shape[0]
     lights = jnp.concatenate(
-        [jnp.asarray(tables.light_pos),
-         jnp.zeros((tables.light_pos.shape[0], 1), jnp.float32)], axis=1)
+        [jnp.asarray(tables.light_pos), jnp.zeros((L, 1), jnp.float32),
+         jnp.asarray(tables.light_color), jnp.zeros((L, 1), jnp.float32)],
+        axis=1)
     org = jnp.asarray(origin, jnp.float32).reshape(3)
 
     call = _compiled_render_call(
         kp, cfg.iterations, cfg.surface_precision, cfg.offset_precision,
         cfg.saturation, cfg.fd_h, int(plan.num_lights), cfg.shadows,
-        cfg.fused_generators, cfg.normal_mode == "analytic",
+        cfg.fused_generators, cfg.normal_mode == "analytic", colored,
         cfg.tile_sublanes, num_tiles,
         int(tables.prim_pos.shape[0]), interpret)
-    px, py, pz, sd, done, cidx, light, smask = call(tbl, lights, org, *comps)
+    outs = call(tbl, lights, org, *comps)
+    if colored:
+        px, py, pz, sd, done, cidx, lr, lg, lb, smask = outs
+        light = jnp.stack([unprep(lr), unprep(lg), unprep(lb)], axis=-1)
+    else:
+        px, py, pz, sd, done, cidx, light, smask = outs
+        light = unprep(light)
 
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
     sd = unprep(sd)
     return (p, sd,
             jnp.logical_and(unprep(done) > 0.5, sd < cfg.surface_precision),
-            unprep(cidx), unprep(light), unprep(smask))
+            unprep(cidx), light, unprep(smask))
 
 
 # ---------------------------------------------------------------------------
@@ -271,14 +301,21 @@ def _replay_shade(plan, cfg, tables, p, cidx, smask):
         g = sh.normal_fd(sd_one, p, cfg.fd_h)
     n = sh.normalize(g)
 
-    total = jnp.zeros(p.shape[:-1], p.dtype)
+    colored = plan.colored_lights
+    total = jnp.zeros(p.shape if colored else p.shape[:-1], p.dtype)
     for li in range(int(plan.num_lights)):
         lp = jnp.asarray(tables.light_pos)[li]
         lambert = jnp.sum(n * sh.normalize(lp - p), axis=-1)
         shadowed = (smask >> li) & 1
-        total = total + jnp.where(shadowed == 1, 0.0, lambert)
+        lambert = jnp.where(shadowed == 1, 0.0, lambert)
+        if colored:
+            total = total + lambert[..., None] * \
+                jnp.asarray(tables.light_color)[li]
+        else:
+            total = total + lambert
     light = jnp.clip(total, cfg.saturation, 1.0)
-    return light[..., None] * p_color_color
+    light = light if colored else light[..., None]
+    return light * p_color_color
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -290,7 +327,8 @@ def fused_render_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
     color = jnp.where((cidx >= 0)[..., None],
                       jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)],
                       0.0)
-    return light[..., None] * color
+    light = light if plan.colored_lights else light[..., None]
+    return light * color
 
 
 def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
@@ -299,7 +337,7 @@ def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
     color = jnp.where((cidx >= 0)[..., None],
                       jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)],
                       0.0)
-    out = light[..., None] * color
+    out = (light if plan.colored_lights else light[..., None]) * color
     t = jnp.sum((p - origin) * dirs, axis=-1) / jnp.sum(dirs * dirs, axis=-1)
     return out, (tables, origin, dirs, p, sd, conv, cidx, smask, t)
 

@@ -128,6 +128,11 @@ class ScenePlan:
     lists: Tuple[ListPlan, ...]          # post-order; last is the root
     kernel: Optional[KernelPlan]         # two-level normal form, if depth <= 2
     num_lights: int
+    # Scene-format extension (``LightColor`` lines): when any light is
+    # non-white, shading accumulates per-channel and gradients flow to
+    # tables.light_color.  All reference scenes are all-white, where the
+    # scalar path is bit-identical — so it stays the compiled default.
+    colored_lights: bool = False
 
     @property
     def num_primitives(self) -> int:
@@ -241,8 +246,9 @@ def compile_tree(root: ListNode, lights: Sequence[Light], camera: Camera
                  ) -> Tuple[ScenePlan, SceneTables]:
     prims, prim_type, lists, provenance = _compile_tree(root)
     kernel = _kernel_normal_form(lists, prim_type, provenance)
+    colored = any(tuple(l.color) != (1.0, 1.0, 1.0) for l in lights)
     plan = ScenePlan(prim_type=prim_type, lists=lists, kernel=kernel,
-                     num_lights=len(lights))
+                     num_lights=len(lights), colored_lights=colored)
     pos, aux, color = _prim_arrays(prims)
 
     nl = len(lights)

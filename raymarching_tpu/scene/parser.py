@@ -14,6 +14,7 @@ existing ``scene/objects.txt`` files run unchanged:
     Camera Position|Direction|Up <x> <y> <z>
     Camera FOV <deg>
     Color  <r> <g> <b>
+    LightColor <r> <g> <b>      (extension, see below)
 
 Statefulness matches the reference: a running "current color" (default white)
 set by ``Color`` lines is applied to subsequently created bodies
@@ -21,6 +22,15 @@ set by ``Color`` lines is applied to subsequently created bodies
 C++ falls through every branch), which doubles as comment support; bodies are
 appended to a root UNION list in file order; ``Bounds`` becomes a
 COMPLEMENT-list-wrapped black box (scene.cpp:120-127).
+
+``LightColor`` is this framework's scene-format extension: the reference
+declares a per-light color field but never parses a value for it
+(object.h:24, scene.cpp:154-158), so every reference light is white.  A
+``LightColor`` line sets a running current light color (default white)
+applied to subsequent ``Light`` lines; in the reference binary the unknown
+keyword falls through silently, so extended scenes still load there (with
+white lights).  Non-white lights switch shading to per-channel accumulation
+(core.shading.lighting) and make ``tables.light_color`` differentiable.
 """
 
 from __future__ import annotations
@@ -53,6 +63,7 @@ def parse_scene(text: str) -> Scene:
     lights: List[Light] = []
     camera = Camera()
     color = (1.0, 1.0, 1.0)
+    light_color = (1.0, 1.0, 1.0)
 
     for line in text.splitlines():
         tokens = line.split()
@@ -82,7 +93,7 @@ def parse_scene(text: str) -> Scene:
                 tree.append(generators.menger_sponge((x, y, z), size, iters, color))
             elif cmd == "Light":
                 x, y, z = map(float, args[:3])
-                lights.append(Light((x, y, z)))
+                lights.append(Light((x, y, z), color=light_color))
             elif cmd == "Camera":
                 sub, rest = args[0], args[1:]
                 if sub == "Position":
@@ -95,6 +106,8 @@ def parse_scene(text: str) -> Scene:
                     camera.fov = float(rest[0])
             elif cmd == "Color":
                 color = tuple(map(float, args[:3]))
+            elif cmd == "LightColor":
+                light_color = tuple(map(float, args[:3]))
             # Unknown keywords fall through silently, like the reference.
         except (ValueError, IndexError) as e:
             raise ValueError(f"malformed scene line: {line!r}") from e

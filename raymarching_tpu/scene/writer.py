@@ -45,7 +45,12 @@ def scene_to_text(scene: Scene) -> str:
     out.write(f"Camera Direction {_fmt(*cam.direction)}\n")
     out.write(f"Camera Up {_fmt(*cam.up)}\n")
     out.write(f"Camera FOV {_fmt(cam.fov)}\n\n")
+    lc_state = (1.0, 1.0, 1.0)
     for light in scene.lights:
+        color = tuple(float(c) for c in light.color)
+        if color != lc_state:
+            out.write(f"LightColor {_fmt(*color)}\n")
+            lc_state = color
         out.write(f"Light {_fmt(*light.position)}\n")
     out.write("\n")
 
@@ -130,8 +135,10 @@ def tables_to_scene(scene: Scene, tables: SceneTables) -> Scene:
         else:
             prim.size = tuple(float(v) for v in aux[i])
     lp = np.asarray(tables.light_pos)
+    lc = np.asarray(tables.light_color)
     for i, light in enumerate(scene.lights):
         light.position = tuple(float(v) for v in lp[i])
+        light.color = tuple(float(v) for v in lc[i])
     scene.camera = Camera(
         position=tuple(np.asarray(tables.cam_position).tolist()),
         direction=tuple(np.asarray(tables.cam_direction).tolist()),
