@@ -18,9 +18,11 @@ Design (SURVEY §5, "How to Scale Your Model" recipe):
     block under ``shard_map``, with a per-device early-exit march (no
     global convergence sync).
   * Backward pass: gradients w.r.t. the replicated tables are partial sums
-    over local rays; ``shard_map``'s transpose inserts exactly one ``psum``
-    over the mesh — the ICI all-reduce, overlapped with the backward sweep
-    by XLA's scheduler.
+    over local rays; ``shard_map``'s transpose inserts per-field ``psum``s
+    which XLA's all-reduce combiner fuses into ONE tail-of-program tuple
+    all-reduce over the mesh (verified from compiled HLO — see
+    docs/collectives.md; the ~15 KB gradient payload makes overlap
+    machinery irrelevant).
 
 Camera-pose gradients flow too: ray generation happens inside the loss,
 replicated on every device (it is a few thousand FLOPs), so its backward

@@ -113,6 +113,26 @@ def test_sharded_mega_matches_single_device():
     np.testing.assert_allclose(img, single, atol=2e-5)
 
 
+def test_hlo_single_tail_allreduce():
+    """Compiled-HLO contract (docs/collectives.md): the production
+    train_step has ZERO forward collectives, and XLA's combiner fuses every
+    per-field gradient psum into ONE tuple all-reduce near the program
+    tail."""
+    plan, tables = _world()
+    mesh = make_mesh(8)
+    cfg = CFG.replace(normal_mode="analytic")
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    f = jax.jit(lambda t: train_step(plan, t, target, cfg, mesh, lr=0.01,
+                                     backend="mega", interpret=True))
+    txt = f.lower(tables).compile().as_text()
+    lines = txt.splitlines()
+    defs = [l for l in lines
+            if ("all-reduce" in l and "=" in l
+                and "get-tuple-element" not in l)]
+    assert len(defs) == 1, f"expected one combined all-reduce, got {defs}"
+    assert "all-gather" not in txt and "collective-permute" not in txt
+
+
 def test_2d_mesh_hosts_by_chips():
     """Both axes of a (hosts, chips) mesh shard the ray axis."""
     from raymarching_tpu.parallel.sharded import make_mesh_2d
