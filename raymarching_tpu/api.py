@@ -67,6 +67,12 @@ def _normal_fwd(plan, cfg, interpret, p, tables):
 
 def _normal_bwd(plan, cfg, interpret, residuals, g_bar):
     p, tables = residuals
+    if (plan.kernel is not None and not cfg.fused_generators
+            and cfg.normal_mode != "analytic"):
+        # Exact-table FD path: six winner-kernel passes + segment-sums
+        # (ops.scene_vjp) — no [rays, prims] matrix in the backward.
+        from .ops.scene_vjp import fd_normal_bwd
+        return fd_normal_bwd(plan, cfg, interpret, p, tables, g_bar)
     # Differentiate the SAME field the forward kernel evaluated: folded
     # generators when fused mode is on (also ~60x cheaper to transpose),
     # and the SAME estimator (the analytic winner gradient is reverse-mode
@@ -115,8 +121,14 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
         sd_fn = lambda tb, p: scene_sd_fused(plan, tb, p)
 
     forward_impl = make_pallas_march(plan, cfg, interpret=interpret)
+    if cfg.fused_generators:
+        bwd_impl = None        # folded-field jnp backward is already cheap
+    else:
+        from .ops.scene_vjp import make_march_bwd
+        bwd_impl = make_march_bwd(plan, cfg, interpret)
     march_fn = make_march_fn(sd_fn, cfg.iterations, cfg.surface_precision,
-                             tables, forward_impl=forward_impl)
+                             tables, forward_impl=forward_impl,
+                             bwd_impl=bwd_impl)
 
     # Kernels invoked outside a custom_vjp must see stop-gradient inputs —
     # pallas_call has no JVP rule, and these uses are piecewise-constant /

@@ -46,9 +46,10 @@ from ..core.march import MarchResult, march_while
 _DENOM_EPS = 1e-6
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def march_op(scene_sd_fn: Callable, iterations: int, eps: float,
              forward_impl: Optional[Callable],
+             bwd_impl: Optional[Callable],
              origin: jnp.ndarray, ray: jnp.ndarray, tables) -> MarchResult:
     """March origin + t*ray to the surface of ``scene_sd_fn(tables, .)``.
 
@@ -57,6 +58,9 @@ def march_op(scene_sd_fn: Callable, iterations: int, eps: float,
     can route cotangents to it.  ``forward_impl``, when given, replaces the
     jnp while-loop forward (e.g. with the fused Pallas kernel); it maps
     (origin, ray, tables) -> MarchResult with identical semantics.
+    ``bwd_impl`` (residuals, cotangents) -> (o_bar, d_bar, tables_bar)
+    replaces the jnp IFT backward below (e.g. with the winner-kernel route,
+    ops.scene_vjp.make_march_bwd, which never materializes [rays, prims]).
     """
     if forward_impl is not None:
         return forward_impl(origin, ray, tables)
@@ -64,17 +68,19 @@ def march_op(scene_sd_fn: Callable, iterations: int, eps: float,
                        iterations, eps)
 
 
-def _march_fwd(scene_sd_fn, iterations, eps, forward_impl,
+def _march_fwd(scene_sd_fn, iterations, eps, forward_impl, bwd_impl,
                origin, ray, tables):
-    res = march_op(scene_sd_fn, iterations, eps, forward_impl,
+    res = march_op(scene_sd_fn, iterations, eps, forward_impl, bwd_impl,
                    origin, ray, tables)
     t = jnp.sum((res.position - origin) * ray, axis=-1) / \
         jnp.sum(ray * ray, axis=-1)
     return res, (res.position, res.converged, t, ray, tables)
 
 
-def _march_bwd(scene_sd_fn, iterations, eps, forward_impl,
+def _march_bwd(scene_sd_fn, iterations, eps, forward_impl, bwd_impl,
                residuals, cotangents):
+    if bwd_impl is not None:
+        return bwd_impl(residuals, cotangents)
     p_hit, converged, t, ray, tables = residuals
     p_bar = cotangents.position                     # [..., 3]
 
@@ -101,10 +107,11 @@ march_op.defvjp(_march_fwd, _march_bwd)
 
 
 def make_march_fn(scene_sd_fn: Callable, iterations: int, eps: float,
-                  tables, forward_impl: Optional[Callable] = None):
+                  tables, forward_impl: Optional[Callable] = None,
+                  bwd_impl: Optional[Callable] = None):
     """Adapt to the (origin, dirs) -> MarchResult interface of
     core.render's ``march_fn`` hook."""
     def fn(origin, dirs):
         return march_op(scene_sd_fn, iterations, eps, forward_impl,
-                        origin, dirs, tables)
+                        bwd_impl, origin, dirs, tables)
     return fn

@@ -614,6 +614,90 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
     return rsign * running, rgx, rgy, rgz
 
 
+def _fold_runs_idx_grad(tbl, runs, px, py, pz, carry):
+    """(min, argmin-leaf, winner dsd/dp) fold over runs of scale * prim_sd.
+    Strict < keeps the earliest index (first-wins ties, body.cpp:12-14);
+    winner selection is identical to _fold_runs_idx / _fold_runs_grad."""
+    for (ptype, start, count, scale) in runs:
+        def step(i, c, _ptype=ptype, _scale=float(scale)):
+            acc, aidx, gx, gy, gz = c
+            sd, ggx, ggy, ggz = _prim_sd_grad(_ptype, tbl, i, px, py, pz)
+            sd = _scale * sd
+            better = sd < acc
+            return (jnp.where(better, sd, acc),
+                    jnp.where(better,
+                              jnp.full(px.shape, 1, jnp.int32) * i, aidx),
+                    jnp.where(better, _scale * ggx, gx),
+                    jnp.where(better, _scale * ggy, gy),
+                    jnp.where(better, _scale * ggz, gz))
+        if count <= _UNROLL:
+            for i in range(start, start + count):
+                carry = step(i, carry)
+            continue
+        blocks = count // _UNROLL
+
+        def body(k, c, _start=start):
+            i = _start + k * _UNROLL
+            for j in range(_UNROLL):
+                c = step(i + j, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, blocks, body, carry)
+        for i in range(start + blocks * _UNROLL, start + count):
+            carry = step(i, carry)
+    return carry
+
+
+def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
+    """Scene SDF + winning leaf index + the winner's dsd/dp in ONE fold
+    pass, with the same exact per-tile base-bound cull as _scene_sd_tile.
+
+    This is the backward-pass workhorse (ops.scene_vjp): given (idx, grad)
+    per ray, cotangents to every primitive parameter are a per-lane
+    formula + segment-sum OUTSIDE the kernel — the [rays, prims] leaf
+    matrix is never materialized anywhere in the backward.  Exact tables
+    only: fused generator groups take the (cheap) jnp backward instead."""
+    inf = jnp.full(px.shape, jnp.inf, dtype)
+    zero = jnp.zeros(px.shape, dtype)
+    rsign = 1.0 if kp.root_op == MIN else -1.0
+    state = (inf, jnp.full(px.shape, -1, jnp.int32), zero, zero, zero)
+
+    def root_update(state, gsign, carry):
+        running, ridx, rgx, rgy, rgz = state
+        gmin, gidx, ggx, ggy, ggz = carry
+        gs = float(gsign)
+        v = rsign * gs * gmin
+        better = v < running
+        # rsign cancels in the chain rule (sd = rsign * min of rsign*gval),
+        # so the winner's gval-gradient is stored with gsign only.
+        return (jnp.where(better, v, running),
+                jnp.where(better, gidx, ridx),
+                jnp.where(better, gs * ggx, rgx),
+                jnp.where(better, gs * ggy, rgy),
+                jnp.where(better, gs * ggz, rgz))
+
+    init = (inf, jnp.full(px.shape, -1, jnp.int32), zero, zero, zero)
+    for g in kp.groups:
+        neg_runs = [r for r in g.runs if r[3] == -1]
+        cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
+                    and g.count >= _CULL_MIN_GROUP)
+        if cullable:
+            gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
+            lb = -gmin_base
+
+            def with_group(s, _runs=g.runs):
+                carry = _fold_runs_idx_grad(tbl, _runs, px, py, pz, init)
+                return root_update(s, -1, carry)
+
+            skip = jnp.all(lb >= state[0])
+            state = jax.lax.cond(skip, lambda s: s, with_group, state)
+        else:
+            carry = _fold_runs_idx_grad(tbl, g.runs, px, py, pz, init)
+            state = root_update(state, g.gsign, carry)
+    running, ridx, rgx, rgy, rgz = state
+    return rsign * running, ridx, rgx, rgy, rgz
+
+
 def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
     """Scene SDF + winning leaf index, with the same exact per-tile
     base-bound cull as _scene_sd_tile (a culled group provably loses the
@@ -688,6 +772,18 @@ def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     outs = list(out_refs)
     sd_ref = outs.pop(0)
+    if with_color and with_normal and analytic and not fused:
+        # Combined backward-pass mode: sd + winner index + winner gradient
+        # in ONE fold pass (ops.scene_vjp builds all parameter cotangents
+        # from these outside the kernel).
+        sd, idx, gx, gy, gz = _scene_sd_idx_grad_tile(kp, tbl_ref,
+                                                      px, py, pz, dtype)
+        sd_ref[...] = sd
+        outs.pop(0)[...] = idx
+        outs.pop(0)[...] = gx
+        outs.pop(0)[...] = gy
+        outs.pop(0)[...] = gz
+        return
     if with_color:
         sd, idx = _scene_sd_idx_tile(kp, tbl_ref, px, py, pz, dtype,
                                      fused=fused)

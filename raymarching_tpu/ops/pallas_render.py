@@ -277,7 +277,7 @@ def _sd_fn(plan, cfg):
     return lambda tb, q: scene_sd(plan, tb, q)
 
 
-def _replay_shade(plan, cfg, tables, p, cidx, smask):
+def _replay_shade(plan, cfg, interpret, tables, p, cidx, smask):
     """Differentiable jnp replay of shading from saved kernel outputs.
 
     Uses the SAVED discrete decisions (color winner, shadow booleans) so the
@@ -295,7 +295,13 @@ def _replay_shade(plan, cfg, tables, p, cidx, smask):
     # Differentiate the SAME normal estimator the forward kernel evaluated
     # (the analytic winner gradient == reverse-mode through the sd field
     # a.e., so jax.vjp of sd reproduces it; FD replays the 6-eval stencil).
-    if cfg.normal_mode == "analytic":
+    # On the exact-table FD path the estimator is api._normal_op: Pallas
+    # forward, winner-kernel backward (ops.scene_vjp) — transposing this
+    # replay never touches the [rays, prims] matrix.
+    if not cfg.fused_generators and cfg.normal_mode != "analytic":
+        from ..api import _normal_op
+        g = _normal_op(plan, cfg, interpret, p, tables)
+    elif cfg.normal_mode == "analytic":
         g = sh.normal_analytic(sd_one, p)
     else:
         g = sh.normal_fd(sd_one, p, cfg.fd_h)
@@ -349,22 +355,30 @@ def _fused_bwd(plan, cfg, interpret, residuals, g_out):
     # direction enters shading only through the saved discrete color
     # winner, so it carries no shading cotangent.
     def shade(tables_, p_):
-        return _replay_shade(plan, cfg, tables_, p_, cidx, smask)
+        return _replay_shade(plan, cfg, interpret, tables_, p_, cidx, smask)
 
     _, vjp_shade = jax.vjp(shade, tables, p)
     tables_bar, p_bar = vjp_shade(g_out)
 
     # 2. Implicit-function route for the hit point (see ops.march_op).
-    sdf = _sd_fn(plan, cfg)
-    _, vjp_f = jax.vjp(lambda tb, q: sdf(tb, q), tables, p)
-    ones = jnp.ones(p.shape[:-1], p.dtype)
-    _, grad_p = vjp_f(ones)
-    denom = jnp.sum(grad_p * dirs, axis=-1)
-    denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
-                      jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
-    t_bar = jnp.where(conv, jnp.sum(p_bar * dirs, axis=-1), 0.0)
-    w = -t_bar / denom
-    tables_bar2, gp_w = vjp_f(w)
+    if not cfg.fused_generators:
+        # Exact tables: winner-kernel route (ops.scene_vjp) — one combined
+        # fold pass + a segment-sum; no [rays, prims] matrix.
+        from .scene_vjp import ift_pieces
+        tables_bar2, gp_w = ift_pieces(plan, cfg, interpret, p, dirs, conv,
+                                       p_bar, tables)
+    else:
+        sdf = _sd_fn(plan, cfg)
+        _, vjp_f = jax.vjp(lambda tb, q: sdf(tb, q), tables, p)
+        ones = jnp.ones(p.shape[:-1], p.dtype)
+        _, grad_p = vjp_f(ones)
+        denom = jnp.sum(grad_p * dirs, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
+                          jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS),
+                          denom)
+        t_bar = jnp.where(conv, jnp.sum(p_bar * dirs, axis=-1), 0.0)
+        w = -t_bar / denom
+        tables_bar2, gp_w = vjp_f(w)
 
     o_bar = jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1)))
     d_bar = t[..., None] * (p_bar + gp_w)

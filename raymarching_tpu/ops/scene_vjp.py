@@ -1,0 +1,196 @@
+"""Hand-derived Pallas backward for the exact-table path.
+
+The IFT backward (ops.march_op) and the FD-normal backward both need VJPs
+of the scene SDF w.r.t. the query point and every primitive parameter.
+The jnp route (``jax.vjp(scene_sd)``) materializes and transposes the
+[rays, prims] leaf-distance matrix in HBM — the very thing the forward
+kernel exists to avoid (ops/pallas_march.py design note).
+
+This module replaces it with winner algebra.  The scene SDF is, through
+every compiled min/max fold, a.e. equal to ``sign_eff * sd_winner`` for
+one winning leaf with a STATIC path sign (sign_eff = gsign * scale, the
+root rsign cancels).  The fused surface kernel's combined mode
+(`_scene_sd_idx_grad_tile`) returns per ray:
+
+    sd, winner index w, g = d scene / d p   (the winner's gradient)
+
+from ONE fold pass.  Every cotangent is then a per-lane formula:
+
+    d scene / d center_w = -g                      (translation invariance)
+    d scene / d radius_w = -sign_eff[w]            (sphere)
+    d scene / d size_w,a = -sign_eff[w] * |g_a|/2  (box/cross: the active
+                                                    axis is where g is
+                                                    nonzero, |g_a| in {0,1})
+
+scatter-added into the [P, 3] parameter tables with one ``segment-sum``
+(O(rays) memory; chunked by the caller's ray_chunk like every other
+scatter).  Gradcheck: tests/test_scene_vjp.py pins this against the jnp
+``jax.vjp(scene_sd)`` route and the scan-oracle autodiff.
+
+Fused-generator groups keep the jnp backward (differentiating the folded
+field costs O(iters), not O(20^k) — already cheap); this module is the
+exact-table fast path.
+
+Tie semantics: axis-aligned CSG scenes tie over OPEN REGIONS, not just
+measure-zero sets (coincident faces — e.g. Menger cross arms along a cell
+column, or any two boxes sharing a face plane — have IDENTICAL fields
+there).  On ties this backward awards the whole cotangent to the FIRST
+minimal leaf (strict <), which is exactly what autodiff of the reference's
+binary fold produces (``s < best ? s : best``, body.cpp:12-14) and matches
+the color tie-break.  The jnp ``jax.vjp(scene_sd)`` route instead splits
+evenly across tied leaves (lax.reduce_min transpose).  Both are valid
+subgradients; because tied leaves have identical fields (hence identical
+parameter derivatives under the shared formula), the SUM of cotangents
+over each tie class — and therefore any gradient-descent step on tied
+generator copies — is identical.  tests/test_scene_vjp.py checks exact
+agreement off the tie set and sum conservation on it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..scene.compile import MIN, ScenePlan, SceneTables
+from ..scene.csg import PrimType
+
+_DENOM_EPS = 1e-6
+
+
+@functools.lru_cache(maxsize=None)
+def _leaf_statics(plan: ScenePlan):
+    """Per-leaf (sign_eff, is_sphere) numpy arrays from the static plan."""
+    P = plan.num_primitives
+    sign_eff = np.zeros(max(P, 1), np.float32)
+    for g in plan.kernel.groups:
+        for (ptype, start, count, scale) in g.runs:
+            sign_eff[start:start + count] = float(g.gsign * scale)
+    is_sphere = (np.asarray(plan.prim_type, np.int32)
+                 == int(PrimType.SPHERE))
+    if P == 0:
+        is_sphere = np.zeros(1, bool)
+    return sign_eff, is_sphere
+
+
+def winner_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
+                interpret: bool):
+    """(sd, winner idx, d scene/dp) at points p [..., 3] — one kernel pass
+    (the combined surface-kernel mode)."""
+    from .pallas_march import pallas_surface_eval
+
+    flat = p.reshape(-1, 3)
+    sd, widx, g = pallas_surface_eval(
+        plan.kernel, cfg.fd_h, cfg.tile_sublanes, flat, tables,
+        with_color=True, with_normal=True, fused=False, analytic=True,
+        interpret=interpret)
+    batch = p.shape[:-1]
+    return (sd.reshape(batch), widx.reshape(batch),
+            g.reshape(batch + (3,)))
+
+
+def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u
+                     ) -> SceneTables:
+    """Scatter per-ray winner cotangents into a SceneTables gradient pytree.
+
+    widx [...]: winner leaf per ray; g [..., 3]: d scene/dp per ray;
+    u [...]: scalar cotangent on the scene SD per ray.
+    """
+    P = int(np.shape(tables.prim_pos)[0])
+    sign_eff, is_sphere = _leaf_statics(plan)
+
+    widx = widx.reshape(-1)
+    g = g.reshape(-1, 3)
+    u = u.reshape(-1)
+    valid = widx >= 0
+    u = jnp.where(valid, u, 0.0)
+    idx = jnp.clip(widx, 0, P - 1)
+
+    se = jnp.asarray(sign_eff)[idx]
+    sph = jnp.asarray(is_sphere)[idx]
+    use = u * se
+
+    pos_c = -u[:, None] * g
+    zeros = jnp.zeros_like(use)
+    aux_sphere = jnp.stack([-use, zeros, zeros], axis=-1)
+    aux_boxy = -0.5 * use[:, None] * jnp.abs(g)
+    aux_c = jnp.where(sph[:, None], aux_sphere, aux_boxy)
+
+    gpos = jnp.zeros((P, 3), g.dtype).at[idx].add(pos_c)
+    gaux = jnp.zeros((P, 3), g.dtype).at[idx].add(aux_c)
+    z = lambda x: jnp.zeros_like(jnp.asarray(x))
+    return SceneTables(
+        prim_pos=gpos, prim_aux=gaux, prim_color=z(tables.prim_color),
+        light_pos=z(tables.light_pos), light_color=z(tables.light_color),
+        cam_position=z(tables.cam_position),
+        cam_direction=z(tables.cam_direction),
+        cam_up=z(tables.cam_up), cam_fov=z(tables.cam_fov))
+
+
+def _add_tables(a: SceneTables, b: SceneTables) -> SceneTables:
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def make_march_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool):
+    """Drop-in ``bwd_impl`` for ops.march_op: the IFT backward with the
+    winner kernel instead of jax.vjp(scene_sd).  Same math as
+    march_op._march_bwd; grad_p f is the winner gradient (equal a.e.)."""
+
+    def bwd(residuals, cotangents):
+        p_hit, converged, t, ray, tables = residuals
+        p_bar = cotangents.position
+
+        _, widx, g = winner_eval(plan, cfg, p_hit, tables, interpret)
+        denom = jnp.sum(g * ray, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
+                          jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS),
+                          denom)
+        t_bar = jnp.where(converged, jnp.sum(p_bar * ray, axis=-1), 0.0)
+        w = -t_bar / denom
+        tables_bar = theta_cotangents(plan, tables, widx, g, w)
+        gp_w = w[..., None] * g
+        o_bar = p_bar + gp_w
+        d_bar = t[..., None] * (p_bar + gp_w)
+        return o_bar, d_bar, tables_bar
+
+    return bwd
+
+
+def ift_pieces(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
+               p_hit, ray, conv, p_bar, tables):
+    """(tables_bar, gp_w) of the IFT route — the kernelized replacement for
+    the two vjp_f pullbacks in pallas_render._fused_bwd."""
+    _, widx, g = winner_eval(plan, cfg, p_hit, tables, interpret)
+    denom = jnp.sum(g * ray, axis=-1)
+    denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
+                      jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
+    t_bar = jnp.where(conv, jnp.sum(p_bar * ray, axis=-1), 0.0)
+    w = -t_bar / denom
+    tables_bar = theta_cotangents(plan, tables, widx, g, w)
+    return tables_bar, w[..., None] * g
+
+
+def fd_normal_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
+                  p, tables, nbar):
+    """VJP of the 6-eval FD normal stencil (shading.normal_fd semantics:
+    g_a = (f(p + h e_a) - f(p - h e_a)) / 2h) via six winner-kernel passes
+    — replaces jax.vjp through six jnp scene_sd evaluations.
+
+    Returns (p_bar, tables_bar)."""
+    h = cfg.fd_h
+    eye = jnp.eye(3, dtype=p.dtype) * h
+    p_bar = jnp.zeros_like(p)
+    tables_bar = None
+    for a in range(3):
+        for s in (1.0, -1.0):
+            q = p + s * eye[a]
+            _, widx, g = winner_eval(plan, cfg, q, tables, interpret)
+            u = s * nbar[..., a] / (2.0 * h)
+            p_bar = p_bar + u[..., None] * g
+            tb = theta_cotangents(plan, tables, widx, g, u)
+            tables_bar = tb if tables_bar is None else \
+                _add_tables(tables_bar, tb)
+    return p_bar, tables_bar
