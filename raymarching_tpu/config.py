@@ -67,6 +67,18 @@ class RenderConfig:
     # the [rays, primitives] working set in HBM on the jnp path.
     ray_chunk: int = 0
 
+    # Two-phase march (mega backend): march every ray K1 steps, then
+    # compact the unconverged tail (typically ~1% of rays: demo-scene
+    # profile mean 14.8 / p99 39 / max 234 steps) into dense tiles and
+    # finish only those with the remaining budget.  Semantics-exact: the
+    # march is memoryless given (position, done), per-ray trajectories and
+    # the total evaluation cap are bit-identical, and a capacity overflow
+    # (> 1/8 of rays unconverged at K1) falls back to the plain full-budget
+    # march.  0 = single-phase.  Mitigates the straggler effect where one
+    # slow lane keeps a whole tile stepping (the TPU analogue of the GLSL
+    # kernel's divergence, shader.comp:288-297).
+    two_phase_k1: int = 0
+
     # Evaluate procedural generators (MengerSponge) by space folding in the
     # Pallas kernels: O(iterations) per query instead of the explicit
     # 20^k cross table.  The folded field has the SAME zero set and is

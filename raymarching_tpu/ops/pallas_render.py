@@ -125,6 +125,23 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
     px_ref[...], py_ref[...], pz_ref[...] = px, py, pz
     sd_ref[...], done_ref[...] = sd, done
 
+    light_refs = (lr_ref, lg_ref, lb_ref) if colored else (light_ref,)
+    _shade_body(kp, iterations, eps, offset_eps, saturation, fd_h,
+                num_lights, shadows, fused, analytic, colored,
+                tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
+                cidx_ref, light_refs, smask_ref)
+
+
+def _shade_body(kp: KernelPlan, iterations: int, eps: float,
+                offset_eps: float, saturation: float, fd_h: float,
+                num_lights: int, shadows: bool, fused: bool,
+                analytic: bool, colored: bool,
+                tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
+                cidx_ref, light_refs, smask_ref):
+    """Steps 2-4 of the per-ray pipeline given marched hit points: color
+    index at the pre-step point, normal, shadow marches, Lambert clamp.
+    Shared by the single mega kernel and the two-phase shade kernel."""
+    dtype = dx.dtype
     # 2. color index at the pre-step point (scene.cpp:34-42 semantics)
     step = jnp.minimum(sd, MAX_STEP)
     _, cidx = _scene_sd_idx_tile(kp, tbl_ref, px - step * dx, py - step * dy,
@@ -183,13 +200,58 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                     lights_ref[li, 4 + c], dtype)
         else:
             total[0] = total[0] + lambert
-    if colored:
-        lr_ref[...] = jnp.clip(total[0], saturation, 1.0)
-        lg_ref[...] = jnp.clip(total[1], saturation, 1.0)
-        lb_ref[...] = jnp.clip(total[2], saturation, 1.0)
-    else:
-        light_ref[...] = jnp.clip(total[0], saturation, 1.0)
+    for ref, tot in zip(light_refs, total):
+        ref[...] = jnp.clip(tot, saturation, 1.0)
     smask_ref[...] = smask
+
+
+def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
+                  offset_eps: float, saturation: float, fd_h: float,
+                  num_lights: int, shadows: bool, fused: bool,
+                  analytic: bool, colored: bool,
+                  tbl_ref, lights_ref, px_ref, py_ref, pz_ref, sd_ref,
+                  dx_ref, dy_ref, dz_ref, *out_refs):
+    """Shade-only kernel for the two-phase path: hit points come from the
+    (compacted) march kernels instead of an in-kernel march."""
+    outs = list(out_refs)
+    cidx_ref = outs.pop(0)
+    light_refs = tuple(outs.pop(0) for _ in range(3 if colored else 1))
+    smask_ref = outs.pop(0)
+    tbl = preload_table(kp, tbl_ref, fused)
+    _shade_body(kp, iterations, eps, offset_eps, saturation, fd_h,
+                num_lights, shadows, fused, analytic, colored,
+                tbl, lights_ref, px_ref[...], py_ref[...], pz_ref[...],
+                sd_ref[...], dx_ref[...], dy_ref[...], dz_ref[...],
+                cidx_ref, light_refs, smask_ref)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
+                         offset_eps: float, saturation: float, fd_h: float,
+                         num_lights: int, shadows: bool, fused: bool,
+                         analytic: bool, colored: bool, tile_sublanes: int,
+                         num_tiles: int, num_prims: int, interpret: bool):
+    rows = num_tiles * tile_sublanes
+    block = (tile_sublanes, LANES)
+    ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    light_outs = (f32, f32, f32) if colored else (f32,)
+    out_shape = (i32,) + light_outs + (i32,)
+
+    kernel = functools.partial(_shade_kernel, kp, iterations, eps,
+                               offset_eps, saturation, fd_h, num_lights,
+                               shadows, fused, analytic, colored)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[_tbl_spec(num_prims), smem] + [ray_spec] * 7,
+        out_specs=(ray_spec,) * len(out_shape),
+        out_shape=out_shape,
+        interpret=interpret,
+    )
 
 
 @functools.lru_cache(maxsize=64)
@@ -241,6 +303,24 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         axis=1)
     org = jnp.asarray(origin, jnp.float32).reshape(3)
 
+    if 0 < cfg.two_phase_k1 < cfg.iterations:
+        p, sd, conv = _two_phase_march(plan, cfg, org, dirs, tables,
+                                       interpret)
+        shade = _compiled_shade_call(
+            kp, cfg.iterations, cfg.surface_precision,
+            cfg.offset_precision, cfg.saturation, cfg.fd_h,
+            int(plan.num_lights), cfg.shadows, cfg.fused_generators,
+            cfg.normal_mode == "analytic", colored, cfg.tile_sublanes,
+            num_tiles, int(tables.prim_pos.shape[0]), interpret)
+        pc = [prep(p[:, a]) for a in range(3)]
+        outs = shade(tbl, lights, *pc, prep(sd), *comps)
+        cidx = outs[0]
+        if colored:
+            light = jnp.stack([unprep(o) for o in outs[1:4]], axis=-1)
+        else:
+            light = unprep(outs[1])
+        return p, sd, conv, unprep(cidx), light, unprep(outs[-1])
+
     call = _compiled_render_call(
         kp, cfg.iterations, cfg.surface_precision, cfg.offset_precision,
         cfg.saturation, cfg.fd_h, int(plan.num_lights), cfg.shadows,
@@ -260,6 +340,61 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     return (p, sd,
             jnp.logical_and(unprep(done) > 0.5, sd < cfg.surface_precision),
             unprep(cidx), light, unprep(smask))
+
+
+# Phase-2 capacity as a fraction of the chunk: covers any scene whose
+# unconverged tail at K1 steps is below 1/8 of rays (demo profile: ~1% at
+# K1=48); overflow falls back to the plain full-budget march, so the cap
+# affects performance only, never results.
+_PHASE2_CAP_FRAC = 8
+
+
+def _two_phase_march(plan: ScenePlan, cfg: RenderConfig, origin, dirs,
+                     tables, interpret: bool):
+    """March all rays K1 steps, compact the unconverged tail into dense
+    tiles, finish only those — exact (see RenderConfig.two_phase_k1)."""
+    from .pallas_march import pallas_march
+
+    kp = plan.kernel
+    R = dirs.shape[0]
+    k1 = cfg.two_phase_k1
+    o = jnp.broadcast_to(origin, dirs.shape)
+    res1 = pallas_march(kp, k1, cfg.surface_precision, cfg.tile_sublanes,
+                        o, dirs, tables, fused=cfg.fused_generators,
+                        interpret=interpret)
+    # NOTE primary marches have no tmax, so done == converged here and an
+    # unconverged ray is exactly "still marching".
+    unconv = jnp.logical_not(res1.converged)
+    cap = max(R // _PHASE2_CAP_FRAC, min(R, cfg.tile_sublanes * 128))
+    # Stable sort: unconverged lanes first, original order within groups.
+    order = jnp.argsort(res1.converged, stable=True)
+    sel = order[:cap]
+    sel_active = unconv[sel]
+
+    res2 = pallas_march(kp, cfg.iterations - k1, cfg.surface_precision,
+                        cfg.tile_sublanes, res1.position[sel], dirs[sel],
+                        tables, fused=cfg.fused_generators,
+                        interpret=interpret)
+    # merge: phase-2 results only for lanes that were actually unconverged
+    # (converged lanes in the capacity block keep their phase-1 state).
+    p = res1.position.at[sel].set(
+        jnp.where(sel_active[:, None], res2.position, res1.position[sel]))
+    sd = res1.sd.at[sel].set(
+        jnp.where(sel_active, res2.sd, res1.sd[sel]))
+    conv = res1.converged.at[sel].set(
+        jnp.where(sel_active, res2.converged, res1.converged[sel]))
+
+    def fallback(_):
+        # > cap rays unconverged at K1: re-march everything from the origin
+        # with the full budget (the plain exact path).
+        res = pallas_march(kp, cfg.iterations, cfg.surface_precision,
+                           cfg.tile_sublanes, o, dirs, tables,
+                           fused=cfg.fused_generators, interpret=interpret)
+        return res.position, res.sd, res.converged
+
+    overflow = jnp.sum(unconv.astype(jnp.int32)) > cap
+    return jax.lax.cond(overflow, fallback,
+                        lambda args: args, (p, sd, conv))
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,51 @@ def test_mega_depth3_falls_back():
     np.testing.assert_allclose(m, r, atol=5e-4)
 
 
+def test_two_phase_march_bit_identical():
+    """Two-phase march + compaction must reproduce the single-phase mega
+    render exactly (the compaction is a scheduling change, not a semantic
+    one)."""
+    plan, tables = _world()
+    for k1 in (8, 24, 48):
+        cfg = CFG.replace(ssaa=1, two_phase_k1=k1)
+        a = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                     interpret=True))
+        b = np.asarray(render_tables(plan, tables, cfg.replace(
+            two_phase_k1=0), backend="mega", interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_two_phase_overflow_fallback_exact():
+    """K1=1 leaves far more than 1/8 of rays unconverged -> the capacity
+    overflow triggers the full re-march fallback; results stay exact."""
+    plan, tables = _world()
+    cfg = CFG.replace(ssaa=1, two_phase_k1=1)
+    a = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                 interpret=True))
+    b = np.asarray(render_tables(plan, tables,
+                                 cfg.replace(two_phase_k1=0),
+                                 backend="mega", interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_two_phase_gradients_match():
+    plan, tables = _world()
+    cfg = CFG.replace(ssaa=1, two_phase_k1=24)
+
+    def loss(t, c):
+        img = render_tables(plan, t, c, backend="mega", interpret=True,
+                            differentiable=True)
+        return jnp.mean(img * img)
+
+    ga = jax.grad(lambda t: loss(t, cfg))(tables)
+    gb = jax.grad(lambda t: loss(t, cfg.replace(two_phase_k1=0)))(tables)
+    for field in ("prim_pos", "prim_aux", "prim_color", "light_pos"):
+        np.testing.assert_allclose(np.asarray(getattr(ga, field)),
+                                   np.asarray(getattr(gb, field)),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=f"two-phase grad {field}")
+
+
 def test_mega_analytic_normals():
     """normal_mode='analytic' in the mega kernel: hand-derived winner
     gradients vs the jnp autodiff analytic normal."""
