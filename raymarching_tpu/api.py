@@ -12,7 +12,10 @@ Backends (RenderConfig.backend or the ``backend=`` argument):
   * ``"mega"``   — the whole per-ray pipeline (march + color + FD normal +
     shadows + Lambert) in ONE pallas_call per ray chunk
     (ops.pallas_render); same IFT backward replayed from saved kernel
-    outputs.  Fastest; falls back to jnp for depth>2 CSG.
+    outputs.  Fastest.  Depth<=2 scenes compile the two-level normal form
+    with culling; deeper trees compile the generic post-order evaluator
+    (ops.pallas_march.kernel_key) — every grammar-expressible scene runs
+    on the kernel path.
   * ``"auto"``   — mega on TPU, jnp elsewhere.
 """
 
@@ -52,10 +55,11 @@ def _normal_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                p, tables):
     """Scene gradient (FD stencil or analytic winner gradient, per
     cfg.normal_mode): Pallas forward, jnp-rematerialized backward."""
-    from .ops.pallas_march import pallas_surface_eval
+    from .ops.pallas_march import kernel_key, pallas_surface_eval
 
     _, _, g = pallas_surface_eval(
-        plan.kernel, cfg.fd_h, cfg.tile_sublanes, p.reshape(-1, 3), tables,
+        kernel_key(plan), cfg.fd_h, cfg.tile_sublanes,
+        p.reshape(-1, 3), tables,
         with_color=False, with_normal=True, fused=cfg.fused_generators,
         analytic=cfg.normal_mode == "analytic", interpret=interpret)
     return g.reshape(p.shape)
@@ -67,8 +71,7 @@ def _normal_fwd(plan, cfg, interpret, p, tables):
 
 def _normal_bwd(plan, cfg, interpret, residuals, g_bar):
     p, tables = residuals
-    if (plan.kernel is not None and not cfg.fused_generators
-            and cfg.normal_mode != "analytic"):
+    if not cfg.fused_generators and cfg.normal_mode != "analytic":
         # Exact-table FD path: six winner-kernel passes + segment-sums
         # (ops.scene_vjp) — no [rays, prims] matrix in the backward.
         from .ops.scene_vjp import fd_normal_bwd
@@ -110,8 +113,8 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
     if backend != "pallas":
         raise ValueError(f"unknown backend {backend!r}")
 
-    from .ops.pallas_march import (make_pallas_march, pallas_march,
-                                   pallas_surface_eval)
+    from .ops.pallas_march import (kernel_key, make_pallas_march,
+                                   pallas_march, pallas_surface_eval)
 
     if cfg.fused_generators:
         # IFT backward must differentiate the same (folded) field the
@@ -138,7 +141,8 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
     def shadow_fn(o, d, tmax):
         o, d, tmax = map(lax.stop_gradient, (o, d, tmax))
         shape = o.shape
-        res = pallas_march(plan.kernel, cfg.iterations, cfg.surface_precision,
+        res = pallas_march(kernel_key(plan), cfg.iterations,
+                           cfg.surface_precision,
                            cfg.tile_sublanes, o.reshape(-1, 3),
                            d.reshape(-1, 3), sg_tables,
                            tmax=tmax.reshape(-1),
@@ -151,7 +155,7 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
     def surface_fn(p):
         flat = lax.stop_gradient(p.reshape(-1, 3))
         sd, cidx, _ = pallas_surface_eval(
-            plan.kernel, cfg.fd_h, cfg.tile_sublanes, flat, sg_tables,
+            kernel_key(plan), cfg.fd_h, cfg.tile_sublanes, flat, sg_tables,
             with_color=True, with_normal=False,
             fused=cfg.fused_generators, interpret=interpret)
         safe = jnp.clip(cidx, 0, tables.prim_color.shape[0] - 1)
@@ -213,10 +217,7 @@ def render_tables(plan: ScenePlan, tables: SceneTables,
     cfg = cfg or RenderConfig()
     backend = resolve_backend(backend or cfg.backend)
     if backend == "mega":
-        if plan.kernel is None:
-            backend = "jnp"           # depth>2 CSG: no kernel normal form
-        else:
-            return _render_mega(plan, tables, cfg, interpret)
+        return _render_mega(plan, tables, cfg, interpret)
     hooks = make_render_hooks(plan, tables, cfg, backend,
                               interpret=interpret)
     return render_image(plan, tables, cfg,

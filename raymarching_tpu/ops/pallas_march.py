@@ -43,6 +43,16 @@ from ..scene.csg import PrimType
 LANES = 128
 
 
+def kernel_key(plan: ScenePlan):
+    """The static argument the kernels key/compile on: the two-level
+    KernelPlan when the scene is depth<=2 (fast path with per-tile cull),
+    else the full ScenePlan — ANY grammar-expressible tree runs on the
+    kernel path via the generic post-order evaluator (SURVEY §7's
+    per-level unrolling; the GLSL stack interpreter, shader.comp:226-265,
+    is what this replaces)."""
+    return plan.kernel if plan.kernel is not None else plan
+
+
 def _prim_sd(ptype: int, tbl, i, px, py, pz):
     """Distance of primitive ``i`` (scalars from SMEM) to rays (vectors)."""
     cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
@@ -181,7 +191,7 @@ _PRELOAD_LIMIT = 256
 _CULL_FUSED = False
 
 
-def preload_table(kp: KernelPlan, tbl, fused: bool):
+def preload_table(kp, tbl, fused: bool):
     """Build a _TableView caching every scalar the fold will read through a
     STATIC index (unrolled runs, fori leftovers, fused generator bases)."""
     cache = {}
@@ -190,6 +200,15 @@ def preload_table(kp: KernelPlan, tbl, fused: bool):
         for j in js:
             if (i, j) not in cache:
                 cache[(i, j)] = tbl[i, j]
+
+    if isinstance(kp, ScenePlan):
+        # Generic deep plan: preload every leaf (deep trees are small; the
+        # _PRELOAD_LIMIT guard below still applies).
+        for i, t in enumerate(kp.prim_type):
+            load(i, range(4) if t == int(PrimType.SPHERE) else range(6))
+        if len(cache) > _PRELOAD_LIMIT:
+            return tbl
+        return _TableView(tbl, cache)
 
     for g in kp.groups:
         use_fused = fused and g.fused is not None and g.fused[0] == "menger"
@@ -211,9 +230,101 @@ def preload_table(kp: KernelPlan, tbl, fused: bool):
     return _TableView(tbl, cache)
 
 
-def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
+def _type_segments(prim_type, start: int, count: int):
+    """Split leaves [start, start+count) into maximal same-type segments."""
+    segs = []
+    for off in range(count):
+        t = prim_type[start + off]
+        if segs and segs[-1][0] == t:
+            segs[-1] = (t, segs[-1][1], segs[-1][2] + 1)
+        else:
+            segs.append((t, start + off, 1))
+    return segs
+
+
+def _scene_generic_tile(plan: ScenePlan, tbl, px, py, pz, dtype,
+                        with_idx: bool, with_grad: bool):
+    """Arbitrary-depth scene evaluation: the static post-order ListPlan
+    sequence unrolled at trace time — each list's (value[, idx][, grad])
+    lives in registers, entries fold left-to-right with strict first-wins
+    comparisons (body.cpp:12-14 / core.sdf argmin-first semantics).  MAX
+    folds run through min via max(x) = -min(-x).  No cull (deep scenes are
+    small); no fused-generator provenance (generators are always depth-2).
+
+    Returns (sd[, idx][, gx, gy, gz]) matching the two-level variants."""
+    from ..core.sdf import _coalesced_entries, KIND_LIST as _KL
+
+    inf = jnp.full(px.shape, jnp.inf, dtype)
+    zero = jnp.zeros(px.shape, dtype)
+    neg_one = jnp.full(px.shape, -1, jnp.int32)
+
+    def empty():
+        return (inf, neg_one, zero, zero, zero)
+
+    def negate(e):
+        v, i, gx, gy, gz = e
+        return (-v, i, -gx, -gy, -gz)
+
+    def fold_run(op, start, count, neg):
+        # entry value = (neg ? -sd : sd); MIN folds directly, MAX via -min.
+        s = -1 if neg else 1
+        scale = s if op == MIN else -s
+        runs = tuple((pt, st, ct, scale)
+                     for (pt, st, ct) in _type_segments(plan.prim_type,
+                                                        start, count))
+        if with_grad and with_idx:
+            m, i, gx, gy, gz = _fold_runs_idx_grad(
+                tbl, runs, px, py, pz, (inf, neg_one, zero, zero, zero))
+        elif with_idx:
+            m, i = _fold_runs_idx(tbl, runs, px, py, pz, (inf, neg_one))
+            gx = gy = gz = zero
+        elif with_grad:
+            m, gx, gy, gz = _fold_runs_grad(
+                tbl, runs, px, py, pz, (inf, zero, zero, zero))
+            i = neg_one
+        else:
+            m = _fold_runs(tbl, runs, px, py, pz, inf)
+            i, gx, gy, gz = neg_one, zero, zero, zero
+        if op == MIN:
+            return (m, i, gx, gy, gz)
+        return (-m, i, -gx, -gy, -gz)
+
+    def combine(op, acc, e):
+        av, ai, agx, agy, agz = acc
+        v, i, gx, gy, gz = e
+        better = v < av if op == MIN else v > av   # strict: first wins
+        return (jnp.where(better, v, av),
+                jnp.where(better, i, ai),
+                jnp.where(better, gx, agx),
+                jnp.where(better, gy, agy),
+                jnp.where(better, gz, agz))
+
+    results = []
+    for lp in plan.lists:
+        acc = None
+        for (kind, idx, count, neg) in _coalesced_entries(lp):
+            if kind == _KL:
+                e = results[idx]
+                if neg:
+                    e = negate(e)
+            else:
+                e = fold_run(lp.op, idx, count, neg)
+            acc = e if acc is None else combine(lp.op, acc, e)
+        results.append(acc if acc is not None else empty())
+    v, i, gx, gy, gz = results[-1]
+    out = (v,)
+    if with_idx:
+        out += (i,)
+    if with_grad:
+        out += (gx, gy, gz)
+    return out if len(out) > 1 else out[0]
+
+
+def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
     """Scene SDF for a tile: static unroll over groups/runs, fori over
     primitives within a run, all reductions as running minima in registers.
+    ``kp`` is a KernelPlan (two-level fast path) or a full ScenePlan
+    (arbitrary-depth generic path — see kernel_key).
 
     Exact per-tile culling for large max-groups (DIFFERENCE lists like the
     421-cross Menger carve): the group value max(base, -cross_i, ...) is
@@ -222,6 +333,9 @@ def _scene_sd_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
     folding the remaining primitives cannot change the result — skip them.
     Semantics-preserving (the skip condition is a proof, not a heuristic);
     effectiveness comes from ray tiles being spatially coherent."""
+    if isinstance(kp, ScenePlan):
+        return _scene_generic_tile(kp, tbl, px, py, pz, dtype,
+                                   with_idx=False, with_grad=False)
     inf = jnp.full(px.shape, jnp.inf, dtype)
     rsign = 1.0 if kp.root_op == MIN else -1.0
     running = inf
@@ -574,6 +688,9 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
     fold.  One evaluation instead of six FD evaluations — the 'analytic'
     normal mode of the fused render kernel (the jnp analogue is
     core.shading.normal_analytic)."""
+    if isinstance(kp, ScenePlan):
+        return _scene_generic_tile(kp, tbl, px, py, pz, dtype,
+                                   with_idx=False, with_grad=True)
     inf = jnp.full(px.shape, jnp.inf, dtype)
     zero = jnp.zeros(px.shape, dtype)
     rsign = 1.0 if kp.root_op == MIN else -1.0
@@ -657,6 +774,9 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
     formula + segment-sum OUTSIDE the kernel — the [rays, prims] leaf
     matrix is never materialized anywhere in the backward.  Exact tables
     only: fused generator groups take the (cheap) jnp backward instead."""
+    if isinstance(kp, ScenePlan):
+        return _scene_generic_tile(kp, tbl, px, py, pz, dtype,
+                                   with_idx=True, with_grad=True)
     inf = jnp.full(px.shape, jnp.inf, dtype)
     zero = jnp.zeros(px.shape, dtype)
     rsign = 1.0 if kp.root_op == MIN else -1.0
@@ -704,6 +824,10 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
     strict-< root fold, so neither value nor winner can change).  Fused
     generator groups report their base primitive as the winner (every leaf
     of a generator shares one color, body.cpp:149-169)."""
+    if isinstance(kp, ScenePlan):
+        sd, idx = _scene_generic_tile(kp, tbl, px, py, pz, dtype,
+                                      with_idx=True, with_grad=False)
+        return sd, idx
     inf = jnp.full(px.shape, jnp.inf, dtype)
     rsign = 1.0 if kp.root_op == MIN else -1.0
     running = inf
@@ -868,15 +992,14 @@ def make_pallas_march(plan: ScenePlan, cfg: RenderConfig,
                       *, interpret: bool = False) -> Callable:
     """forward_impl for ops.march_op: (origin, ray, tables) -> MarchResult.
 
-    Requires the two-level kernel normal form (every reference scene
-    qualifies; deeper trees use the jnp path — api.resolve falls back)."""
-    if plan.kernel is None:
-        raise ValueError("scene is not in two-level kernel normal form; "
-                         "use the jnp backend for depth>2 CSG trees")
+    Depth<=2 scenes (every reference scene) compile the two-level normal
+    form with culling; deeper trees compile the generic post-order
+    evaluator (kernel_key) — all grammar-expressible scenes run here."""
+    kp = kernel_key(plan)
 
     def forward_impl(origin, ray, tables):
         shape = origin.shape
-        res = pallas_march(plan.kernel, cfg.iterations,
+        res = pallas_march(kp, cfg.iterations,
                            cfg.surface_precision, cfg.tile_sublanes,
                            origin.reshape(-1, 3), ray.reshape(-1, 3),
                            tables, fused=cfg.fused_generators,

@@ -33,7 +33,7 @@ from ..config import RenderConfig
 from ..core.march import MAX_STEP
 from ..scene.compile import KernelPlan, ScenePlan, SceneTables
 from .pallas_march import (LANES, _build_table, _scene_sd_idx_tile,
-                           _scene_sd_tile, _tbl_spec, _tiling,
+                           _scene_sd_tile, _tbl_spec, _tiling, kernel_key,
                            preload_table)
 
 
@@ -288,8 +288,7 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
                        tables: SceneTables, *, interpret: bool = False):
     """Fully fused forward: dirs [R, 3], origin [3] ->
     (p_hit [R,3], sd [R], converged [R], cidx [R], light [R], smask [R])."""
-    kp = plan.kernel
-    assert kp is not None
+    kp = kernel_key(plan)
     colored = plan.colored_lights
     R = dirs.shape[0]
     num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
@@ -355,7 +354,7 @@ def _two_phase_march(plan: ScenePlan, cfg: RenderConfig, origin, dirs,
     tiles, finish only those — exact (see RenderConfig.two_phase_k1)."""
     from .pallas_march import pallas_march
 
-    kp = plan.kernel
+    kp = kernel_key(plan)
     R = dirs.shape[0]
     k1 = cfg.two_phase_k1
     o = jnp.broadcast_to(origin, dirs.shape)

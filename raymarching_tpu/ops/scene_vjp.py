@@ -63,12 +63,31 @@ _DENOM_EPS = 1e-6
 
 @functools.lru_cache(maxsize=None)
 def _leaf_statics(plan: ScenePlan):
-    """Per-leaf (sign_eff, is_sphere) numpy arrays from the static plan."""
+    """Per-leaf (sign_eff, is_sphere) numpy arrays from the static plan.
+
+    sign_eff[leaf] is the product of negation flags along the root->leaf
+    path: min/max folds SELECT but never scale, so for the winning leaf
+    ``scene = sign_eff * sd_leaf`` regardless of tree depth.  For two-level
+    plans this equals gsign*scale; deeper trees walk the post-order lists
+    top-down."""
     P = plan.num_primitives
     sign_eff = np.zeros(max(P, 1), np.float32)
-    for g in plan.kernel.groups:
-        for (ptype, start, count, scale) in g.runs:
-            sign_eff[start:start + count] = float(g.gsign * scale)
+    if plan.kernel is not None:
+        for g in plan.kernel.groups:
+            for (ptype, start, count, scale) in g.runs:
+                sign_eff[start:start + count] = float(g.gsign * scale)
+    else:
+        from ..scene.compile import KIND_LEAF
+        # context sign per list, propagated root (last list) downward.
+        ctx = [0.0] * len(plan.lists)
+        ctx[len(plan.lists) - 1] = 1.0
+        for li in range(len(plan.lists) - 1, -1, -1):
+            for (kind, idx, neg) in plan.lists[li].entries:
+                s = ctx[li] * (-1.0 if neg else 1.0)
+                if kind == KIND_LEAF:
+                    sign_eff[idx] = s
+                else:
+                    ctx[idx] = s
     is_sphere = (np.asarray(plan.prim_type, np.int32)
                  == int(PrimType.SPHERE))
     if P == 0:
@@ -80,11 +99,11 @@ def winner_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
                 interpret: bool):
     """(sd, winner idx, d scene/dp) at points p [..., 3] — one kernel pass
     (the combined surface-kernel mode)."""
-    from .pallas_march import pallas_surface_eval
+    from .pallas_march import kernel_key, pallas_surface_eval
 
     flat = p.reshape(-1, 3)
     sd, widx, g = pallas_surface_eval(
-        plan.kernel, cfg.fd_h, cfg.tile_sublanes, flat, tables,
+        kernel_key(plan), cfg.fd_h, cfg.tile_sublanes, flat, tables,
         with_color=True, with_normal=True, fused=False, analytic=True,
         interpret=interpret)
     batch = p.shape[:-1]

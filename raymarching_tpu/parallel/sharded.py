@@ -113,14 +113,12 @@ def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         from ..api import make_render_hooks, resolve_backend
         shape = dirs_block.shape
         resolved = resolve_backend(backend)
-        if resolved == "mega" and plan.kernel is not None:
+        if resolved == "mega":
             from ..ops.pallas_render import fused_render_op
             colors = fused_render_op(plan, cfg, interpret, tables,
                                      tables.cam_position,
                                      dirs_block.reshape(-1, 3))
         else:
-            if resolved == "mega":
-                resolved = "jnp"      # depth>2 CSG fallback
             hooks = make_render_hooks(plan, tables, cfg, resolved,
                                       interpret=interpret)
             colors = _shade_rays(plan, tables, cfg, tables.cam_position,

@@ -2,14 +2,14 @@
 implementation layer — pure-Python tree oracle vs vectorized jnp plan vs
 kernel normal form vs Pallas (interpret).  Catches structure edge cases the
 hand-written scenes miss (all-negated groups, singleton lists, mixed type
-runs, many groups)."""
+runs, many groups, depth>2 nesting through the generic kernel path)."""
 
 import numpy as np
 import pytest
 
 from raymarching_tpu.core.sdf import (scene_sd, scene_sd_kernel_form,
                                       scene_surface)
-from raymarching_tpu.ops.pallas_march import pallas_surface_eval
+from raymarching_tpu.ops.pallas_march import kernel_key, pallas_surface_eval
 from raymarching_tpu.scene.compile import compile_tree
 from raymarching_tpu.scene.csg import Box, Cross, ListNode, Mode, Sphere
 from raymarching_tpu.scene.objects import Camera
@@ -25,25 +25,33 @@ def _random_prim(rng):
     return (Box if kind == 1 else Cross)(pos, size, color)
 
 
-def _random_scene(rng):
+def _random_list(rng, depth: int):
+    mode = Mode(int(rng.integers(0, 4)))
+    sub = ListNode(mode)
+    for _ in range(rng.integers(1, 6)):
+        if depth > 0 and rng.random() < 0.35:
+            sub.append(_random_list(rng, depth - 1))
+        else:
+            sub.append(_random_prim(rng))
+    return sub
+
+
+def _random_scene(rng, depth: int = 1):
     root = ListNode(Mode.UNION)
     n_children = rng.integers(1, 7)
     for _ in range(n_children):
         if rng.random() < 0.5:
             root.append(_random_prim(rng))
         else:
-            mode = Mode(int(rng.integers(0, 4)))
-            sub = ListNode(mode)
-            for _ in range(rng.integers(1, 6)):
-                sub.append(_random_prim(rng))
-            root.append(sub)
+            root.append(_random_list(rng, depth - 1))
     return root
 
 
-@pytest.mark.parametrize("seed", range(12))
-def test_fuzz_all_layers_agree(seed):
+@pytest.mark.parametrize("seed,depth", [(s, 1) for s in range(12)]
+                         + [(s, 3) for s in range(12, 20)])
+def test_fuzz_all_layers_agree(seed, depth):
     rng = np.random.default_rng(1000 + seed)
-    tree = _random_scene(rng)
+    tree = _random_scene(rng, depth)
     plan, tables = compile_tree(tree, [], Camera())
     pts = rng.uniform(-8, 8, size=(64, 3)).astype(np.float32)
 
@@ -57,20 +65,22 @@ def test_fuzz_all_layers_agree(seed):
     sd_s, col_j = scene_surface(plan, tables, pts)
     np.testing.assert_allclose(np.asarray(col_j), col_py, atol=1e-6)
 
-    # kernel normal form (when lowerable) + pallas kernel (interpret)
+    # two-level kernel normal form agrees exactly when lowerable
     if plan.kernel is not None:
         sd_k = np.asarray(scene_sd_kernel_form(plan, tables, pts))
         np.testing.assert_allclose(sd_k, sd_j, rtol=0, atol=0)
-        sd_p, cidx, g = pallas_surface_eval(
-            plan.kernel, 1e-3, 8, pts, tables,
-            with_color=True, with_normal=False, interpret=True)
-        np.testing.assert_allclose(np.asarray(sd_p), sd_j,
-                                   rtol=1e-6, atol=1e-5)
-        color = np.where(np.asarray(cidx)[:, None] >= 0,
-                         tables.prim_color[np.clip(np.asarray(cidx), 0,
-                                                   None)], 0.0)
-        # colors may differ only at exact SD ties between distinct prims
-        ties = np.abs(sd_j - sd_py) > 0
-        match = np.all(np.abs(color - col_py) < 1e-6, axis=-1)
-        assert match.mean() > 0.98, f"color mismatches beyond ties: " \
-            f"{(~match).sum()}/{len(match)}"
+
+    # pallas kernel path (interpret) — EVERY tree: two-level normal form
+    # for depth<=2, generic post-order evaluator for deeper nests
+    sd_p, cidx, g = pallas_surface_eval(
+        kernel_key(plan), 1e-3, 8, pts, tables,
+        with_color=True, with_normal=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(sd_p), sd_j,
+                               rtol=1e-6, atol=1e-5)
+    color = np.where(np.asarray(cidx)[:, None] >= 0,
+                     tables.prim_color[np.clip(np.asarray(cidx), 0,
+                                               None)], 0.0)
+    # colors may differ only at exact SD ties between distinct prims
+    match = np.all(np.abs(color - col_py) < 1e-6, axis=-1)
+    assert match.mean() > 0.98, f"color mismatches beyond ties: " \
+        f"{(~match).sum()}/{len(match)}"

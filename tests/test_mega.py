@@ -81,7 +81,9 @@ def test_mega_no_shadows():
     np.testing.assert_allclose(m, r, atol=5e-4)
 
 
-def test_mega_depth3_falls_back():
+def test_mega_depth3_fused():
+    """Depth>2 trees run the WHOLE mega pipeline on the kernel path via the
+    generic post-order evaluator (no jnp fallback), with gradients."""
     inner = ListNode(Mode.DIFFERENCE, [Sphere((0, 0, -5), 2.0),
                                        Sphere((1, 0, -5), 1.0)])
     mid = ListNode(Mode.INTERSECTION, [inner, Box((0, 0, -5), (3, 3, 3))])
@@ -89,9 +91,25 @@ def test_mega_depth3_falls_back():
     plan, tables = compile_tree(root, [Light((5, 5, 5))], Camera())
     assert plan.kernel is None
     cfg = CFG.replace(ssaa=1)
-    m = np.asarray(render_tables(plan, tables, cfg, backend="mega"))
+    m = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                 interpret=True))
     r = np.asarray(render_tables(plan, tables, cfg, backend="ref"))
     np.testing.assert_allclose(m, r, atol=5e-4)
+
+    def loss(t, backend, interpret=False):
+        img = render_tables(plan, t, cfg, backend=backend,
+                            interpret=interpret, differentiable=True)
+        return jnp.mean(img * img)
+
+    gm = jax.grad(lambda t: loss(t, "mega", True))(tables)
+    gj = jax.grad(lambda t: loss(t, "jnp"))(tables)
+    for field in ("prim_pos", "prim_aux", "prim_color", "light_pos"):
+        a = np.asarray(getattr(gm, field), np.float64)
+        b = np.asarray(getattr(gj, field), np.float64)
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, b, rtol=0.02, atol=0.005 * scale,
+            err_msg=f"depth-3 mega gradient mismatch in {field}")
 
 
 def test_two_phase_march_bit_identical():

@@ -2,6 +2,7 @@
 kernel-equivalence rung of the test pyramid, SURVEY §4).  The same kernel
 code runs compiled on real TPUs; interpret mode validates semantics."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -106,14 +107,32 @@ def test_full_render_pallas_vs_reference():
     np.testing.assert_allclose(img_p, img_r, atol=1e-4)
 
 
-def test_depth3_scene_rejected():
-    inner = ListNode(Mode.UNION, [Sphere((0, 0, 0), 1.0)])
-    mid = ListNode(Mode.DIFFERENCE, [Box((0, 0, 0), (4, 4, 4)), inner])
-    root = ListNode(Mode.UNION, [mid, ListNode(Mode.UNION, [inner])])
+def test_depth3_scene_marches_on_kernel_path():
+    """Depth>2 trees compile the generic post-order evaluator — the march
+    kernel must agree with the jnp oracle march (no fallback)."""
+    inner = ListNode(Mode.UNION, [Sphere((0, 0, -6), 1.0)])
+    mid = ListNode(Mode.DIFFERENCE, [Box((0, 0, -6), (4, 4, 4)), inner])
+    root = ListNode(Mode.UNION, [bounds(40.0), mid,
+                                 ListNode(Mode.UNION, [inner])])
     plan, tables = compile_tree(root, [], Camera())
-    if plan.kernel is None:
-        with pytest.raises(ValueError, match="normal form"):
-            make_pallas_march(plan, CFG, interpret=True)
+    assert plan.kernel is None
+    impl = make_pallas_march(plan, CFG, interpret=True)
+
+    n = 64
+    rng = np.random.default_rng(11)
+    o = np.broadcast_to([0.0, 0.0, 4.0], (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] -= 1.5
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    res_p = impl(jnp.asarray(o), jnp.asarray(d), tables)
+    from raymarching_tpu.core.march import march_while
+    res_j = march_while(lambda q: scene_sd(plan, tables, q),
+                        jnp.asarray(o), jnp.asarray(d),
+                        CFG.iterations, CFG.surface_precision)
+    np.testing.assert_allclose(np.asarray(res_p.position),
+                               np.asarray(res_j.position), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res_p.converged),
+                                  np.asarray(res_j.converged))
 
 
 def test_march_step_counters():
