@@ -30,31 +30,21 @@ def to_uint8(img: np.ndarray, gamma: float = 1.0) -> np.ndarray:
 JPEG_QUALITY = 100
 
 
-def _have_pillow() -> bool:
-    try:
-        import PIL.Image  # noqa: F401
-        return True
-    except ImportError:  # pragma: no cover
-        return False
-
-
 def save_image(path: str, img: np.ndarray, gamma: float = 1.0) -> None:
     """Save a linear float image to PNG / PPM / JPEG (by extension).
 
-    JPEG (the reference's GPU output format, main.cpp:80, stb quality 100)
-    requires Pillow; PNG and PPM are dependency-free."""
+    All three formats are dependency-free: JPEG (the reference's GPU
+    output format, main.cpp:80, stb quality 100) uses the clean-room
+    baseline encoder in io.jpeg."""
     data = to_uint8(img, gamma)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".ppm":
         _png.write_ppm(path, data)
         return
     if ext in (".jpg", ".jpeg"):
-        if not _have_pillow():
-            raise ValueError(
-                "JPEG output requires Pillow; use .png or .ppm instead")
-        from PIL import Image
+        from .jpeg import write_jpeg
 
-        Image.fromarray(data[..., :3]).save(path, quality=JPEG_QUALITY)
+        write_jpeg(path, data[..., :3], JPEG_QUALITY)
         return
     if ext not in (".png", ""):
         raise ValueError(f"unsupported image format: {ext} "

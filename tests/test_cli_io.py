@@ -65,11 +65,34 @@ class TestImageIO:
         with pytest.raises(ValueError, match="unsupported"):
             save_image(str(tmp_path / "x.bmp"), np.zeros((2, 2, 3)))
 
-    def test_save_jpeg_with_pillow(self, tmp_path):
-        pytest.importorskip("PIL")
+    def test_save_jpeg_dependency_free(self, tmp_path):
         path = str(tmp_path / "x.jpg")
         save_image(path, np.full((8, 8, 3), 0.5, np.float32))
         assert open(path, "rb").read(2) == b"\xff\xd8"  # JPEG SOI
+
+    def test_jpeg_roundtrips_through_pillow(self, tmp_path):
+        """Clean-room baseline encoder (io.jpeg) produces standard JFIF a
+        third-party decoder reads back near-losslessly at quality 100."""
+        pytest.importorskip("PIL")
+        import io as _io
+
+        from PIL import Image
+
+        from raymarching_tpu.io.jpeg import encode_jpeg
+
+        rng = np.random.default_rng(7)
+        # smooth ramp + hard edges + noise, odd (non-multiple-of-8) size
+        x = np.linspace(0, 1, 75)
+        img = np.stack([np.outer(np.linspace(0, 1, 53), x)] * 3, -1)
+        img[20:30, 30:50] = [1.0, 0.1, 0.1]
+        img += rng.normal(0, 0.02, img.shape)
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+        dec = np.asarray(Image.open(
+            _io.BytesIO(encode_jpeg(img, 100))).convert("RGB"))
+        assert dec.shape == img.shape
+        diff = np.abs(dec.astype(int) - img.astype(int))
+        assert diff.max() <= 12 and diff.mean() < 1.5
 
 
 class TestUtils:
