@@ -28,6 +28,14 @@ from ..scene.csg import PrimType
 _INF = jnp.float32(jnp.inf)
 
 
+def _med3(a, b, c):
+    """Median of three via a min/max sorting network — see leaf_sd; the
+    SAME expression runs in the Pallas kernels (pallas_march._med3) so the
+    oracle and the kernels stay bit-identical."""
+    return jnp.maximum(jnp.minimum(a, b),
+                       jnp.minimum(jnp.maximum(a, b), c))
+
+
 def leaf_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray:
     """Signed distances of every leaf primitive.
 
@@ -36,12 +44,19 @@ def leaf_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray
     Formulas (body.cpp:32-57):
       sphere: |c - p| - r
       box:    max_axis(|p - c| - s/2)
-      cross:  sum(b) - min(b) - max(b), b = |p - c| - s/2
+      cross:  median_axis(b), b = |p - c| - s/2 — computed as the min/max
+              sorting network median3(b) rather than the reference's
+              ``sum(b) - min(b) - max(b)``: mathematically identical, but
+              built only from exactly-rounded min/max ops so it is cheaper
+              AND exactly monotone per argument in f32, which the
+              collapsed-lattice Menger fold's bitwise-equality proof needs
+              (ops.pallas_march._menger_carve_lattice).  Deviation from
+              the C++ sum form is ulp-scale rounding only.
     """
     d = p[..., None, :] - tables.prim_pos          # [..., P, 3]
     b = jnp.abs(d) - tables.prim_aux * 0.5         # [..., P, 3]
     box = jnp.max(b, axis=-1)
-    cross = jnp.sum(b, axis=-1) - jnp.min(b, axis=-1) - box
+    cross = _med3(b[..., 0], b[..., 1], b[..., 2])
     sphere = jnp.sqrt(jnp.sum(d * d, axis=-1)) - tables.prim_aux[..., 0]
 
     t = np.asarray(plan.prim_type, np.int32)       # static per-scene
@@ -159,10 +174,9 @@ def _run_sd(tables: SceneTables, ptype: int, start: int, count: int,
     if ptype == int(PrimType.SPHERE):
         return jnp.sqrt(jnp.sum(d * d, axis=-1)) - aux[..., 0]
     b = jnp.abs(d) - aux * 0.5
-    mx = jnp.max(b, axis=-1)
     if ptype == int(PrimType.BOX):
-        return mx
-    return jnp.sum(b, axis=-1) - jnp.min(b, axis=-1) - mx
+        return jnp.max(b, axis=-1)
+    return _med3(b[..., 0], b[..., 1], b[..., 2])
 
 
 def _menger_carve_jnp(tables: SceneTables, box_idx: int, iters: int,
@@ -177,7 +191,7 @@ def _menger_carve_jnp(tables: SceneTables, box_idx: int, iters: int,
     carve = jnp.full(p.shape[:-1], _INF, p.dtype)
     for k in range(iters):
         b = jnp.abs(q) - csize * 0.5
-        cross = (jnp.sum(b, -1) - jnp.min(b, -1) - jnp.max(b, -1))
+        cross = _med3(b[..., 0], b[..., 1], b[..., 2])
         carve = jnp.minimum(carve, cross)
         if k + 1 < iters:
             cell = jnp.clip(jnp.round(q / pitch), -1.0, 1.0)

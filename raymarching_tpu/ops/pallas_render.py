@@ -293,7 +293,7 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     R = dirs.shape[0]
     num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
     comps = [prep(dirs[:, a]) for a in range(3)]
-    tbl = _build_table(tables)
+    tbl = _build_table(tables, kp)
     # [L, 8] SMEM rows: position xyz, pad, color rgb, pad.
     L = tables.light_pos.shape[0]
     lights = jnp.concatenate(

@@ -102,6 +102,22 @@ class GroupPlan:
     and the kernel may evaluate the carve by space folding instead of the
     explicit 20^k cross table (opt-in via RenderConfig.fused_generators;
     same zero set, conservative distances — see ops.pallas_march).
+
+    ``lattice``: optional shared-coordinate structure of the group's carve
+    crosses, for the EXACT column-collapsed fold
+    (ops.pallas_march._menger_carve_lattice).  Per recursion level, all
+    crosses share per-axis centre coordinates (a 3-D lattice) and one
+    size; the median-of-excesses cross SDF is monotone in each per-axis
+    excess, so the min over a (y, z) column of crosses equals one median
+    of the column's min x-excess — bitwise, since jnp.minimum returns an
+    input exactly.  Levels are tuples: ``(leaf,)`` for the level-0 cross,
+    else ``(xs_reps, ys_reps, zs_reps, size_rep, columns, members)`` where
+    the *_reps are representative leaf rows per unique lattice coordinate,
+    ``columns`` is ``((iy, iz, (ix, ...)), ...)`` indexing the reps, and
+    ``members`` is ``((leaf, ix, iy, iz), ...)`` for the runtime validity
+    check (pallas_march._lattice_ok): the collapse is only taken while the
+    live table rows still share coordinates; otherwise the kernel falls
+    back to the full fold — never approximate.
     """
 
     gsign: int                                   # +1 | -1
@@ -110,6 +126,7 @@ class GroupPlan:
     scales: Tuple[int, ...]                      # per-leaf +-1, len == count
     runs: Tuple[Tuple[int, int, int, int], ...]  # (ptype, start, count, scale)
     fused: Optional[Tuple] = None
+    lattice: Optional[Tuple[Tuple, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,6 +186,73 @@ def _compile_tree(root: ListNode):
     return prims, tuple(prim_types), tuple(lists), provenance
 
 
+def _menger_lattice(start: int, count: int, scales, iters: int):
+    """Per-level lattice structure of a Menger group's carve crosses.
+
+    Mirrors generators._generate_menger's DFS over integer lattice
+    coordinates: a level-k cross's per-axis centre coordinate is
+    ``box_centre + X * size / 3**k`` with ``X = sum_j 3**(k-j) * o_jx``
+    over its offset path — and that float is computed through the SAME
+    arithmetic for every cross sharing the lattice line, so shared
+    coordinates are bitwise equal in the compiled table.  The kernel
+    reads each unique coordinate once (from a representative row) and
+    collapses each (y, z) column of same-size crosses into one median —
+    see GroupPlan.lattice for the exactness argument.
+
+    Structure only (no float values): valid for any tables whose rows
+    still satisfy the sharing, which pallas_march._lattice_ok re-checks
+    against the LIVE table at render time."""
+    if iters < 2:
+        return None
+    expected = 1
+    for _ in range(iters - 1):
+        expected = 1 + 20 * expected    # crosses in the DFS subtree
+    if count != 1 + expected or any(s != 1 for s in scales[1:]):
+        return None
+    from .generators import _MENGER_OFFSETS
+    per_level = {k: [] for k in range(iters)}
+    leaf = [start + 1]                  # first cross (level 0)
+
+    def rec(X, Y, Z, k):
+        per_level[k].append((leaf[0], X, Y, Z))
+        leaf[0] += 1
+        if k + 1 < iters:
+            for (ox, oy, oz) in _MENGER_OFFSETS:
+                rec(3 * X + ox, 3 * Y + oy, 3 * Z + oz, k + 1)
+
+    rec(0, 0, 0, 0)
+    levels = [(per_level[0][0][0],)]    # level 0: a single cross
+    for k in range(1, iters):
+        cells = per_level[k]
+        xs = sorted({c[1] for c in cells})
+        ys = sorted({c[2] for c in cells})
+        zs = sorted({c[3] for c in cells})
+        xi = {v: i for i, v in enumerate(xs)}
+        yi = {v: i for i, v in enumerate(ys)}
+        zi = {v: i for i, v in enumerate(zs)}
+        xs_reps = [None] * len(xs)
+        ys_reps = [None] * len(ys)
+        zs_reps = [None] * len(zs)
+        columns = {}
+        members = []
+        for (row, X, Y, Z) in cells:
+            ix, iy, iz = xi[X], yi[Y], zi[Z]
+            if xs_reps[ix] is None:
+                xs_reps[ix] = row
+            if ys_reps[iy] is None:
+                ys_reps[iy] = row
+            if zs_reps[iz] is None:
+                zs_reps[iz] = row
+            columns.setdefault((iy, iz), []).append(ix)
+            members.append((row, ix, iy, iz))
+        levels.append((tuple(xs_reps), tuple(ys_reps), tuple(zs_reps),
+                       cells[0][0],
+                       tuple((iy, iz, tuple(ixs))
+                             for (iy, iz), ixs in sorted(columns.items())),
+                       tuple(members)))
+    return tuple(levels)
+
+
 def _kernel_normal_form(lists: Sequence[ListPlan],
                         prim_type: Sequence[int],
                         provenance=None) -> Optional[KernelPlan]:
@@ -214,11 +298,14 @@ def _kernel_normal_form(lists: Sequence[ListPlan],
             gsign, scales = -1, [-s for s in signs]
         if neg:
             gsign = -gsign
+        fused = provenance.get(idx) if not neg else None
+        lattice = None
+        if fused is not None and fused[0] == "menger" and gsign == -1:
+            lattice = _menger_lattice(start, len(scales), scales, fused[1])
         groups.append(GroupPlan(gsign=gsign, start=start, count=len(scales),
                                 scales=tuple(scales),
                                 runs=leaf_runs(start, scales),
-                                fused=(provenance.get(idx)
-                                       if not neg else None)))
+                                fused=fused, lattice=lattice))
     return KernelPlan(root_op=root.op, groups=tuple(groups))
 
 

@@ -14,7 +14,8 @@ Semantics (body.cpp):
   - Unary ``-`` negates SD, keeps color (body.cpp:16-18).
   - Sphere SDF:  |c - p| - r                          (body.cpp:32-35)
   - Box SDF:     max(|p - c| - s/2)   (Chebyshev)     (body.cpp:41-45)
-  - Cross SDF:   sum(b) - min(b) - max(b), b=|p-c|-s/2 (body.cpp:51-57)
+  - Cross SDF:   median(b), b=|p-c|-s/2 (the reference's sum-min-max form,
+                 body.cpp:51-57, computes this median; see core.sdf._med3)
   - List fold, left to right, first element special-cased (body.cpp:66-111):
       UNION:        s0,  then min(acc, s_i)
       COMPLEMENT:  -s0,  then min(acc, -s_i)
@@ -108,7 +109,10 @@ class Cross:
 
     def sdf(self, p: Vec3) -> float:
         b = [abs(p[i] - self.position[i]) - self.size[i] / 2.0 for i in range(3)]
-        return sum(b) - min(b) - max(b)
+        # median of the three excesses — the exact value of the reference's
+        # sum-min-max form (body.cpp:51-57); see core.sdf._med3 for why the
+        # framework computes the median directly
+        return sorted(b)[1]
 
 
 Primitive = Union[Sphere, Box, Cross]

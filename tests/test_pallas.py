@@ -151,3 +151,80 @@ def test_march_step_counters():
     # kernel tiles may run a few extra MASKED iterations (per-tile exit,
     # K-step checks) but per-ray ACTIVE step counts are identical
     np.testing.assert_array_equal(np.asarray(steps_p), np.asarray(steps_j))
+
+
+class TestMengerLattice:
+    """The collapsed-lattice Menger carve fold
+    (compile._menger_lattice + pallas_march._menger_carve_lattice): the
+    column collapse must be BITWISE exact while rows share coordinates,
+    and the flag-row gate must drop back to the full fold the moment a
+    cross row is perturbed — never approximate."""
+
+    def _menger_plan(self, iters=3):
+        tree = ListNode(Mode.UNION, [
+            bounds(60.0),
+            menger_sponge((0, 0, -8), 9.0, iters),
+        ])
+        return compile_tree(tree, [], Camera())
+
+    def test_structure_emitted(self):
+        plan, tables = self._menger_plan(3)
+        g = next(g for g in plan.kernel.groups if g.fused is not None)
+        assert g.lattice is not None and len(g.lattice) == 3
+        assert g.lattice[0] == (g.start + 1,)
+        l2 = g.lattice[2]
+        assert len(l2[0]) == 9 and len(l2[4]) == 64   # 9 x-coords, 64 cols
+        assert sum(len(c[2]) for c in l2[4]) == 400
+        from raymarching_tpu.ops.pallas_march import lattice_ok
+        assert float(lattice_ok(plan.kernel, tables)) == 1.0
+
+    def test_lattice_carve_matches_explicit_fold_bitwise(self):
+        import jax.numpy as jnp
+
+        from raymarching_tpu.ops.pallas_march import (_build_table,
+                                                      _fold_runs,
+                                                      _menger_carve_lattice)
+
+        plan, tables = self._menger_plan(3)
+        g = next(g for g in plan.kernel.groups if g.fused is not None)
+        tbl = _build_table(tables, plan.kernel)
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-30, 30, (1024, 3)).astype(np.float32)
+        px, py, pz = (jnp.asarray(pts[:, a]) for a in range(3))
+        pos_runs = tuple(r for r in g.runs if r[3] == 1)
+        full = _fold_runs(tbl, pos_runs, px, py, pz,
+                          jnp.full(px.shape, jnp.inf, jnp.float32))
+        fast = _menger_carve_lattice(tbl, g, px, py, pz)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(fast))
+
+    def test_march_bit_exact_and_perturbation_fallback(self):
+        import dataclasses
+
+        from raymarching_tpu.ops.pallas_march import (lattice_ok,
+                                                      pallas_march)
+
+        plan, tables = self._menger_plan(3)
+        kp = plan.kernel
+        kp_plain = dataclasses.replace(kp, groups=tuple(
+            dataclasses.replace(g, lattice=None) for g in kp.groups))
+        o, d = _rays(512, seed=11, spread=4.0)
+        r1 = pallas_march(kp, ITER, 1e-3, 8, o, d, tables, interpret=True)
+        r2 = pallas_march(kp_plain, ITER, 1e-3, 8, o, d, tables,
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(r1.position),
+                                      np.asarray(r2.position))
+        np.testing.assert_array_equal(np.asarray(r1.sd), np.asarray(r2.sd))
+
+        # perturb ONE cross row: flag must drop and results must still be
+        # exact (the fallback full fold runs inside the lattice kernel)
+        g = next(g for g in kp.groups if g.lattice is not None)
+        pp = np.array(tables.prim_pos)
+        pp[g.start + 5, 0] += 0.25
+        moved = tables._replace(prim_pos=pp)
+        assert float(lattice_ok(kp, moved)) == 0.0
+        r3 = pallas_march(kp, ITER, 1e-3, 8, o, d, moved, interpret=True)
+        r4 = pallas_march(kp_plain, ITER, 1e-3, 8, o, d, moved,
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(r3.sd), np.asarray(r4.sd))
+        np.testing.assert_array_equal(np.asarray(r3.position),
+                                      np.asarray(r4.position))
