@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace")
     p.add_argument("--stats", action="store_true",
                    help="print march convergence / iteration statistics")
+    p.add_argument("--log-json", default=None, metavar="PATH",
+                   help="append structured JSON-lines events (per-host "
+                   "provenance) to PATH; '-' for stderr")
+    p.add_argument("--selfcheck", action="store_true",
+                   help="deterministic re-run + oracle check before "
+                   "rendering; nonzero exit on failure")
     return p
 
 
@@ -68,12 +74,22 @@ def main(argv=None) -> int:
         print(f"error: scene file not found: {args.scene}", file=sys.stderr)
         return 2
 
+    if args.log_json:
+        from .utils.structlog import configure
+        log = configure(path=None if args.log_json == "-" else args.log_json)
+        log.log("start", scene=args.scene,
+                resolution=[args.width, args.height], ssaa=args.ssaa)
+
+    from .utils.structlog import emit
+
     with Phase("scene load"):
         scene = load_scene(args.scene)
         plan, tables = compile_scene(scene)
     print(f"scene: {plan.num_primitives} primitives, "
           f"{plan.num_lights} lights, "
           f"kernel-form={'yes' if plan.kernel else 'no'}")
+    emit("scene", primitives=int(plan.num_primitives),
+         lights=int(plan.num_lights), kernel_form=plan.kernel is not None)
 
     cfg = RenderConfig(
         width=args.width, height=args.height, ssaa=args.ssaa,
@@ -94,6 +110,16 @@ def main(argv=None) -> int:
         tables = jax.device_put(tables)
         jax.block_until_ready(tables)
 
+    if args.selfcheck:
+        from .utils.selfcheck import assert_healthy
+        try:
+            report = assert_healthy(plan, tables, backend=backends[-1])
+        except RuntimeError as e:
+            print(f"selfcheck FAILED: {e}", file=sys.stderr)
+            return 3
+        print(f"selfcheck ok (rerun x{report['rerun']['repeats']} bitwise, "
+              f"oracle bad-frac {report['oracle']['bad_pixel_frac']:.4f})")
+
     from .utils.timing import profiler_trace
     with profiler_trace(args.profile):
         for backend in backends:
@@ -102,6 +128,8 @@ def main(argv=None) -> int:
             with Phase(f"{backend} render", rays=rays) as ph:
                 img = ph.sync(render_tables_jit(plan, tables, cfg, backend))
             images[backend] = img
+            emit("render", backend=backend, seconds=round(ph.seconds, 6),
+                 mrays_per_s=round(rays / ph.seconds / 1e6, 4))
 
     if args.compare and len(images) > 1:
         names = list(images)
@@ -123,6 +151,7 @@ def main(argv=None) -> int:
     with Phase("save"):
         save_image(args.out, final, gamma=cfg.gamma)
     print(f"wrote {args.out}")
+    emit("done", out=args.out)
     return 0
 
 

@@ -94,14 +94,18 @@ def fit(plan: ScenePlan, tables: SceneTables, target: jnp.ndarray,
         save_checkpoint(checkpoint_path, jax.device_get(tables), step=step,
                         extra=_opt_state_to_extra(jax.device_get(opt_state)))
 
+    from .utils.structlog import emit
+
     losses = []
     for step in range(start_step, steps):
         loss, tables, opt_state = step_fn(tables, opt_state)
         losses.append(float(loss))
+        emit("fit_step", step=step, loss=losses[-1])
         if callback is not None:
             callback(step, losses[-1], tables)
         if checkpoint_path and (step + 1) % checkpoint_every == 0:
             _save(step + 1)
+            emit("checkpoint", step=step + 1, path=checkpoint_path)
     if checkpoint_path:
         _save(steps)
     return FitResult(tables=tables, losses=losses, steps=steps - start_step)
