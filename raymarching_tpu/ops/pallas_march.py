@@ -277,6 +277,12 @@ _PRELOAD_LIMIT = 256
 # for exact-table groups, where it skips 400+ primitive folds).
 _CULL_FUSED = False
 
+# Apply the per-tile cull to lattice-collapsed groups: the collapsed carve
+# is ~7x cheaper than the full fold, which shrinks what the cull can save
+# while its all-lanes reduce + cond cost is unchanged (same trade as
+# _CULL_FUSED, measured on hardware — see docs/DESIGN.md perf notes).
+_CULL_LATTICE = False
+
 
 def preload_table(kp, tbl, fused: bool):
     """Build a _TableView caching every scalar the fold will read through a
@@ -445,13 +451,27 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
         neg_runs = [r for r in g.runs if r[3] == -1]
         pos_runs = [r for r in g.runs if r[3] == 1]
         use_fused = fused and g.fused is not None and g.fused[0] == "menger"
-        cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
+        use_lattice = g.lattice is not None and not use_fused
+        diff_group = g.gsign == -1 and rsign == 1.0 and bool(neg_runs)
+        cullable = (diff_group
                     and (g.count >= _CULL_MIN_GROUP or use_fused)
-                    and (_CULL_FUSED or not use_fused))
-        if use_fused and not cullable:
+                    and (_CULL_FUSED or not use_fused)
+                    and (_CULL_LATTICE or not use_lattice))
+
+        def lattice_carve(_g=g, _runs=tuple(pos_runs)):
+            # collapsed-lattice carve when the live rows still share
+            # coordinates (flag row), full fold otherwise — both exact
+            return jax.lax.cond(
+                tbl[_flag_row(kp), 0] > 0.5,
+                lambda _: _menger_carve_lattice(tbl, _g, px, py, pz),
+                lambda _: _fold_runs(tbl, _runs, px, py, pz, inf),
+                0)
+
+        if diff_group and (use_fused or use_lattice) and not cullable:
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
-            carve = _menger_carve(tbl, g.start, g.fused[1], px, py, pz,
-                                  dtype)
+            carve = (_menger_carve(tbl, g.start, g.fused[1], px, py, pz,
+                                   dtype)
+                     if use_fused else lattice_carve())
             running = jnp.minimum(running,
                                   rsign * -jnp.minimum(gmin_base, carve))
         elif cullable:
@@ -463,18 +483,10 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
                     carve = _menger_carve(tbl, _g.start, _g.fused[1],
                                           px, py, pz, dtype)
                     return jnp.minimum(r, -jnp.minimum(_base, carve))
-            elif g.lattice is not None:
-                # collapsed-lattice carve when the live rows still share
-                # coordinates (flag row), full fold otherwise — both exact
-                def with_rest(r, _base=gmin_base, _g=g,
-                              _runs=tuple(pos_runs)):
-                    carve = jax.lax.cond(
-                        tbl[_flag_row(kp), 0] > 0.5,
-                        lambda _: _menger_carve_lattice(tbl, _g,
-                                                        px, py, pz),
-                        lambda _: _fold_runs(tbl, _runs, px, py, pz, inf),
-                        0)
-                    return jnp.minimum(r, -jnp.minimum(_base, carve))
+            elif use_lattice:
+                def with_rest(r, _base=gmin_base):
+                    return jnp.minimum(
+                        r, -jnp.minimum(_base, lattice_carve()))
             else:
                 def with_rest(r, _base=gmin_base, _runs=tuple(pos_runs)):
                     gmin = _fold_runs(tbl, _runs, px, py, pz, _base)
