@@ -225,6 +225,51 @@ def render_tables(plan: ScenePlan, tables: SceneTables,
                         **hooks)
 
 
+def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                 *, row_block: int = 128, backend: Optional[str] = None,
+                 interpret: bool = False):
+    """Stream a frame through the device in row blocks -> host [H, W, 3].
+
+    For frames whose full ray set exceeds device HBM (a 16k x 16k SSAA 3x3
+    frame is 2.3G rays — ~28 GB of direction vectors alone): only ONE
+    block's rays and outputs ever live on device; rows assemble into host
+    RAM as they finish.  The block row start is a traced scalar, so every
+    full block shares one compiled executable (plus at most one more for
+    the remainder block).  Complements parallel.sharded (which shards rows
+    ACROSS devices); this streams rows THROUGH one device — on a mesh,
+    combine both by calling this per host with its row slice.
+    """
+    import numpy as np
+
+    backend = resolve_backend(backend or cfg.backend)
+    from .core import camera as cam
+    from .core.render import _shade_rays
+    S = cfg.samples_per_pixel
+
+    @partial(jax.jit, static_argnames=("n",))
+    def block(tables, r0, n):
+        origin, dirs = cam.generate_rays(tables, cfg, row_range=(r0, n))
+        flat = dirs.reshape(-1, 3)
+        if backend == "mega":
+            from .ops.pallas_render import fused_render_op
+            colors = fused_render_op(plan, cfg, interpret, tables, origin,
+                                     flat)
+        else:
+            hooks = make_render_hooks(plan, tables, cfg, backend,
+                                      interpret=interpret)
+            colors = _shade_rays(plan, tables, cfg, origin, flat,
+                                 differentiable=False, **hooks)
+        return jnp.mean(colors.reshape(n, cfg.width, S, 3), axis=2)
+
+    out = np.empty((cfg.height, cfg.width, 3), np.float32)
+    r = 0
+    while r < cfg.height:
+        n = min(row_block, cfg.height - r)
+        out[r:r + n] = np.asarray(block(tables, jnp.int32(r), n))
+        r += n
+    return out
+
+
 @partial(jax.jit, static_argnames=("plan", "cfg", "backend",
                                    "differentiable"))
 def render_tables_jit(plan: ScenePlan, tables: SceneTables,

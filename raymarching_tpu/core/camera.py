@@ -43,34 +43,43 @@ def camera_focal(fov_deg: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jnp.tan(fov_deg * DEG_TO_RAD / 2.0)
 
 
-def generate_rays(tables: SceneTables, cfg: RenderConfig
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def generate_rays(tables: SceneTables, cfg: RenderConfig,
+                  row_range=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All primary rays for one frame.
 
     Returns (origin [3], directions [H, W, S, 3]) with S = ssaa^2 samples in
     (i-major, j-minor) order matching the reference's nested sample loop
     (render.cpp:104-105).
+
+    ``row_range=(r0, n)``: rays for image rows [r0, r0+n) only — the same
+    math over a row slice (api.render_tiled streams huge frames through the
+    device block by block).  ``r0`` may be a traced scalar; ``n`` is static.
     """
     w = camera_focal(tables.cam_fov)
     h = w / cfg.aspect_ratio
     k = cfg.ssaa
 
     px = jnp.arange(cfg.width, dtype=jnp.float32)       # column index
-    py = jnp.arange(cfg.height, dtype=jnp.float32)      # row index
+    if row_range is None:
+        py = jnp.arange(cfg.height, dtype=jnp.float32)  # row index
+    else:
+        r0, n = row_range
+        py = jnp.float32(r0) + jnp.arange(n, dtype=jnp.float32)
     si = (jnp.arange(k, dtype=jnp.float32) + 1.0) / k   # sample offsets
     # Full sub-pixel UV in [0, 1]: u over columns+i, v over rows+j.
     u = (px[None, :, None, None] + si[None, None, :, None]) / cfg.width
     v = (py[:, None, None, None] + si[None, None, None, :]) / cfg.height
 
     # lerp over the screen rectangle: x in [-w/2, w/2], y in [h/2, -h/2].
-    shape = (cfg.height, cfg.width, k, k)
+    rows = py.shape[0]
+    shape = (rows, cfg.width, k, k)
     x = jnp.broadcast_to(w * (u - 0.5), shape)
     y = jnp.broadcast_to(h * (0.5 - v), shape)
     z = jnp.full(shape, -1.0, dtype=x.dtype)
 
-    d = jnp.stack([x, y, z], axis=-1)                   # [H, W, k, k, 3]
+    d = jnp.stack([x, y, z], axis=-1)                   # [rows, W, k, k, 3]
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     R = camera_rotation(tables.cam_direction, tables.cam_up)
     d = d @ R.T                                         # rotate into world
-    d = d.reshape(cfg.height, cfg.width, k * k, 3)
+    d = d.reshape(rows, cfg.width, k * k, 3)
     return tables.cam_position, d
