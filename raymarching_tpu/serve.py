@@ -13,14 +13,28 @@ API:
        body: the scene text (objects.txt grammar)
        query params: width, height, ssaa, iterations, gamma,
                      shadows=0|1, format=png|ppm
+  POST /animate                  -> ZIP of frame_NNN.png (format=zip,
+       default) or a looping animated GIF (format=gif)
+       body: the scene text; camera orbits the scene (turntable path:
+       fixed height, circle in the xz-plane about ``center``).
+       query params: the /render set plus frames (default 24),
+                     orbit (degrees swept, default 360),
+                     center=x,y,z (default: primitive centroid),
+                     delay_cs (GIF frame delay, centiseconds)
+       The scene compiles ONCE and only the camera pytree changes per
+       frame, so every frame after the first reuses the jit executable —
+       this is the batch/throughput serving path.
 """
 
 from __future__ import annotations
 
 import argparse
+import io
 import json
+import math
 import sys
 import urllib.parse
+import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -33,6 +47,8 @@ MAX_WIDTH = 4096
 MAX_HEIGHT = 4096
 MAX_SSAA = 4
 MAX_ITERATIONS = 10_000
+MAX_FRAMES = 600
+MAX_ANIMATE_SAMPLES = 1 << 28     # total rays across all frames
 MAX_BODY_BYTES = 1 << 20          # 1 MiB of scene text (~25k lines)
 DEFAULT_RAY_CHUNK = 65536
 
@@ -67,60 +83,129 @@ def _make_handler(backend: str):
             else:
                 self._json(404, {"error": "unknown path"})
 
-        def do_POST(self):
-            url = urllib.parse.urlparse(self.path)
-            if url.path != "/render":
-                self._json(404, {"error": "unknown path"})
-                return
-            q = dict(urllib.parse.parse_qsl(url.query))
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                if length > MAX_BODY_BYTES:
-                    self._json(413, {"error": "scene body too large "
-                                              f"(max {MAX_BODY_BYTES} B)"})
-                    return
-                text = self.rfile.read(length).decode()
-                limits = [("width", int(q.get("width", 512)), 1, MAX_WIDTH),
-                          ("height", int(q.get("height", 384)), 1,
-                           MAX_HEIGHT),
-                          ("ssaa", int(q.get("ssaa", 1)), 1, MAX_SSAA),
-                          ("iterations", int(q.get("iterations", 1000)), 1,
-                           MAX_ITERATIONS)]
-                for name, val, lo, hi in limits:
-                    if not lo <= val <= hi:
-                        self._json(422, {"error": f"{name}={val} out of "
-                                                  f"range [{lo}, {hi}]"})
-                        return
-                scene = parse_scene(text)
-                plan, tables = compile_scene(scene)
-                cfg = RenderConfig(
-                    width=limits[0][1], height=limits[1][1],
-                    ssaa=limits[2][1], iterations=limits[3][1],
-                    gamma=float(q.get("gamma", 1.0)),
-                    shadows=q.get("shadows", "1") != "0",
-                    normal_mode="fd", ray_chunk=DEFAULT_RAY_CHUNK)
-                img = np.asarray(render_tables_jit(plan, tables, cfg,
-                                                   resolved))
-                data = to_uint8(img, cfg.gamma)
-            except ValueError as e:
-                self._json(400, {"error": str(e)})
-                return
-            except Exception as e:  # noqa: BLE001 — report, don't crash
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
-                return
+        def _read_request(self, q):
+            """Validate query params + body -> (cfg, plan, tables, frames)
+            or None (a 4xx has already been sent)."""
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                self._json(413, {"error": "scene body too large "
+                                          f"(max {MAX_BODY_BYTES} B)"})
+                return None
+            text = self.rfile.read(length).decode()
+            limits = [("width", int(q.get("width", 512)), 1, MAX_WIDTH),
+                      ("height", int(q.get("height", 384)), 1, MAX_HEIGHT),
+                      ("ssaa", int(q.get("ssaa", 1)), 1, MAX_SSAA),
+                      ("iterations", int(q.get("iterations", 1000)), 1,
+                       MAX_ITERATIONS),
+                      ("frames", int(q.get("frames", 24)), 1, MAX_FRAMES)]
+            for name, val, lo, hi in limits:
+                if not lo <= val <= hi:
+                    self._json(422, {"error": f"{name}={val} out of "
+                                              f"range [{lo}, {hi}]"})
+                    return None
+            scene = parse_scene(text)
+            plan, tables = compile_scene(scene)
+            cfg = RenderConfig(
+                width=limits[0][1], height=limits[1][1],
+                ssaa=limits[2][1], iterations=limits[3][1],
+                gamma=float(q.get("gamma", 1.0)),
+                shadows=q.get("shadows", "1") != "0",
+                normal_mode="fd", ray_chunk=DEFAULT_RAY_CHUNK)
+            return cfg, plan, tables, limits[4][1]
 
-            if q.get("format", "png") == "ppm":
-                h, w, _ = data.shape
-                body = b"P6\n%d %d\n255\n" % (w, h) + data[..., :3].tobytes()
-                ctype = "image/x-portable-pixmap"
-            else:
-                body = encode_png(data)
-                ctype = "image/png"
+        def _send_bytes(self, body: bytes, ctype: str):
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _do_render(self, q):
+            parsed = self._read_request(q)
+            if parsed is None:
+                return
+            cfg, plan, tables, _ = parsed
+            img = np.asarray(render_tables_jit(plan, tables, cfg, resolved))
+            data = to_uint8(img, cfg.gamma)
+            if q.get("format", "png") == "ppm":
+                h, w, _ = data.shape
+                body = b"P6\n%d %d\n255\n" % (w, h) + data[..., :3].tobytes()
+                self._send_bytes(body, "image/x-portable-pixmap")
+            else:
+                self._send_bytes(encode_png(data), "image/png")
+
+        def _do_animate(self, q):
+            parsed = self._read_request(q)
+            if parsed is None:
+                return
+            cfg, plan, tables, frames = parsed
+            total = frames * cfg.rays_per_image
+            if total > MAX_ANIMATE_SAMPLES:
+                self._json(422, {"error": f"frames x rays = {total} over "
+                                          f"cap {MAX_ANIMATE_SAMPLES}"})
+                return
+            orbit = math.radians(float(q.get("orbit", 360.0)))
+            if "center" in q:
+                center = np.array([float(v) for v in
+                                   q["center"].split(",")], np.float32)
+                if center.shape != (3,):
+                    raise ValueError("center must be x,y,z")
+            else:
+                center = (np.asarray(tables.prim_pos, np.float32).mean(0)
+                          if tables.prim_pos.shape[0]
+                          else np.zeros(3, np.float32))
+
+            # Turntable path: fixed height, circle in xz about the centre,
+            # always looking at it.  Only the camera pytree changes per
+            # frame, so every frame after the first reuses the compiled
+            # executable (examples/turntable.py is the CLI twin).
+            p0 = np.asarray(tables.cam_position, np.float32) - center
+            radius = float(np.hypot(p0[0], p0[2]))
+            phi0 = math.atan2(float(p0[2]), float(p0[0]))
+
+            def frame(i):
+                phi = phi0 + orbit * i / max(frames, 1)
+                pos = center + np.array(
+                    [radius * math.cos(phi), float(p0[1]),
+                     radius * math.sin(phi)], np.float32)
+                look = center - pos
+                nrm = float(np.linalg.norm(look))
+                t = tables._replace(
+                    cam_position=pos,
+                    cam_direction=(look / nrm) if nrm > 1e-6
+                    else tables.cam_direction)
+                img = np.asarray(render_tables_jit(plan, t, cfg, resolved))
+                return to_uint8(img, cfg.gamma)
+
+            if q.get("format", "zip") == "gif":
+                from .io.gif import encode_gif
+                delay = max(1, min(int(q.get("delay_cs", 4)), 1000))
+                body = encode_gif((frame(i) for i in range(frames)),
+                                  delay_cs=delay)
+                self._send_bytes(body, "image/gif")
+                return
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                for i in range(frames):
+                    zf.writestr(f"frame_{i:03d}.png",
+                                encode_png(frame(i)))
+            self._send_bytes(buf.getvalue(), "application/zip")
+
+        def do_POST(self):
+            url = urllib.parse.urlparse(self.path)
+            q = dict(urllib.parse.parse_qsl(url.query))
+            routes = {"/render": self._do_render,
+                      "/animate": self._do_animate}
+            handler = routes.get(url.path)
+            if handler is None:
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                handler(q)
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — report, don't crash
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

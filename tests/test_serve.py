@@ -85,6 +85,67 @@ def test_oversized_request_422(server, query):
     assert e.value.code == 422
 
 
+def test_animate_zip(server):
+    import io
+    import zipfile
+    req = urllib.request.Request(
+        server + "/animate?width=16&height=12&iterations=40&frames=3"
+        "&orbit=90",
+        data=SCENE.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/zip"
+        body = r.read()
+    with zipfile.ZipFile(io.BytesIO(body)) as zf:
+        names = zf.namelist()
+        assert names == ["frame_000.png", "frame_001.png", "frame_002.png"]
+        frames = [zf.read(n) for n in names]
+    assert all(f[:8] == b"\x89PNG\r\n\x1a\n" for f in frames)
+    # the camera moved: orbit frames are not identical images
+    assert frames[0] != frames[1]
+
+
+def test_animate_gif(server):
+    req = urllib.request.Request(
+        server + "/animate?width=16&height=12&iterations=40&frames=3"
+        "&format=gif&delay_cs=8",
+        data=SCENE.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "image/gif"
+        body = r.read()
+    assert body[:6] == b"GIF89a"
+    assert body[-1:] == b"\x3B"
+
+
+def test_animate_frames_cap_422(server):
+    req = urllib.request.Request(
+        server + "/animate?width=8&height=8&frames=100000",
+        data=SCENE.encode(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 422
+
+
+def test_animate_total_rays_cap_422(server):
+    # frames and resolution each within range, product over the cap
+    req = urllib.request.Request(
+        server + "/animate?width=4096&height=4096&ssaa=4&frames=600",
+        data=SCENE.encode(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 422
+
+
+def test_animate_bad_center_400(server):
+    req = urllib.request.Request(
+        server + "/animate?width=8&height=8&frames=2&center=1,2",
+        data=SCENE.encode(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
 def test_huge_body_413(server):
     from raymarching_tpu.serve import MAX_BODY_BYTES
     req = urllib.request.Request(server + "/render?width=8&height=8",
