@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fd = reference central differences; analytic = "
                    "exact SDF gradient (faster)")
     p.add_argument("--no-shadows", action="store_true")
+    p.add_argument("--soft-shadow-k", type=float, default=0.0,
+                   help="penumbra sharpness for soft shadows (extension; "
+                   "0 = reference-parity hard boolean)")
+    p.add_argument("--ao", type=float, default=0.0, metavar="STRENGTH",
+                   help="SDF ambient-occlusion strength (extension; 0 = off)")
     p.add_argument("--ray-chunk", type=int, default=0,
                    help="rays per chunk (bounds memory on the jnp path)")
     p.add_argument("--compare", action="store_true",
@@ -95,7 +100,8 @@ def main(argv=None) -> int:
         width=args.width, height=args.height, ssaa=args.ssaa,
         iterations=args.iterations, gamma=args.gamma,
         shadows=not args.no_shadows, normal_mode=args.normal_mode,
-        ray_chunk=args.ray_chunk)
+        ray_chunk=args.ray_chunk, soft_shadow_k=args.soft_shadow_k,
+        ao_strength=args.ao)
 
     backends = [resolve_backend(b.strip())
                 for b in args.backend.split(",") if b.strip()]

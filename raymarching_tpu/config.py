@@ -90,6 +90,26 @@ class RenderConfig:
     # semantics.
     fused_generators: bool = False
 
+    # Soft shadows (opt-in, 0.0 = reference-parity hard boolean): the
+    # shadow march additionally tracks min over steps of
+    # clamp(k * sd / t, 0, 1) (the classic SDF penumbra estimate) and the
+    # Lambert term scales by that factor instead of the on/off mask; a ray
+    # that actually hits an occluder still contributes exactly 0.  Like
+    # the reference's boolean, the factor is treated as locally constant
+    # under autodiff (stop_gradient) — gradients keep flowing through the
+    # normal and light direction.  Supported on ref/jnp oracles and the
+    # mega kernel.
+    soft_shadow_k: float = 0.0
+
+    # Ambient occlusion (opt-in, 0.0 = off): 5-tap SDF occlusion along the
+    # normal — occ = sum_i 2^-i * (i*delta - sd(p + i*delta*n)), the final
+    # light term scales by clamp(1 - strength * occ, 0, 1), stop-gradient
+    # like the shadow factor.  Supported on ref/jnp oracles and the mega
+    # kernel.
+    ao_strength: float = 0.0
+    ao_samples: int = 5
+    ao_delta: float = 0.1
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

@@ -87,7 +87,9 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         offset_eps=cfg.offset_precision, saturation=cfg.saturation,
         shadows=cfg.shadows, early_exit=cfg.early_exit and not differentiable,
         shadow_fn=shadow_fn,
-        light_colors=(tables.light_color if plan.colored_lights else None))
+        light_colors=(tables.light_color if plan.colored_lights else None),
+        soft_shadow_k=cfg.soft_shadow_k, ao_strength=cfg.ao_strength,
+        ao_samples=cfg.ao_samples, ao_delta=cfg.ao_delta)
 
     light = light if plan.colored_lights else light[..., None]
     return light * color

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .march import march
+from .march import MAX_STEP, march
 
 
 def normal_fd(scene_sd: Callable, p: jnp.ndarray, h: float) -> jnp.ndarray:
@@ -83,12 +83,100 @@ def shadowed(scene_sd: Callable, light_pos: jnp.ndarray, p: jnp.ndarray,
     return jnp.sum((light_pos - res.position) * ray, axis=-1) > 0
 
 
+def _soft_step(scene_sd, ray, eps, k, tmax, state):
+    """One soft-shadow march step: standard sphere-trace step plus the
+    penumbra tracker pen = min over steps of clamp(k * sd / t, 0, 1)
+    (Quilez's distance-based soft shadow; t = distance marched so far,
+    floored at eps so the first evaluation at t=0 stays finite)."""
+    p, sd_last, done, t, pen = state
+    sd = scene_sd(p)
+    active = jnp.logical_not(done)
+    ratio = jnp.clip(k * sd / jnp.maximum(t, eps), 0.0, 1.0)
+    pen = jnp.where(active, jnp.minimum(pen, ratio), pen)
+    step = jnp.where(active, jnp.minimum(sd, MAX_STEP), 0.0)
+    p = p + step[..., None] * ray
+    t = t + step
+    sd_last = jnp.where(active, sd, sd_last)
+    done = jnp.logical_or(done, sd_last < eps)
+    done = jnp.logical_or(done, t >= tmax)
+    return p, sd_last, done, t, pen
+
+
+def soft_shadow_factor(scene_sd: Callable, light_pos: jnp.ndarray,
+                       p: jnp.ndarray, n: jnp.ndarray, iterations: int,
+                       surface_eps: float, offset_eps: float, k: float,
+                       *, early_exit: bool = True) -> jnp.ndarray:
+    """Penumbra factor in [0, 1] for each ray (scene-format EXTENSION —
+    the reference has only the boolean test above; opt-in via
+    RenderConfig.soft_shadow_k).
+
+    Semantics: re-march toward the light exactly like ``shadowed``; a ray
+    whose march stops before passing the light returns 0 (the hard-shadow
+    boolean), otherwise min over its steps of clamp(k * sd / t, 0, 1).
+    As k -> inf this converges to the hard boolean (1 iff lit).  Callers
+    treat the factor as locally constant (stop_gradient), mirroring the
+    boolean path's gradient semantics.
+
+    ``early_exit=False`` uses a fixed-length scan — required when tracing
+    under reverse-mode autodiff (while_loop cannot carry tangents, even
+    zero-cotangent ones from the light position / scene tables)."""
+    ray = normalize(light_pos - p)
+    start = p + n * (surface_eps + offset_eps)
+    tmax = jnp.linalg.norm(light_pos - start, axis=-1)
+    batch = start.shape[:-1]
+    state0 = (start, jnp.full(batch, jnp.inf, start.dtype),
+              jnp.zeros(batch, bool), jnp.zeros(batch, start.dtype),
+              jnp.ones(batch, start.dtype))
+    if early_exit:
+        def cond(s):
+            it, st = s
+            return jnp.logical_and(it < iterations,
+                                   jnp.logical_not(jnp.all(st[2])))
+
+        def body(s):
+            it, st = s
+            return it + 1, _soft_step(scene_sd, ray, surface_eps, k,
+                                      tmax, st)
+
+        _, state = lax.while_loop(cond, body, (jnp.zeros((), jnp.int32),
+                                               state0))
+    else:
+        state, _ = lax.scan(
+            lambda st, _: (_soft_step(scene_sd, ray, surface_eps, k,
+                                      tmax, st), None),
+            state0, None, length=iterations)
+    q, _, _, _, pen = state
+    lit = jnp.sum((light_pos - q) * ray, axis=-1) <= 0
+    return jnp.where(lit, pen, 0.0)
+
+
+def ambient_occlusion(scene_sd: Callable, p: jnp.ndarray, n: jnp.ndarray,
+                      strength: float, samples: int, delta: float
+                      ) -> jnp.ndarray:
+    """5-tap (by default) SDF ambient-occlusion factor in [0, 1]
+    (extension; opt-in via RenderConfig.ao_strength):
+
+        occ = sum_i 2^-i * (i*delta - sd(p + i*delta*n)),  i = 1..samples
+        ao  = clamp(1 - strength * occ, 0, 1)
+
+    Open geometry has sd(p + d n) = d along the normal -> occ = 0 -> 1;
+    nearby surfaces shrink sd below the cone distance and darken.  Callers
+    stop_gradient the factor (same policy as shadows)."""
+    occ = jnp.zeros(p.shape[:-1], p.dtype)
+    for i in range(1, samples + 1):
+        d = i * delta
+        occ = occ + (2.0 ** -i) * (d - scene_sd(p + d * n))
+    return jnp.clip(1.0 - strength * occ, 0.0, 1.0)
+
+
 def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
              p: jnp.ndarray, n: jnp.ndarray, *, iterations: int,
              surface_eps: float, offset_eps: float, saturation: float,
              shadows: bool = True, early_exit: bool = True,
              shadow_fn: Callable = None,
-             light_colors: jnp.ndarray = None) -> jnp.ndarray:
+             light_colors: jnp.ndarray = None,
+             soft_shadow_k: float = 0.0, ao_strength: float = 0.0,
+             ao_samples: int = 5, ao_delta: float = 0.1) -> jnp.ndarray:
     """Total Lambertian lighting in [saturation, 1]. p, n: [..., 3] -> [...].
 
     ``light_positions``: [L, 3]; L is static and small, so the loop over
@@ -100,6 +188,14 @@ def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
     light's Lambert term is weighted per channel and the clamp applies per
     channel; returns [..., 3].  With all-white lights this is exactly the
     scalar path broadcast, so reference scenes are bit-identical either way.
+
+    ``soft_shadow_k > 0`` (extension) replaces the boolean shadow mask with
+    the penumbra factor from ``soft_shadow_factor`` — computed with the jnp
+    soft march even when a ``shadow_fn`` kernel hook is installed (the hook
+    protocol returns only a MarchResult; the mega backend instead tracks
+    the factor inside its own kernel).  ``ao_strength > 0`` (extension)
+    scales the final clamped light by ``ambient_occlusion``.  Both factors
+    are stop_gradient'd, matching the boolean path's gradient policy.
     """
     colored = light_colors is not None
     shape = p.shape if colored else p.shape[:-1]
@@ -107,7 +203,16 @@ def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
     for l in range(light_positions.shape[0]):
         lp = light_positions[l]
         lambert = jnp.sum(n * normalize(lp - p), axis=-1)
-        if shadows:
+        if shadows and soft_shadow_k > 0.0:
+            from jax.ad_checkpoint import checkpoint_name
+            fac = lax.stop_gradient(
+                soft_shadow_factor(scene_sd, lp, lax.stop_gradient(p),
+                                   lax.stop_gradient(n), iterations,
+                                   surface_eps, offset_eps, soft_shadow_k,
+                                   early_exit=early_exit))
+            fac = checkpoint_name(fac, "march")
+            lambert = lambert * fac
+        elif shadows:
             from jax.ad_checkpoint import checkpoint_name
             mask = lax.stop_gradient(
                 shadowed(scene_sd, lp, lax.stop_gradient(p),
@@ -123,4 +228,11 @@ def lighting(scene_sd: Callable, light_positions: jnp.ndarray,
             total = total + lambert[..., None] * light_colors[l]
         else:
             total = total + lambert
-    return jnp.clip(total, saturation, 1.0)
+    out = jnp.clip(total, saturation, 1.0)
+    if ao_strength > 0.0:
+        ao = lax.stop_gradient(
+            ambient_occlusion(scene_sd, lax.stop_gradient(p),
+                              lax.stop_gradient(n), ao_strength,
+                              ao_samples, ao_delta))
+        out = out * (ao[..., None] if colored else ao)
+    return out

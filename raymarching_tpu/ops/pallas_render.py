@@ -38,21 +38,29 @@ from .pallas_march import (LANES, _build_table, _scene_sd_idx_tile,
 
 
 def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
-                  tmax=None):
+                  tmax=None, soft_k=None):
     """March a tile; state lives in scoped VMEM scratch (Mosaic cannot yet
     relayout splat-initialized vectors through while-loop carries), the
-    loop carry is scalars only.  Returns (px, py, pz, sd, done-mask)."""
+    loop carry is scalars only.  Returns (px, py, pz, sd, done-mask)
+    — plus the penumbra tracker min clamp(soft_k * sd / t, 0, 1) when
+    ``soft_k`` is set (shadow rays with cfg.soft_shadow_k > 0; same
+    formula as core.shading._soft_step, t from the position projection
+    the tmax check already computes)."""
     dtype = dx.dtype
     shape = dx.shape
+    soft = soft_k is not None
 
     from .pallas_march import _EXIT_CHECK_EVERY
 
-    def scoped(px_s, py_s, pz_s, sd_s, done_s):
+    def scoped(px_s, py_s, pz_s, sd_s, done_s, *pen_scratch):
+        pen_s = pen_scratch[0] if soft else None
         px_s[...] = ox + 0.0 * dx   # force a materialized layout
         py_s[...] = oy + 0.0 * dy
         pz_s[...] = oz + 0.0 * dz
         sd_s[...] = jnp.full(shape, jnp.inf, dtype)
         done_s[...] = jnp.zeros(shape, dtype)
+        if soft:
+            pen_s[...] = jnp.ones(shape, dtype)
 
         # K steps per exit check (the all-done reduce serializes the VPU);
         # remainder unrolled after the loop so the evaluation cap stays
@@ -69,6 +77,13 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
             done = done_s[...]
             sd = _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=fused)
             active = done < 0.5
+            if soft:
+                t_cur = ((px - ox) * dx + (py - oy) * dy + (pz - oz) * dz)
+                ratio = jnp.clip(soft_k * sd / jnp.maximum(t_cur, eps),
+                                 0.0, 1.0)
+                pen_s[...] = jnp.where(active,
+                                       jnp.minimum(pen_s[...], ratio),
+                                       pen_s[...])
             step = jnp.where(active, jnp.minimum(sd, MAX_STEP), 0.0)
             px = px + step * dx
             py = py + step * dy
@@ -93,24 +108,39 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
         for _ in range(iterations - main):
             one_step(None)
-        return px_s[...], py_s[...], pz_s[...], sd_s[...], done_s[...]
+        out = (px_s[...], py_s[...], pz_s[...], sd_s[...], done_s[...])
+        return out + ((pen_s[...],) if soft else ())
 
     return pl.run_scoped(
-        scoped, *(pltpu.VMEM(shape, jnp.float32) for _ in range(5)))
+        scoped, *(pltpu.VMEM(shape, jnp.float32)
+                  for _ in range(6 if soft else 5)))
+
+
+def _split_shade_refs(out_refs, num_lights: int, colored: bool,
+                      soft: bool, ao: bool):
+    """Split the variable tail of a shade output list:
+    (cidx, light[3 if colored], smask[, sfac x num_lights][, ao])."""
+    outs = list(out_refs)
+    cidx_ref = outs.pop(0)
+    light_refs = tuple(outs.pop(0) for _ in range(3 if colored else 1))
+    smask_ref = outs.pop(0)
+    sfac_refs = tuple(outs.pop(0) for _ in range(num_lights)) if soft else ()
+    ao_ref = outs.pop(0) if ao else None
+    assert not outs
+    return cidx_ref, light_refs, smask_ref, sfac_refs, ao_ref
 
 
 def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    offset_eps: float, saturation: float, fd_h: float,
                    num_lights: int, shadows: bool, fused: bool,
-                   analytic: bool, colored: bool,
+                   analytic: bool, colored: bool, soft_k: float,
+                   ao_strength: float, ao_samples: int, ao_delta: float,
                    tbl_ref, lights_ref, org_ref, dx_ref, dy_ref, dz_ref,
                    *out_refs):
-    if colored:
-        (px_ref, py_ref, pz_ref, sd_ref, done_ref, cidx_ref,
-         lr_ref, lg_ref, lb_ref, smask_ref) = out_refs
-    else:
-        (px_ref, py_ref, pz_ref, sd_ref, done_ref, cidx_ref,
-         light_ref, smask_ref) = out_refs
+    (px_ref, py_ref, pz_ref, sd_ref, done_ref) = out_refs[:5]
+    shade_refs = _split_shade_refs(out_refs[5:], num_lights, colored,
+                                   shadows and soft_k > 0.0,
+                                   ao_strength > 0.0)
     dtype = dx_ref.dtype
     # hoist loop-invariant scalar loads out of every march/eval below
     tbl_ref = preload_table(kp, tbl_ref, fused)
@@ -125,22 +155,30 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
     px_ref[...], py_ref[...], pz_ref[...] = px, py, pz
     sd_ref[...], done_ref[...] = sd, done
 
-    light_refs = (lr_ref, lg_ref, lb_ref) if colored else (light_ref,)
     _shade_body(kp, iterations, eps, offset_eps, saturation, fd_h,
-                num_lights, shadows, fused, analytic, colored,
+                num_lights, shadows, fused, analytic, colored, soft_k,
+                ao_strength, ao_samples, ao_delta,
                 tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
-                cidx_ref, light_refs, smask_ref)
+                *shade_refs)
 
 
 def _shade_body(kp: KernelPlan, iterations: int, eps: float,
                 offset_eps: float, saturation: float, fd_h: float,
                 num_lights: int, shadows: bool, fused: bool,
-                analytic: bool, colored: bool,
+                analytic: bool, colored: bool, soft_k: float,
+                ao_strength: float, ao_samples: int, ao_delta: float,
                 tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
-                cidx_ref, light_refs, smask_ref):
+                cidx_ref, light_refs, smask_ref, sfac_refs=(), ao_ref=None):
     """Steps 2-4 of the per-ray pipeline given marched hit points: color
     index at the pre-step point, normal, shadow marches, Lambert clamp.
-    Shared by the single mega kernel and the two-phase shade kernel."""
+    Shared by the single mega kernel and the two-phase shade kernel.
+
+    Extensions (both opt-in, stop-gradient factors — see core.shading):
+    ``soft_k > 0`` tracks the penumbra factor inside each shadow march and
+    scales the Lambert term by it (per-light factors go out via
+    ``sfac_refs`` for the backward replay); ``ao_strength > 0`` computes
+    the SDF ambient-occlusion factor and scales the final clamped light
+    (factor out via ``ao_ref``)."""
     dtype = dx.dtype
     # 2. color index at the pre-step point (scene.cpp:34-42 semantics)
     step = jnp.minimum(sd, MAX_STEP)
@@ -183,53 +221,83 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
         rx, ry, rz = rx * rinv, ry * rinv, rz * rinv
         lambert = nx * rx + ny * ry + nz * rz
         if shadows:
+            soft = soft_k > 0.0
             off = eps + offset_eps
             sx, sy, sz = px + nx * off, py + ny * off, pz + nz * off
             t2x, t2y, t2z = lx - sx, ly - sy, lz - sz
             tmax = jnp.sqrt(t2x * t2x + t2y * t2y + t2z * t2z)
-            qx, qy, qz, _, _ = _march_values(
+            res = _march_values(
                 kp, tbl_ref, sx, sy, sz, rx, ry, rz, iterations, eps,
-                fused, tmax=tmax)
+                fused, tmax=tmax, soft_k=soft_k if soft else None)
+            qx, qy, qz = res[0], res[1], res[2]
             passed = ((lx - qx) * rx + (ly - qy) * ry + (lz - qz) * rz) <= 0
             smask = jnp.where(passed, smask,
                               jnp.bitwise_or(smask, 1 << li))
-            lambert = jnp.where(passed, lambert, 0.0)
+            if soft:
+                fac = jnp.where(passed, res[5], 0.0)
+                sfac_refs[li][...] = fac
+                lambert = lambert * fac
+            else:
+                lambert = jnp.where(passed, lambert, 0.0)
         if colored:
             for c in range(3):
                 total[c] = total[c] + lambert * jnp.asarray(
                     lights_ref[li, 4 + c], dtype)
         else:
             total[0] = total[0] + lambert
+    ao = None
+    if ao_strength > 0.0:
+        occ = jnp.zeros(dx.shape, dtype)
+        for i in range(1, ao_samples + 1):
+            d = i * ao_delta
+            sdo = _scene_sd_tile(kp, tbl_ref, px + d * nx, py + d * ny,
+                                 pz + d * nz, dtype, fused=fused)
+            occ = occ + (2.0 ** -i) * (d - sdo)
+        ao = jnp.clip(1.0 - ao_strength * occ, 0.0, 1.0)
+        ao_ref[...] = ao
     for ref, tot in zip(light_refs, total):
-        ref[...] = jnp.clip(tot, saturation, 1.0)
+        clipped = jnp.clip(tot, saturation, 1.0)
+        ref[...] = clipped * ao if ao is not None else clipped
     smask_ref[...] = smask
 
 
 def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
                   offset_eps: float, saturation: float, fd_h: float,
                   num_lights: int, shadows: bool, fused: bool,
-                  analytic: bool, colored: bool,
+                  analytic: bool, colored: bool, soft_k: float,
+                  ao_strength: float, ao_samples: int, ao_delta: float,
                   tbl_ref, lights_ref, px_ref, py_ref, pz_ref, sd_ref,
                   dx_ref, dy_ref, dz_ref, *out_refs):
     """Shade-only kernel for the two-phase path: hit points come from the
     (compacted) march kernels instead of an in-kernel march."""
-    outs = list(out_refs)
-    cidx_ref = outs.pop(0)
-    light_refs = tuple(outs.pop(0) for _ in range(3 if colored else 1))
-    smask_ref = outs.pop(0)
+    shade_refs = _split_shade_refs(out_refs, num_lights, colored,
+                                   shadows and soft_k > 0.0,
+                                   ao_strength > 0.0)
     tbl = preload_table(kp, tbl_ref, fused)
     _shade_body(kp, iterations, eps, offset_eps, saturation, fd_h,
-                num_lights, shadows, fused, analytic, colored,
+                num_lights, shadows, fused, analytic, colored, soft_k,
+                ao_strength, ao_samples, ao_delta,
                 tbl, lights_ref, px_ref[...], py_ref[...], pz_ref[...],
                 sd_ref[...], dx_ref[...], dy_ref[...], dz_ref[...],
-                cidx_ref, light_refs, smask_ref)
+                *shade_refs)
+
+
+def _shade_out_shapes(f32, i32, num_lights: int, colored: bool,
+                      soft: bool, ao: bool):
+    """ShapeDtypeStructs matching _split_shade_refs's layout."""
+    light_outs = (f32, f32, f32) if colored else (f32,)
+    sfac_outs = (f32,) * num_lights if soft else ()
+    ao_outs = (f32,) if ao else ()
+    return (i32,) + light_outs + (i32,) + sfac_outs + ao_outs
 
 
 @functools.lru_cache(maxsize=64)
 def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
                          offset_eps: float, saturation: float, fd_h: float,
                          num_lights: int, shadows: bool, fused: bool,
-                         analytic: bool, colored: bool, tile_sublanes: int,
+                         analytic: bool, colored: bool, soft_k: float,
+                         ao_strength: float, ao_samples: int,
+                         ao_delta: float, tile_sublanes: int,
                          num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -237,12 +305,14 @@ def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
                             memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-    light_outs = (f32, f32, f32) if colored else (f32,)
-    out_shape = (i32,) + light_outs + (i32,)
+    out_shape = _shade_out_shapes(f32, i32, num_lights, colored,
+                                  shadows and soft_k > 0.0,
+                                  ao_strength > 0.0)
 
     kernel = functools.partial(_shade_kernel, kp, iterations, eps,
                                offset_eps, saturation, fd_h, num_lights,
-                               shadows, fused, analytic, colored)
+                               shadows, fused, analytic, colored, soft_k,
+                               ao_strength, ao_samples, ao_delta)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
@@ -258,7 +328,9 @@ def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
 def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           offset_eps: float, saturation: float, fd_h: float,
                           num_lights: int, shadows: bool, fused: bool,
-                          analytic: bool, colored: bool, tile_sublanes: int,
+                          analytic: bool, colored: bool, soft_k: float,
+                          ao_strength: float, ao_samples: int,
+                          ao_delta: float, tile_sublanes: int,
                           num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -269,9 +341,11 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
 
     kernel = functools.partial(_render_kernel, kp, iterations, eps,
                                offset_eps, saturation, fd_h, num_lights,
-                               shadows, fused, analytic, colored)
-    light_outs = (f32, f32, f32) if colored else (f32,)
-    out_shape = (f32, f32, f32, f32, f32, i32) + light_outs + (i32,)
+                               shadows, fused, analytic, colored, soft_k,
+                               ao_strength, ao_samples, ao_delta)
+    out_shape = (f32, f32, f32, f32, f32) + _shade_out_shapes(
+        f32, i32, num_lights, colored, shadows and soft_k > 0.0,
+        ao_strength > 0.0)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
@@ -283,22 +357,50 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
     )
 
 
+def _unpack_shade_outs(outs, unprep, num_lights: int, colored: bool,
+                       soft: bool, ao: bool):
+    """Invert _shade_out_shapes -> (cidx, light, smask, sfac, aofac);
+    sfac [R, L] / aofac [R] or None when the mode is off."""
+    outs = list(outs)
+    cidx = unprep(outs.pop(0))
+    if colored:
+        light = jnp.stack([unprep(outs.pop(0)) for _ in range(3)], axis=-1)
+    else:
+        light = unprep(outs.pop(0))
+    smask = unprep(outs.pop(0))
+    sfac = None
+    if soft:
+        sfac = jnp.stack([unprep(outs.pop(0)) for _ in range(num_lights)],
+                         axis=-1)
+    aofac = unprep(outs.pop(0)) if ao else None
+    assert not outs
+    return cidx, light, smask, sfac, aofac
+
+
 def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
                        origin: jnp.ndarray, dirs: jnp.ndarray,
                        tables: SceneTables, *, interpret: bool = False):
     """Fully fused forward: dirs [R, 3], origin [3] ->
-    (p_hit [R,3], sd [R], converged [R], cidx [R], light [R], smask [R])."""
+    (p_hit [R,3], sd [R], converged [R], cidx [R], light [R], smask [R],
+    sfac [R, L] | None, aofac [R] | None).
+
+    ``light`` already includes the soft-shadow / AO factors when those
+    modes are on; ``sfac``/``aofac`` ride along only so the backward
+    replay can reapply the exact (stop-gradient) factors the kernel used."""
     kp = kernel_key(plan)
     colored = plan.colored_lights
+    soft = cfg.shadows and cfg.soft_shadow_k > 0.0
+    ao = cfg.ao_strength > 0.0
+    L = int(plan.num_lights)
     R = dirs.shape[0]
     num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
     comps = [prep(dirs[:, a]) for a in range(3)]
     tbl = _build_table(tables, kp)
     # [L, 8] SMEM rows: position xyz, pad, color rgb, pad.
-    L = tables.light_pos.shape[0]
+    nL = tables.light_pos.shape[0]
     lights = jnp.concatenate(
-        [jnp.asarray(tables.light_pos), jnp.zeros((L, 1), jnp.float32),
-         jnp.asarray(tables.light_color), jnp.zeros((L, 1), jnp.float32)],
+        [jnp.asarray(tables.light_pos), jnp.zeros((nL, 1), jnp.float32),
+         jnp.asarray(tables.light_color), jnp.zeros((nL, 1), jnp.float32)],
         axis=1)
     org = jnp.asarray(origin, jnp.float32).reshape(3)
 
@@ -308,37 +410,34 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         shade = _compiled_shade_call(
             kp, cfg.iterations, cfg.surface_precision,
             cfg.offset_precision, cfg.saturation, cfg.fd_h,
-            int(plan.num_lights), cfg.shadows, cfg.fused_generators,
-            cfg.normal_mode == "analytic", colored, cfg.tile_sublanes,
-            num_tiles, int(tables.prim_pos.shape[0]), interpret)
+            L, cfg.shadows, cfg.fused_generators,
+            cfg.normal_mode == "analytic", colored, cfg.soft_shadow_k,
+            cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
+            cfg.tile_sublanes, num_tiles, int(tables.prim_pos.shape[0]),
+            interpret)
         pc = [prep(p[:, a]) for a in range(3)]
         outs = shade(tbl, lights, *pc, prep(sd), *comps)
-        cidx = outs[0]
-        if colored:
-            light = jnp.stack([unprep(o) for o in outs[1:4]], axis=-1)
-        else:
-            light = unprep(outs[1])
-        return p, sd, conv, unprep(cidx), light, unprep(outs[-1])
+        cidx, light, smask, sfac, aofac = _unpack_shade_outs(
+            outs, unprep, L, colored, soft, ao)
+        return p, sd, conv, cidx, light, smask, sfac, aofac
 
     call = _compiled_render_call(
         kp, cfg.iterations, cfg.surface_precision, cfg.offset_precision,
-        cfg.saturation, cfg.fd_h, int(plan.num_lights), cfg.shadows,
+        cfg.saturation, cfg.fd_h, L, cfg.shadows,
         cfg.fused_generators, cfg.normal_mode == "analytic", colored,
+        cfg.soft_shadow_k, cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
         cfg.tile_sublanes, num_tiles,
         int(tables.prim_pos.shape[0]), interpret)
     outs = call(tbl, lights, org, *comps)
-    if colored:
-        px, py, pz, sd, done, cidx, lr, lg, lb, smask = outs
-        light = jnp.stack([unprep(lr), unprep(lg), unprep(lb)], axis=-1)
-    else:
-        px, py, pz, sd, done, cidx, light, smask = outs
-        light = unprep(light)
+    px, py, pz, sd, done = outs[:5]
+    cidx, light, smask, sfac, aofac = _unpack_shade_outs(
+        outs[5:], unprep, L, colored, soft, ao)
 
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
     sd = unprep(sd)
     return (p, sd,
             jnp.logical_and(unprep(done) > 0.5, sd < cfg.surface_precision),
-            unprep(cidx), light, unprep(smask))
+            cidx, light, smask, sfac, aofac)
 
 
 # Phase-2 capacity as a fraction of the chunk: covers any scene whose
@@ -411,12 +510,16 @@ def _sd_fn(plan, cfg):
     return lambda tb, q: scene_sd(plan, tb, q)
 
 
-def _replay_shade(plan, cfg, interpret, tables, p, cidx, smask):
+def _replay_shade(plan, cfg, interpret, tables, p, cidx, smask,
+                  sfac=None, aofac=None):
     """Differentiable jnp replay of shading from saved kernel outputs.
 
     Uses the SAVED discrete decisions (color winner, shadow booleans) so the
     backward transposes exactly the branch the kernel took; continuous parts
-    (normal, Lambert, clamp) are recomputed differentiably."""
+    (normal, Lambert, clamp) are recomputed differentiably.  ``sfac``
+    [R, L] / ``aofac`` [R] are the kernel's saved soft-shadow / AO factors
+    — reapplied as constants (they are stop-gradient by definition, see
+    core.shading)."""
     from ..core import shading as sh
 
     sdf = _sd_fn(plan, cfg)
@@ -446,14 +549,19 @@ def _replay_shade(plan, cfg, interpret, tables, p, cidx, smask):
     for li in range(int(plan.num_lights)):
         lp = jnp.asarray(tables.light_pos)[li]
         lambert = jnp.sum(n * sh.normalize(lp - p), axis=-1)
-        shadowed = (smask >> li) & 1
-        lambert = jnp.where(shadowed == 1, 0.0, lambert)
+        if sfac is not None:
+            lambert = lambert * sfac[..., li]
+        else:
+            shadowed = (smask >> li) & 1
+            lambert = jnp.where(shadowed == 1, 0.0, lambert)
         if colored:
             total = total + lambert[..., None] * \
                 jnp.asarray(tables.light_color)[li]
         else:
             total = total + lambert
     light = jnp.clip(total, cfg.saturation, 1.0)
+    if aofac is not None:
+        light = light * (aofac[..., None] if colored else aofac)
     light = light if colored else light[..., None]
     return light * p_color_color
 
@@ -462,7 +570,7 @@ def _replay_shade(plan, cfg, interpret, tables, p, cidx, smask):
 def fused_render_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                     tables, origin, dirs):
     """Colors [R, 3] for rays (origin [3], dirs [R, 3]) — one kernel."""
-    p, sd, conv, cidx, light, smask = pallas_render_rays(
+    p, sd, conv, cidx, light, smask, _, _ = pallas_render_rays(
         plan, cfg, origin, dirs, tables, interpret=interpret)
     color = jnp.where((cidx >= 0)[..., None],
                       jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)],
@@ -472,24 +580,119 @@ def fused_render_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
 
 
 def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
-    p, sd, conv, cidx, light, smask = pallas_render_rays(
+    p, sd, conv, cidx, light, smask, sfac, aofac = pallas_render_rays(
         plan, cfg, origin, dirs, tables, interpret=interpret)
     color = jnp.where((cidx >= 0)[..., None],
                       jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)],
                       0.0)
     out = (light if plan.colored_lights else light[..., None]) * color
     t = jnp.sum((p - origin) * dirs, axis=-1) / jnp.sum(dirs * dirs, axis=-1)
-    return out, (tables, origin, dirs, p, sd, conv, cidx, smask, t)
+    return out, (tables, origin, dirs, p, sd, conv, cidx, smask, t,
+                 sfac, aofac)
+
+
+def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
+    """Backward for the default exact-table FD-normal path with ONE kernel
+    launch total: a batched winner evaluation over all 7 stencil points
+    (hit + 6 FD offsets) supplies
+
+      * the FD normal primal (from the stencil sd values — bitwise the
+        same min-fold the forward kernel evaluated),
+      * every d scene/d p needed by the FD chain and the IFT route,
+      * the winner rows for ONE concatenated parameter scatter.
+
+    Mathematically identical to the modular route (_replay_shade +
+    fd_normal_bwd + ift_pieces); the restructure exists because backward
+    cost was kernel-dispatch latency, not fold FLOPs (see
+    scene_vjp.stencil_eval).  tests/test_scene_vjp.py pins end-to-end
+    grads against the jnp oracle."""
+    from ..core import shading as sh
+    from .scene_vjp import (_segment_add, fd_stencil_cotangents,
+                            stencil_eval, theta_cotangents)
+
+    (tables, origin, dirs, p, sd, conv, cidx, smask, t,
+     sfac, aofac) = residuals
+    sd7, widx7, g7 = stencil_eval(plan, cfg, p, tables, interpret,
+                                  center=True)
+    inv = 1.0 / (2.0 * cfg.fd_h)
+    gfd = jnp.stack([(sd7[1 + a] - sd7[4 + a]) * inv for a in range(3)],
+                    axis=-1)
+
+    # 1. shading replay from the FD-gradient primal (normalize + Lambert +
+    # clamp are plain jnp — jax.vjp transposes them; the sd-field parts
+    # are chained by hand below).  The color gather stays OUTSIDE the vjp
+    # so its transpose routes through the MXU segment-add instead of an
+    # XLA scatter (scene_vjp._segment_add rationale).
+    colored = plan.colored_lights
+    safe_cidx = jnp.clip(cidx, 0, None)
+    color_p = jnp.where((cidx >= 0)[..., None],
+                        jnp.asarray(tables.prim_color)[safe_cidx], 0.0)
+
+    def shade(tables_, p_, gfd_, color_):
+        n = sh.normalize(gfd_)
+        total = jnp.zeros(p_.shape if colored else p_.shape[:-1], p_.dtype)
+        for li in range(int(plan.num_lights)):
+            lp = jnp.asarray(tables_.light_pos)[li]
+            lambert = jnp.sum(n * sh.normalize(lp - p_), axis=-1)
+            if sfac is not None:
+                lambert = lambert * sfac[..., li]
+            else:
+                shadowed = (smask >> li) & 1
+                lambert = jnp.where(shadowed == 1, 0.0, lambert)
+            if colored:
+                total = total + lambert[..., None] * \
+                    jnp.asarray(tables_.light_color)[li]
+            else:
+                total = total + lambert
+        light = jnp.clip(total, cfg.saturation, 1.0)
+        if aofac is not None:
+            light = light * (aofac[..., None] if colored else aofac)
+        return (light if colored else light[..., None]) * color_
+
+    _, vjp_shade = jax.vjp(shade, tables, p, gfd, color_p)
+    tables_bar, p_bar, gfd_bar, color_bar = vjp_shade(g_out)
+    # negative cidx (miss) rows drop out of the one-hot contraction
+    pc_bar = _segment_add(cidx.reshape(-1), color_bar.reshape(-1, 3),
+                          int(tables.prim_color.shape[0]))
+    tables_bar = tables_bar._replace(
+        prim_color=tables_bar.prim_color + pc_bar)
+
+    # 2. FD chain: d f(p ± h e_a) cotangents -> p and the winner rows.
+    u_fd = fd_stencil_cotangents(cfg, gfd_bar)              # [6, R]
+    p_bar = p_bar + jnp.sum(u_fd[..., None] * g7[1:], axis=0)
+
+    # 3. IFT route at the hit point (winner row 0 of the same launch).
+    g0 = g7[0]
+    denom = jnp.sum(g0 * dirs, axis=-1)
+    denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
+                      jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
+    t_bar = jnp.where(conv, jnp.sum(p_bar * dirs, axis=-1), 0.0)
+    w = -t_bar / denom
+    gp_w = w[..., None] * g0
+
+    # 4. one concatenated scatter for all 7 rows' parameter cotangents
+    u_all = jnp.concatenate([w[None], u_fd])                # [7, R]
+    tables_bar2 = theta_cotangents(plan, tables, widx7, g7, u_all)
+
+    o_bar = jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1)))
+    d_bar = t[..., None] * (p_bar + gp_w)
+    tables_bar = jax.tree_util.tree_map(jnp.add, tables_bar, tables_bar2)
+    return tables_bar, o_bar, d_bar
 
 
 def _fused_bwd(plan, cfg, interpret, residuals, g_out):
-    tables, origin, dirs, p, sd, conv, cidx, smask, t = residuals
+    if not cfg.fused_generators and cfg.normal_mode == "fd":
+        return _exact_fd_bwd(plan, cfg, residuals, g_out, interpret)
+
+    (tables, origin, dirs, p, sd, conv, cidx, smask, t,
+     sfac, aofac) = residuals
 
     # 1. Transpose the shading replay w.r.t. (tables, p).  The ray
     # direction enters shading only through the saved discrete color
     # winner, so it carries no shading cotangent.
     def shade(tables_, p_):
-        return _replay_shade(plan, cfg, interpret, tables_, p_, cidx, smask)
+        return _replay_shade(plan, cfg, interpret, tables_, p_, cidx, smask,
+                             sfac, aofac)
 
     _, vjp_shade = jax.vjp(shade, tables, p)
     tables_bar, p_bar = vjp_shade(g_out)

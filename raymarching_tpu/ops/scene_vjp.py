@@ -111,6 +111,84 @@ def winner_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
             g.reshape(batch + (3,)))
 
 
+def stencil_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
+                 interpret: bool, *, center: bool):
+    """Winner evaluation at the FD stencil of every point in ONE kernel
+    launch: p [..., 3] -> (sd [K, ...], widx [K, ...], g [K, ..., 3]).
+
+    K = 7 with ``center`` (row 0 = p itself, rows 1+a / 4+a = p ± h e_a),
+    else 6 (rows a / 3+a = p ± h e_a).  The batched launch is the whole
+    point: per-launch dispatch latency dominates a 65k-ray winner fold on
+    tunneled TPU hosts (measured ~1.5 ms fixed vs ~0.9 ms of fold compute),
+    so one launch over K·R points runs ~5x faster than K launches — the
+    backward's cost was dispatch count, not fold FLOPs.  Rows are grouped
+    by offset so each ray tile keeps the spatial coherence the per-tile
+    cull relies on."""
+    from .pallas_march import kernel_key, pallas_surface_eval
+
+    h = cfg.fd_h
+    flat = p.reshape(-1, 3)
+    eye = jnp.eye(3, dtype=flat.dtype) * h
+    offs = [jnp.zeros((1, 3), flat.dtype)] if center else []
+    offs = jnp.concatenate(offs + [eye, -eye])
+    K = offs.shape[0]
+    q = (flat[None, :, :] + offs[:, None, :]).reshape(-1, 3)
+    sd, widx, g = pallas_surface_eval(
+        kernel_key(plan), cfg.fd_h, cfg.tile_sublanes, q, tables,
+        with_color=True, with_normal=True, fused=False, analytic=True,
+        interpret=interpret)
+    batch = p.shape[:-1]
+    return (sd.reshape((K,) + batch), widx.reshape((K,) + batch),
+            g.reshape((K,) + batch + (3,)))
+
+
+def stencil_theta_cotangents(plan: ScenePlan, tables: SceneTables,
+                             widx, g, u) -> SceneTables:
+    """theta_cotangents over a leading stencil axis: widx/u [K, R],
+    g [K, R, 3] -> one gradient pytree (the one-hot reduction below is
+    linear in rows, so the stencil axis just flattens in)."""
+    K = widx.shape[0]
+    return theta_cotangents(plan, tables, widx.reshape(-1),
+                            g.reshape(K * g.shape[1], 3), u.reshape(-1))
+
+
+# Rows per one-hot block: block x P one-hot tiles stay ~16 MB f32 for the
+# few-hundred-prim scenes this path serves (larger P shrinks the block).
+_ONEHOT_BLOCK = 8192
+
+
+def _segment_add(idx, vals, P: int):
+    """sum of vals rows per index in [0, P): MXU one-hot contraction.
+
+    jnp.zeros([P, C]).at[idx].add(vals) is ~2.3 ms per 65k rows on a v5e
+    (and superlinear beyond ~100k rows) — the 7-stencil backward spent
+    more time scattering than folding.  A blocked
+    ``one_hot(idx_block).T @ vals_block`` does the same reduction as
+    dense matmuls: ~16 ms -> ~2 ms per chunk for the full stencil set.
+    f32 one-hot entries are exact, and the matmul's tree-wise summation
+    is at least as accurate as the scatter's sequential adds.
+    idx: [R] int32 (negative = drop), vals: [R, C] f32 -> [P, C]."""
+    R, C = vals.shape
+    block = max(256, min(_ONEHOT_BLOCK, (1 << 22) // max(P, 1)))
+    pad = (-R) % block
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), -1, idx.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, C), vals.dtype)])
+    nb = (R + pad) // block
+    idx_b = idx.reshape(nb, block)
+    vals_b = vals.reshape(nb, block, C)
+
+    def body(acc, args):
+        i, v = args
+        onehot = (i[:, None] == jnp.arange(P, dtype=i.dtype)[None, :])
+        return acc + jnp.dot(onehot.astype(v.dtype).T, v,
+                             precision=jax.lax.Precision.HIGHEST), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((P, C), vals.dtype),
+                          (idx_b, vals_b))
+    return out
+
+
 def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u
                      ) -> SceneTables:
     """Scatter per-ray winner cotangents into a SceneTables gradient pytree.
@@ -124,22 +202,23 @@ def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u
     widx = widx.reshape(-1)
     g = g.reshape(-1, 3)
     u = u.reshape(-1)
-    valid = widx >= 0
-    u = jnp.where(valid, u, 0.0)
-    idx = jnp.clip(widx, 0, P - 1)
 
-    se = jnp.asarray(sign_eff)[idx]
-    sph = jnp.asarray(is_sphere)[idx]
-    use = u * se
+    # Per-ray rows carry only (u, g)-derived columns; the per-LEAF factors
+    # (sign_eff in {±1}, sphere-vs-boxy) apply per PRIM after the
+    # reduction — all rows landing on one prim share them, ±1 products
+    # commute exactly with the sum, and the [R]-sized se/sphere gathers
+    # (measured ~3x the cost of the reduction itself) disappear.
+    # Negative winner rows (miss) drop out of the one-hot contraction.
+    mu = -u[:, None]
+    vals = jnp.concatenate([mu * g, mu, 0.5 * mu * jnp.abs(g)], axis=1)
+    red = _segment_add(widx, vals, P)                    # [P, 7]
 
-    pos_c = -u[:, None] * g
-    zeros = jnp.zeros_like(use)
-    aux_sphere = jnp.stack([-use, zeros, zeros], axis=-1)
-    aux_boxy = -0.5 * use[:, None] * jnp.abs(g)
-    aux_c = jnp.where(sph[:, None], aux_sphere, aux_boxy)
-
-    gpos = jnp.zeros((P, 3), g.dtype).at[idx].add(pos_c)
-    gaux = jnp.zeros((P, 3), g.dtype).at[idx].add(aux_c)
+    se = jnp.asarray(sign_eff[:P])[:, None]
+    sph = jnp.asarray(is_sphere[:P])[:, None]
+    gpos = red[:, :3]
+    aux_sphere = jnp.concatenate(
+        [red[:, 3:4], jnp.zeros((P, 2), red.dtype)], axis=1)
+    gaux = se * jnp.where(sph, aux_sphere, red[:, 4:7])
     z = lambda x: jnp.zeros_like(jnp.asarray(x))
     return SceneTables(
         prim_pos=gpos, prim_aux=gaux, prim_color=z(tables.prim_color),
@@ -147,10 +226,6 @@ def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u
         cam_position=z(tables.cam_position),
         cam_direction=z(tables.cam_direction),
         cam_up=z(tables.cam_up), cam_fov=z(tables.cam_fov))
-
-
-def _add_tables(a: SceneTables, b: SceneTables) -> SceneTables:
-    return jax.tree_util.tree_map(jnp.add, a, b)
 
 
 def make_march_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool):
@@ -192,24 +267,29 @@ def ift_pieces(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
     return tables_bar, w[..., None] * g
 
 
+def fd_stencil_cotangents(cfg: RenderConfig, nbar):
+    """Per-stencil-row sd cotangents of the FD formula
+    g_a = (f(p + h e_a) - f(p - h e_a)) / 2h, matching stencil_eval's row
+    order (+x +y +z -x -y -z): u [6, ...] from nbar [..., 3]."""
+    inv = 1.0 / (2.0 * cfg.fd_h)
+    return jnp.concatenate(
+        [jnp.moveaxis(nbar, -1, 0) * inv, -jnp.moveaxis(nbar, -1, 0) * inv])
+
+
 def fd_normal_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                   p, tables, nbar):
     """VJP of the 6-eval FD normal stencil (shading.normal_fd semantics:
-    g_a = (f(p + h e_a) - f(p - h e_a)) / 2h) via six winner-kernel passes
-    — replaces jax.vjp through six jnp scene_sd evaluations.
+    g_a = (f(p + h e_a) - f(p - h e_a)) / 2h) via ONE batched winner-kernel
+    pass over all six stencil points and one concatenated scatter —
+    replaces jax.vjp through six jnp scene_sd evaluations (and the earlier
+    six separate kernel launches, which were dispatch-latency-bound).
 
     Returns (p_bar, tables_bar)."""
-    h = cfg.fd_h
-    eye = jnp.eye(3, dtype=p.dtype) * h
-    p_bar = jnp.zeros_like(p)
-    tables_bar = None
-    for a in range(3):
-        for s in (1.0, -1.0):
-            q = p + s * eye[a]
-            _, widx, g = winner_eval(plan, cfg, q, tables, interpret)
-            u = s * nbar[..., a] / (2.0 * h)
-            p_bar = p_bar + u[..., None] * g
-            tb = theta_cotangents(plan, tables, widx, g, u)
-            tables_bar = tb if tables_bar is None else \
-                _add_tables(tables_bar, tb)
+    _, widx, g = stencil_eval(plan, cfg, p, tables, interpret, center=False)
+    u = fd_stencil_cotangents(cfg, nbar)
+    p_bar = jnp.sum(u[..., None] * g, axis=0)
+    K = widx.shape[0]
+    tables_bar = stencil_theta_cotangents(
+        plan, tables, widx.reshape(K, -1), g.reshape(K, -1, 3),
+        u.reshape(K, -1))
     return p_bar, tables_bar

@@ -12,7 +12,9 @@ API:
   POST /render                   -> PNG bytes
        body: the scene text (objects.txt grammar)
        query params: width, height, ssaa, iterations, gamma,
-                     shadows=0|1, format=png|ppm
+                     shadows=0|1, format=png|ppm,
+                     soft_shadow_k (penumbra sharpness, 0 = hard),
+                     ao (ambient-occlusion strength, 0 = off)
   POST /animate                  -> ZIP of frame_NNN.png (format=zip,
        default) or a looping animated GIF (format=gif)
        body: the scene text; camera orbits the scene (turntable path:
@@ -110,6 +112,9 @@ def _make_handler(backend: str):
                 ssaa=limits[2][1], iterations=limits[3][1],
                 gamma=float(q.get("gamma", 1.0)),
                 shadows=q.get("shadows", "1") != "0",
+                # extensions, both clamped non-negative (0 = parity default)
+                soft_shadow_k=max(0.0, float(q.get("soft_shadow_k", 0.0))),
+                ao_strength=max(0.0, float(q.get("ao", 0.0))),
                 normal_mode="fd", ray_chunk=DEFAULT_RAY_CHUNK)
             return cfg, plan, tables, limits[4][1]
 

@@ -171,10 +171,13 @@ def test_fd_normal_bwd_matches_jnp_vjp():
     _, vjp = jax.vjp(est, p, tables)
     p_ref, t_ref = vjp(nbar)
     # stencil cotangents are O(nbar/2h) ~ 500, and +h/-h contributions
-    # cancel, so f32 summation-order noise shows at ~1e-3 relative
+    # cancel, so f32 summation-order noise shows at ~1e-3 absolute (the
+    # batched single scatter interleaves the rows the six per-point
+    # scatters used to sum separately — ~5e-6 relative to the canceling
+    # terms)
     np.testing.assert_allclose(np.asarray(p_ours), np.asarray(p_ref),
-                               rtol=2e-3, atol=2e-3)
-    _tables_close(t_ours, t_ref, rtol=2e-3, atol=2e-3)
+                               rtol=2e-3, atol=5e-3)
+    _tables_close(t_ours, t_ref, rtol=2e-3, atol=5e-3)
 
 
 @pytest.mark.parametrize("backend", ["pallas", "mega"])
