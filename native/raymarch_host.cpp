@@ -23,12 +23,15 @@
 
 namespace {
 
-enum PrimKind : int32_t { SPHERE = 0, BOX = 1, CROSS = 2 };
+enum PrimKind : int32_t { SPHERE = 0, BOX = 1, CROSS = 2, MANDELBOX = 3 };
 
 struct Prim {
     int32_t type;
     float pos[3];
-    float aux[3];    // sphere: (radius, 0, 0); box/cross: size
+    float aux[3];    // sphere: (radius, 0, 0); box/cross: size;
+                     // mandelbox: (size, fold scale, iterations) — the
+                     // ctypes layer splits the structural (scale, iters)
+                     // pair back out into plan statics (native.py)
     float color[3];
     int32_t group;   // group index (root child)
     float scale;     // fold sign inside the group's min-reduction
@@ -116,6 +119,23 @@ bool parseScene(const char *text, ParsedScene &out) {
             int32_t g = newGroup(out, +1);
             pushPrim(out, cmd == "Box" ? BOX : CROSS, pos, size, color, g,
                      +1.0f);
+            out.groups[g].count++;
+        } else if (cmd == "Mandelbox") {
+            // Extension keyword (parser.py): optional trailing
+            // (scale, iterations) default to (2, 8).
+            float pos[3], size;
+            if (!(in >> pos[0] >> pos[1] >> pos[2] >> size)) return false;
+            float mscale = 2.0f;
+            int iterations = 8;
+            // (a failed C++11 extraction zeroes its target — keep the
+            // defaults by reading through temporaries)
+            float ms;
+            if (in >> ms) mscale = ms;
+            int it;
+            if (in >> it) iterations = it;
+            float aux[3] = {size, mscale, static_cast<float>(iterations)};
+            int32_t g = newGroup(out, +1);
+            pushPrim(out, MANDELBOX, pos, aux, color, g, +1.0f);
             out.groups[g].count++;
         } else if (cmd == "Bounds") {
             // COMPLEMENT list of one black box (scene.cpp:120-127):

@@ -36,6 +36,35 @@ def _med3(a, b, c):
                        jnp.minimum(jnp.maximum(a, b), c))
 
 
+def mandelbox_sd(p: jnp.ndarray, c: jnp.ndarray, size: jnp.ndarray,
+                 scale: float, iterations: int) -> jnp.ndarray:
+    """Mandelbox distance estimate, vectorized: p [..., 3] -> [...].
+
+    The classic box-fold / sphere-fold iteration (see scene.csg.Mandelbox
+    for the formula and semantics).  ``scale``/``iterations`` are Python
+    statics (the loop unrolls at trace time — no data-dependent control
+    flow); ``c``/``size`` are traced table entries, so gradients flow to
+    them on every autodiff path.  The sphere fold's three branches compile
+    to two exactly-rounded selects: f = r2<1 ? 1/max(r2, 1/4) : 1."""
+    q0 = (p - c) / size
+    q = q0
+    dr = jnp.ones(p.shape[:-1], p.dtype)
+    for _ in range(iterations):
+        q = jnp.clip(q, -1.0, 1.0) * 2.0 - q
+        r2 = jnp.sum(q * q, axis=-1)
+        f = jnp.where(r2 < 1.0, 1.0 / jnp.maximum(r2, 0.25), 1.0)
+        q = (scale * f)[..., None] * q + q0
+        dr = abs(scale) * f * dr + 1.0
+    # max() floor: the iterated q can land exactly on 0 (the origin is a
+    # fixed point of the fold), where sqrt's autodiff is inf — the floor
+    # zeroes that cotangent (max's subgradient picks the constant branch)
+    # while leaving every representable f32 value >= 1e-24 bit-identical
+    # to the kernel's unguarded sqrt (ops.pallas_march._mandelbox_sd,
+    # whose hand-derived Jacobian carries the same guard via rinv).
+    return size * jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=-1),
+                                       1e-24)) / dr
+
+
 def leaf_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray:
     """Signed distances of every leaf primitive.
 
@@ -57,11 +86,24 @@ def leaf_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray
     b = jnp.abs(d) - tables.prim_aux * 0.5         # [..., P, 3]
     box = jnp.max(b, axis=-1)
     cross = _med3(b[..., 0], b[..., 1], b[..., 2])
-    sphere = jnp.sqrt(jnp.sum(d * d, axis=-1)) - tables.prim_aux[..., 0]
+    # max() floor (value-neutral for every f32 >= 1e-24, see mandelbox_sd):
+    # at p exactly on a prim position sqrt's VJP is inf, and the type-mask
+    # select turns 0 * inf into NaN for every OTHER prim's gradient — the
+    # dense formula runs for all columns, so one coincident point poisons
+    # the whole cotangent.  Reachable in practice: the Mandelbox fold's
+    # fixed point IS its position, and axis-aligned rays land there.
+    sphere = (jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+              - tables.prim_aux[..., 0])
 
     t = np.asarray(plan.prim_type, np.int32)       # static per-scene
     sd = jnp.where(t == int(PrimType.SPHERE), sphere,
                    jnp.where(t == int(PrimType.BOX), box, cross))
+    # Mandelbox leaves (extension): few per scene, each its own static
+    # column write — the dense per-type formulas above don't apply.
+    for (i, mb_scale, mb_iters) in plan.mb:
+        sd = sd.at[..., i].set(mandelbox_sd(
+            p, tables.prim_pos[i], tables.prim_aux[i, 0],
+            mb_scale, mb_iters))
     return sd
 
 
@@ -165,14 +207,23 @@ def scene_surface(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray):
     return sd, color
 
 
-def _run_sd(tables: SceneTables, ptype: int, start: int, count: int,
+def _run_sd(tables: SceneTables, ptype, start: int, count: int,
             p: jnp.ndarray) -> jnp.ndarray:
-    """Distances for one same-type leaf run: p [..., 3] -> [..., count]."""
+    """Distances for one same-type leaf run: p [..., 3] -> [..., count].
+
+    ``ptype`` is an int PrimType, or the tagged tuple ("mb", scale, iters)
+    for Mandelbox runs (see compile._kernel_normal_form.run_type)."""
     pos = jnp.asarray(tables.prim_pos)[start:start + count]
     aux = jnp.asarray(tables.prim_aux)[start:start + count]
+    if isinstance(ptype, tuple):
+        return jnp.stack(
+            [mandelbox_sd(p, pos[k], aux[k, 0], ptype[1], ptype[2])
+             for k in range(count)], axis=-1)
     d = p[..., None, :] - pos
     if ptype == int(PrimType.SPHERE):
-        return jnp.sqrt(jnp.sum(d * d, axis=-1)) - aux[..., 0]
+        # same 1e-24 floor as leaf_sd: value-neutral, NaN-free VJP at d=0
+        return (jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+                - aux[..., 0])
     b = jnp.abs(d) - aux * 0.5
     if ptype == int(PrimType.BOX):
         return jnp.max(b, axis=-1)

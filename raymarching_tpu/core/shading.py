@@ -52,7 +52,14 @@ def normalize(v: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     (reachable only in degenerate scenes — empty lists, marches to infinity —
     where the reference produces NaN pixels; SURVEY §2 fine print)."""
     v = jnp.where(jnp.isfinite(v), v, 0.0)
-    norm = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    # The floor must sit INSIDE the sqrt: max(sqrt(x), tiny) still reverse-
+    # differentiates sqrt at x=0 (VJP = inf, and inf * the max's zeroed
+    # cotangent = NaN, poisoning autodiff through analytic normals when the
+    # winner gradient vanishes, e.g. inside a Mandelbox fold).  With the
+    # floor on x the max's subgradient zeroes the cotangent BEFORE the
+    # sqrt; values are identical for every norm >= 1e-19.
+    sq = jnp.sum(v * v, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, jnp.finfo(v.dtype).tiny))
     return v / jnp.maximum(norm, jnp.finfo(v.dtype).tiny)
 
 

@@ -67,8 +67,100 @@ def _med3(a, b, c):
                        jnp.minimum(jnp.maximum(a, b), c))
 
 
-def _prim_sd(ptype: int, tbl, i, px, py, pz):
-    """Distance of primitive ``i`` (scalars from SMEM) to rays (vectors)."""
+def _mandelbox_sd(tbl, i, px, py, pz, mscale: float, iters: int):
+    """Mandelbox distance estimate of leaf ``i`` — the box-fold/sphere-fold
+    iteration of core.sdf.mandelbox_sd, unrolled at trace time (``mscale``/
+    ``iters`` are run-type statics, see compile run_type).  Same operation
+    order as the jnp oracle so the two stay bit-identical."""
+    cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
+    size = tbl[i, 3]
+    q0x, q0y, q0z = (px - cx) / size, (py - cy) / size, (pz - cz) / size
+    qx, qy, qz = q0x, q0y, q0z
+    dr = jnp.ones_like(px)
+    for _ in range(iters):
+        qx = jnp.clip(qx, -1.0, 1.0) * 2.0 - qx
+        qy = jnp.clip(qy, -1.0, 1.0) * 2.0 - qy
+        qz = jnp.clip(qz, -1.0, 1.0) * 2.0 - qz
+        r2 = qx * qx + qy * qy + qz * qz
+        f = jnp.where(r2 < 1.0, 1.0 / jnp.maximum(r2, 0.25), 1.0)
+        sf = mscale * f
+        qx, qy, qz = sf * qx + q0x, sf * qy + q0y, sf * qz + q0z
+        dr = abs(mscale) * f * dr + 1.0
+    return size * jnp.sqrt(qx * qx + qy * qy + qz * qz) / dr
+
+
+def _mandelbox_sd_grad(tbl, i, px, py, pz, mscale: float, iters: int):
+    """(sd, d sd/dp) of Mandelbox leaf ``i`` — hand-derived forward-mode
+    sweep: the full 3x3 Jacobian dq/dp plus the 3-vector d(dr)/dp ride
+    along the unrolled iteration (box fold scales Jacobian ROWS by ±1;
+    sphere fold is a rank-one update through df/dr2).  Matches jax.grad of
+    core.sdf.mandelbox_sd a.e. (clip/branch boundaries are measure zero).
+    ~19 live vector registers — heavier than the 3 dense prim types, but
+    one pass instead of 6 FD evaluations of an ``iters``-deep field."""
+    cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
+    size = tbl[i, 3]
+    s0 = 1.0 / size                       # d q0_a / d p_a (diagonal)
+    q0x, q0y, q0z = (px - cx) / size, (py - cy) / size, (pz - cz) / size
+    qx, qy, qz = q0x, q0y, q0z
+    dr = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    # J[a][b] = d q_a / d p_b, initialized to diag(1/size)
+    jxx = s0 + zero
+    jyy, jzz = jxx, jxx
+    jxy = jxz = jyx = jyz = jzx = jzy = zero
+    dx_ = dy_ = dz_ = zero                # d dr / d p
+    for _ in range(iters):
+        bx = jnp.where(jnp.abs(qx) <= 1.0, 1.0, -1.0)
+        by = jnp.where(jnp.abs(qy) <= 1.0, 1.0, -1.0)
+        bz = jnp.where(jnp.abs(qz) <= 1.0, 1.0, -1.0)
+        qx = jnp.clip(qx, -1.0, 1.0) * 2.0 - qx
+        qy = jnp.clip(qy, -1.0, 1.0) * 2.0 - qy
+        qz = jnp.clip(qz, -1.0, 1.0) * 2.0 - qz
+        jxx, jxy, jxz = bx * jxx, bx * jxy, bx * jxz
+        jyx, jyy, jyz = by * jyx, by * jyy, by * jyz
+        jzx, jzy, jzz = bz * jzx, bz * jzy, bz * jzz
+        r2 = qx * qx + qy * qy + qz * qz
+        f = jnp.where(r2 < 1.0, 1.0 / jnp.maximum(r2, 0.25), 1.0)
+        # d f/d r2 = -1/r2^2 = -f^2 on the inversion branch, else 0
+        fp = jnp.where(jnp.logical_and(r2 > 0.25, r2 < 1.0), -f * f, 0.0)
+        r2x = 2.0 * (qx * jxx + qy * jyx + qz * jzx)
+        r2y = 2.0 * (qx * jxy + qy * jyy + qz * jzy)
+        r2z = 2.0 * (qx * jxz + qy * jyz + qz * jzz)
+        fx, fy, fz = fp * r2x, fp * r2y, fp * r2z
+        sf = mscale * f
+        jxx = sf * jxx + mscale * qx * fx + s0
+        jxy = sf * jxy + mscale * qx * fy
+        jxz = sf * jxz + mscale * qx * fz
+        jyx = sf * jyx + mscale * qy * fx
+        jyy = sf * jyy + mscale * qy * fy + s0
+        jyz = sf * jyz + mscale * qy * fz
+        jzx = sf * jzx + mscale * qz * fx
+        jzy = sf * jzy + mscale * qz * fy
+        jzz = sf * jzz + mscale * qz * fz + s0
+        qx, qy, qz = sf * qx + q0x, sf * qy + q0y, sf * qz + q0z
+        asf = abs(mscale)
+        dx_ = asf * (f * dx_ + dr * fx)
+        dy_ = asf * (f * dy_ + dr * fy)
+        dz_ = asf * (f * dz_ + dr * fz)
+        dr = asf * f * dr + 1.0
+    r = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+    sd = size * r / dr
+    rinv = 1.0 / jnp.maximum(r, jnp.float32(1e-30))
+    rx = (qx * jxx + qy * jyx + qz * jzx) * rinv
+    ry = (qx * jxy + qy * jyy + qz * jzy) * rinv
+    rz = (qx * jxz + qy * jyz + qz * jzz) * rinv
+    inv_dr2 = 1.0 / (dr * dr)             # dr >= 1 by construction
+    gx = size * (rx * dr - r * dx_) * inv_dr2
+    gy = size * (ry * dr - r * dy_) * inv_dr2
+    gz = size * (rz * dr - r * dz_) * inv_dr2
+    return sd, gx, gy, gz
+
+
+def _prim_sd(ptype, tbl, i, px, py, pz):
+    """Distance of primitive ``i`` (scalars from SMEM) to rays (vectors).
+    ``ptype``: int PrimType, or ("mb", scale, iters) for Mandelbox runs."""
+    if isinstance(ptype, tuple):
+        return _mandelbox_sd(tbl, i, px, py, pz, ptype[1], ptype[2])
     cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
     if ptype == int(PrimType.SPHERE):
         dx, dy, dz = px - cx, py - cy, pz - cz
@@ -298,7 +390,9 @@ def preload_table(kp, tbl, fused: bool):
         # Generic deep plan: preload every leaf (deep trees are small; the
         # _PRELOAD_LIMIT guard below still applies).
         for i, t in enumerate(kp.prim_type):
-            load(i, range(4) if t == int(PrimType.SPHERE) else range(6))
+            load(i, range(4) if t in (int(PrimType.SPHERE),
+                                      int(PrimType.MANDELBOX))
+                 else range(6))
         if len(cache) > _PRELOAD_LIMIT:
             return tbl
         return _TableView(tbl, cache)
@@ -309,7 +403,8 @@ def preload_table(kp, tbl, fused: bool):
         for (ptype, start, count, scale) in g.runs:
             if use_fused and scale == 1:
                 continue               # replaced by the folded carve
-            js = range(4) if ptype == int(PrimType.SPHERE) else range(6)
+            js = (range(4) if isinstance(ptype, tuple)    # mandelbox
+                  or ptype == int(PrimType.SPHERE) else range(6))
             if count <= _UNROLL:
                 idxs = range(start, start + count)
             else:
@@ -338,11 +433,15 @@ def preload_table(kp, tbl, fused: bool):
     return _TableView(tbl, cache)
 
 
-def _type_segments(prim_type, start: int, count: int):
-    """Split leaves [start, start+count) into maximal same-type segments."""
+def _type_segments(prim_type, start: int, count: int, mb_map=None):
+    """Split leaves [start, start+count) into maximal same-type segments.
+    Mandelbox leaves (``mb_map``: leaf -> (scale, iters)) get the tagged
+    run type ("mb", scale, iters) — same convention as compile.run_type."""
     segs = []
     for off in range(count):
         t = prim_type[start + off]
+        if mb_map and (start + off) in mb_map:
+            t = ("mb",) + mb_map[start + off]
         if segs and segs[-1][0] == t:
             segs[-1] = (t, segs[-1][1], segs[-1][2] + 1)
         else:
@@ -373,13 +472,16 @@ def _scene_generic_tile(plan: ScenePlan, tbl, px, py, pz, dtype,
         v, i, gx, gy, gz = e
         return (-v, i, -gx, -gy, -gz)
 
+    mb_map = {i: (s, it) for (i, s, it) in plan.mb}
+
     def fold_run(op, start, count, neg):
         # entry value = (neg ? -sd : sd); MIN folds directly, MAX via -min.
         s = -1 if neg else 1
         scale = s if op == MIN else -s
         runs = tuple((pt, st, ct, scale)
                      for (pt, st, ct) in _type_segments(plan.prim_type,
-                                                        start, count))
+                                                        start, count,
+                                                        mb_map))
         if with_grad and with_idx:
             m, i, gx, gy, gz = _fold_runs_idx_grad(
                 tbl, runs, px, py, pz, (inf, neg_one, zero, zero, zero))
@@ -709,10 +811,13 @@ def _fold_runs_idx(tbl, runs, px, py, pz, carry):
     return carry
 
 
-def _prim_sd_grad(ptype: int, tbl, i, px, py, pz):
+def _prim_sd_grad(ptype, tbl, i, px, py, pz):
     """(sd, dsd/dp) of primitive ``i`` — hand-derived a.e. gradients:
     sphere: (p-c)/|p-c|; box: sign on the argmax axis (Chebyshev); cross:
-    sign on the MEDIAN axis (_med3 selects it)."""
+    sign on the MEDIAN axis (_med3 selects it); Mandelbox (tuple-tagged
+    run type): forward-mode Jacobian sweep (_mandelbox_sd_grad)."""
+    if isinstance(ptype, tuple):
+        return _mandelbox_sd_grad(tbl, i, px, py, pz, ptype[1], ptype[2])
     cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
     dx, dy, dz = px - cx, py - cy, pz - cz
     if ptype == int(PrimType.SPHERE):

@@ -612,8 +612,8 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
      sfac, aofac) = residuals
-    sd7, widx7, g7 = stencil_eval(plan, cfg, p, tables, interpret,
-                                  center=True)
+    sd7, widx7, g7, q7 = stencil_eval(plan, cfg, p, tables, interpret,
+                                      center=True)
     inv = 1.0 / (2.0 * cfg.fd_h)
     gfd = jnp.stack([(sd7[1 + a] - sd7[4 + a]) * inv for a in range(3)],
                     axis=-1)
@@ -672,7 +672,8 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
 
     # 4. one concatenated scatter for all 7 rows' parameter cotangents
     u_all = jnp.concatenate([w[None], u_fd])                # [7, R]
-    tables_bar2 = theta_cotangents(plan, tables, widx7, g7, u_all)
+    tables_bar2 = theta_cotangents(plan, tables, widx7, g7, u_all,
+                                   sd=sd7, p=q7)
 
     o_bar = jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1)))
     d_bar = t[..., None] * (p_bar + gp_w)

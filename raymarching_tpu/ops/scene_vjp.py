@@ -90,9 +90,12 @@ def _leaf_statics(plan: ScenePlan):
                     ctx[idx] = s
     is_sphere = (np.asarray(plan.prim_type, np.int32)
                  == int(PrimType.SPHERE))
+    is_mb = (np.asarray(plan.prim_type, np.int32)
+             == int(PrimType.MANDELBOX))
     if P == 0:
         is_sphere = np.zeros(1, bool)
-    return sign_eff, is_sphere
+        is_mb = np.zeros(1, bool)
+    return sign_eff, is_sphere, is_mb
 
 
 def winner_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
@@ -114,7 +117,9 @@ def winner_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
 def stencil_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
                  interpret: bool, *, center: bool):
     """Winner evaluation at the FD stencil of every point in ONE kernel
-    launch: p [..., 3] -> (sd [K, ...], widx [K, ...], g [K, ..., 3]).
+    launch: p [..., 3] -> (sd [K, ...], widx [K, ...], g [K, ..., 3],
+    q [K, ..., 3] — the stencil points themselves, for the Mandelbox size
+    cotangent in theta_cotangents).
 
     K = 7 with ``center`` (row 0 = p itself, rows 1+a / 4+a = p ± h e_a),
     else 6 (rows a / 3+a = p ± h e_a).  The batched launch is the whole
@@ -139,17 +144,20 @@ def stencil_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
         interpret=interpret)
     batch = p.shape[:-1]
     return (sd.reshape((K,) + batch), widx.reshape((K,) + batch),
-            g.reshape((K,) + batch + (3,)))
+            g.reshape((K,) + batch + (3,)),
+            q.reshape((K,) + batch + (3,)))
 
 
 def stencil_theta_cotangents(plan: ScenePlan, tables: SceneTables,
-                             widx, g, u) -> SceneTables:
+                             widx, g, u, sd=None, p=None) -> SceneTables:
     """theta_cotangents over a leading stencil axis: widx/u [K, R],
     g [K, R, 3] -> one gradient pytree (the one-hot reduction below is
     linear in rows, so the stencil axis just flattens in)."""
     K = widx.shape[0]
-    return theta_cotangents(plan, tables, widx.reshape(-1),
-                            g.reshape(K * g.shape[1], 3), u.reshape(-1))
+    return theta_cotangents(
+        plan, tables, widx.reshape(-1), g.reshape(K * g.shape[1], 3),
+        u.reshape(-1), sd=None if sd is None else sd.reshape(-1),
+        p=None if p is None else p.reshape(K * g.shape[1], 3))
 
 
 # Rows per one-hot block: block x P one-hot tiles stay ~16 MB f32 for the
@@ -189,15 +197,25 @@ def _segment_add(idx, vals, P: int):
     return out
 
 
-def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u
-                     ) -> SceneTables:
+def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u,
+                     sd=None, p=None) -> SceneTables:
     """Scatter per-ray winner cotangents into a SceneTables gradient pytree.
 
     widx [...]: winner leaf per ray; g [..., 3]: d scene/dp per ray;
     u [...]: scalar cotangent on the scene SD per ray.
+
+    Plans with Mandelbox leaves additionally need the per-ray scene sd and
+    query point p [..., 3] (every caller has both from the same winner
+    pass): the DE is homogeneous, DE(p; c, s) = s*U((p-c)/s), so its size
+    derivative is d scene/ds = (scene_sd - g.(p-c))/s — three more
+    segment-sum columns, no extra kernel work.
     """
     P = int(np.shape(tables.prim_pos)[0])
-    sign_eff, is_sphere = _leaf_statics(plan)
+    sign_eff, is_sphere, is_mb = _leaf_statics(plan)
+    has_mb = bool(is_mb.any()) and bool(plan.mb)
+    if has_mb and (sd is None or p is None):
+        raise ValueError("plans with Mandelbox leaves need sd and p "
+                         "for theta_cotangents")
 
     widx = widx.reshape(-1)
     g = g.reshape(-1, 3)
@@ -210,8 +228,15 @@ def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u
     # (measured ~3x the cost of the reduction itself) disappear.
     # Negative winner rows (miss) drop out of the one-hot contraction.
     mu = -u[:, None]
-    vals = jnp.concatenate([mu * g, mu, 0.5 * mu * jnp.abs(g)], axis=1)
-    red = _segment_add(widx, vals, P)                    # [P, 7]
+    cols = [mu * g, mu, 0.5 * mu * jnp.abs(g)]
+    if has_mb:
+        # columns 7, 8: -u*sd and -u*(g.p); with gpos = sum(-u g) the
+        # per-prim size cotangent is (col8 - col7 - c.gpos)/s.
+        cols.append(mu * sd.reshape(-1, 1))
+        cols.append(mu * jnp.sum(g * p.reshape(-1, 3), axis=1,
+                                 keepdims=True))
+    vals = jnp.concatenate(cols, axis=1)
+    red = _segment_add(widx, vals, P)                    # [P, 7(+2)]
 
     se = jnp.asarray(sign_eff[:P])[:, None]
     sph = jnp.asarray(is_sphere[:P])[:, None]
@@ -219,6 +244,15 @@ def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u
     aux_sphere = jnp.concatenate(
         [red[:, 3:4], jnp.zeros((P, 2), red.dtype)], axis=1)
     gaux = se * jnp.where(sph, aux_sphere, red[:, 4:7])
+    if has_mb:
+        mbm = jnp.asarray(is_mb[:P])[:, None]
+        s_safe = jnp.where(mbm[:, 0], tables.prim_aux[:, 0], 1.0)
+        size_cot = (red[:, 8] - red[:, 7]
+                    - jnp.sum(jnp.asarray(tables.prim_pos) * gpos, axis=1)
+                    ) / s_safe
+        aux_mb = jnp.concatenate(
+            [size_cot[:, None], jnp.zeros((P, 2), red.dtype)], axis=1)
+        gaux = jnp.where(mbm, aux_mb, gaux)
     z = lambda x: jnp.zeros_like(jnp.asarray(x))
     return SceneTables(
         prim_pos=gpos, prim_aux=gaux, prim_color=z(tables.prim_color),
@@ -237,14 +271,15 @@ def make_march_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool):
         p_hit, converged, t, ray, tables = residuals
         p_bar = cotangents.position
 
-        _, widx, g = winner_eval(plan, cfg, p_hit, tables, interpret)
+        sd, widx, g = winner_eval(plan, cfg, p_hit, tables, interpret)
         denom = jnp.sum(g * ray, axis=-1)
         denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
                           jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS),
                           denom)
         t_bar = jnp.where(converged, jnp.sum(p_bar * ray, axis=-1), 0.0)
         w = -t_bar / denom
-        tables_bar = theta_cotangents(plan, tables, widx, g, w)
+        tables_bar = theta_cotangents(plan, tables, widx, g, w,
+                                      sd=sd, p=p_hit)
         gp_w = w[..., None] * g
         o_bar = p_bar + gp_w
         d_bar = t[..., None] * (p_bar + gp_w)
@@ -257,13 +292,13 @@ def ift_pieces(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                p_hit, ray, conv, p_bar, tables):
     """(tables_bar, gp_w) of the IFT route — the kernelized replacement for
     the two vjp_f pullbacks in pallas_render._fused_bwd."""
-    _, widx, g = winner_eval(plan, cfg, p_hit, tables, interpret)
+    sd, widx, g = winner_eval(plan, cfg, p_hit, tables, interpret)
     denom = jnp.sum(g * ray, axis=-1)
     denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
                       jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
     t_bar = jnp.where(conv, jnp.sum(p_bar * ray, axis=-1), 0.0)
     w = -t_bar / denom
-    tables_bar = theta_cotangents(plan, tables, widx, g, w)
+    tables_bar = theta_cotangents(plan, tables, widx, g, w, sd=sd, p=p_hit)
     return tables_bar, w[..., None] * g
 
 
@@ -285,11 +320,12 @@ def fd_normal_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
     six separate kernel launches, which were dispatch-latency-bound).
 
     Returns (p_bar, tables_bar)."""
-    _, widx, g = stencil_eval(plan, cfg, p, tables, interpret, center=False)
+    sd, widx, g, q = stencil_eval(plan, cfg, p, tables, interpret,
+                                  center=False)
     u = fd_stencil_cotangents(cfg, nbar)
     p_bar = jnp.sum(u[..., None] * g, axis=0)
     K = widx.shape[0]
     tables_bar = stencil_theta_cotangents(
         plan, tables, widx.reshape(K, -1), g.reshape(K, -1, 3),
-        u.reshape(K, -1))
+        u.reshape(K, -1), sd=sd.reshape(K, -1), p=q.reshape(K, -1, 3))
     return p_bar, tables_bar

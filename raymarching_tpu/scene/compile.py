@@ -131,10 +131,16 @@ class GroupPlan:
 
 @dataclasses.dataclass(frozen=True)
 class KernelPlan:
-    """Root fold over groups for the fused TPU kernel (depth <= 2 scenes)."""
+    """Root fold over groups for the fused TPU kernel (depth <= 2 scenes).
+
+    ``mb``: per-Mandelbox-leaf structural parameters ``(leaf, scale,
+    iterations)`` — the fractal iteration is unrolled at trace time, so
+    these are plan statics, not table entries (only position/size are
+    differentiable table columns)."""
 
     root_op: int                     # MIN | MAX
     groups: Tuple[GroupPlan, ...]
+    mb: Tuple[Tuple[int, float, int], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,6 +156,9 @@ class ScenePlan:
     # tables.light_color.  All reference scenes are all-white, where the
     # scalar path is bit-identical — so it stays the compiled default.
     colored_lights: bool = False
+    # Mandelbox extension: (leaf index, scale, iterations) per Mandelbox
+    # leaf — structural (see KernelPlan.mb); () for all reference scenes.
+    mb: Tuple[Tuple[int, float, int], ...] = ()
 
     @property
     def num_primitives(self) -> int:
@@ -183,7 +192,10 @@ def _compile_tree(root: ListNode):
 
     kind, idx = walk(root)
     assert kind == KIND_LIST and idx == len(lists) - 1
-    return prims, tuple(prim_types), tuple(lists), provenance
+    from .csg import Mandelbox
+    mb = tuple((i, p.scale, p.iterations) for i, p in enumerate(prims)
+               if isinstance(p, Mandelbox))
+    return prims, tuple(prim_types), tuple(lists), provenance, mb
 
 
 def _menger_lattice(start: int, count: int, scales, iters: int):
@@ -255,16 +267,27 @@ def _menger_lattice(start: int, count: int, scales, iters: int):
 
 def _kernel_normal_form(lists: Sequence[ListPlan],
                         prim_type: Sequence[int],
-                        provenance=None) -> Optional[KernelPlan]:
+                        provenance=None, mb=()) -> Optional[KernelPlan]:
     """Lower a depth<=2 plan to root-fold-over-leaf-groups, or None."""
     provenance = provenance or {}
     root = lists[-1]
     groups: List[GroupPlan] = []
+    mb_map = {i: (s, it) for (i, s, it) in mb}
+
+    def run_type(leaf: int):
+        # Mandelbox leaves carry their STRUCTURAL params in the run type
+        # tag ("mb", scale, iterations): the fold unrolls the fractal
+        # iteration at trace time, so leaves with different params cannot
+        # share a run (and every fold consumer switches on the tag).
+        t = prim_type[leaf]
+        if leaf in mb_map:
+            return ("mb",) + mb_map[leaf]
+        return t
 
     def leaf_runs(start: int, scales: Sequence[int]):
         runs = []
         for off, s in enumerate(scales):
-            t = prim_type[start + off]
+            t = run_type(start + off)
             if runs and runs[-1][0] == t and runs[-1][3] == s:
                 ptype, rstart, rcount, rs = runs[-1]
                 runs[-1] = (ptype, rstart, rcount + 1, rs)
@@ -306,7 +329,7 @@ def _kernel_normal_form(lists: Sequence[ListPlan],
                                 scales=tuple(scales),
                                 runs=leaf_runs(start, scales),
                                 fused=fused, lattice=lattice))
-    return KernelPlan(root_op=root.op, groups=tuple(groups))
+    return KernelPlan(root_op=root.op, groups=tuple(groups), mb=tuple(mb))
 
 
 def _prim_arrays(prims: Sequence[Primitive]):
@@ -319,11 +342,14 @@ def _prim_arrays(prims: Sequence[Primitive]):
         # (1e15 keeps |d|^2 finite in f32 during vectorized leaf eval.)
         aux[0, 0] = 1.0
         pos[0] = 1e15
+    from .csg import Mandelbox
     for i, p in enumerate(prims):
         pos[i] = p.position
         color[i] = p.color
         if isinstance(p, Sphere):
             aux[i, 0] = p.radius
+        elif isinstance(p, Mandelbox):
+            aux[i, 0] = p.size
         else:
             aux[i] = p.size
     return pos, aux, color
@@ -331,11 +357,11 @@ def _prim_arrays(prims: Sequence[Primitive]):
 
 def compile_tree(root: ListNode, lights: Sequence[Light], camera: Camera
                  ) -> Tuple[ScenePlan, SceneTables]:
-    prims, prim_type, lists, provenance = _compile_tree(root)
-    kernel = _kernel_normal_form(lists, prim_type, provenance)
+    prims, prim_type, lists, provenance, mb = _compile_tree(root)
+    kernel = _kernel_normal_form(lists, prim_type, provenance, mb)
     colored = any(tuple(l.color) != (1.0, 1.0, 1.0) for l in lights)
     plan = ScenePlan(prim_type=prim_type, lists=lists, kernel=kernel,
-                     num_lights=len(lights), colored_lights=colored)
+                     num_lights=len(lights), colored_lights=colored, mb=mb)
     pos, aux, color = _prim_arrays(prims)
 
     nl = len(lights)

@@ -54,6 +54,7 @@ class PrimType(enum.IntEnum):
     SPHERE = 0
     BOX = 1
     CROSS = 2
+    MANDELBOX = 3     # extension — iterated box/sphere-fold fractal DE
 
 
 def _v3(x) -> Vec3:
@@ -115,9 +116,64 @@ class Cross:
         return sorted(b)[1]
 
 
-Primitive = Union[Sphere, Box, Cross]
+@dataclasses.dataclass
+class Mandelbox:
+    """Mandelbox fractal distance estimate (scene-format EXTENSION; the
+    reference has no procedural SDF primitives, body.h:25-33 — this adds a
+    model family the CSG table cannot express at any size).
 
-PRIM_TYPE = {Sphere: PrimType.SPHERE, Box: PrimType.BOX, Cross: PrimType.CROSS}
+    The classic Rrrola iteration in unit space, scaled by ``size``:
+
+        q0 = (p - position) / size;  q = q0;  dr = 1
+        repeat ``iterations`` times:
+            q  = clamp(q, -1, 1) * 2 - q              (box fold)
+            f  = 4        if |q|^2 < 1/4              (sphere fold)
+                 1/|q|^2  if 1/4 <= |q|^2 < 1
+                 1        otherwise
+            q  = scale * f * q + q0
+            dr = |scale| * f * dr + 1
+        DE = size * |q| / dr
+
+    A (non-negative) distance UNDERESTIMATE — sphere tracing converges to
+    the fractal surface exactly like any SDF; CSG folds treat it as a leaf
+    distance.  Differentiable parameters: ``position`` and ``size`` (the DE
+    is homogeneous: DE(p; c, s) = s * DE((p-c)/s; 0, 1), which the exact
+    winner backward exploits — ops.scene_vjp.theta_cotangents).  ``scale``
+    and ``iterations`` are structural (baked into the compiled plan).
+    """
+
+    position: Vec3
+    size: float
+    scale: float = 2.0
+    iterations: int = 8
+    color: Vec3 = WHITE
+
+    def __post_init__(self):
+        self.position = _v3(self.position)
+        self.color = _v3(self.color)
+        self.size = float(self.size)
+        self.scale = float(self.scale)
+        self.iterations = int(self.iterations)
+        if self.iterations < 1:
+            raise ValueError("Mandelbox iterations must be >= 1")
+
+    def sdf(self, p: Vec3) -> float:
+        q0 = tuple((p[i] - self.position[i]) / self.size for i in range(3))
+        q = q0
+        dr = 1.0
+        for _ in range(self.iterations):
+            q = tuple(max(-1.0, min(1.0, v)) * 2.0 - v for v in q)
+            r2 = sum(v * v for v in q)
+            f = 4.0 if r2 < 0.25 else (1.0 / r2 if r2 < 1.0 else 1.0)
+            q = tuple(self.scale * f * v + q0[i] for i, v in enumerate(q))
+            dr = abs(self.scale) * f * dr + 1.0
+        return self.size * math.sqrt(sum(v * v for v in q)) / dr
+
+
+Primitive = Union[Sphere, Box, Cross, Mandelbox]
+
+PRIM_TYPE = {Sphere: PrimType.SPHERE, Box: PrimType.BOX, Cross: PrimType.CROSS,
+             Mandelbox: PrimType.MANDELBOX}
 
 
 @dataclasses.dataclass

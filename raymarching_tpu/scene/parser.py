@@ -15,6 +15,7 @@ existing ``scene/objects.txt`` files run unchanged:
     Camera FOV <deg>
     Color  <r> <g> <b>
     LightColor <r> <g> <b>      (extension, see below)
+    Mandelbox <x> <y> <z> <size> [scale=2] [iterations=8]   (extension)
 
 Statefulness matches the reference: a running "current color" (default white)
 set by ``Color`` lines is applied to subsequently created bodies
@@ -31,6 +32,12 @@ applied to subsequent ``Light`` lines; in the reference binary the unknown
 keyword falls through silently, so extended scenes still load there (with
 white lights).  Non-white lights switch shading to per-channel accumulation
 (core.shading.lighting) and make ``tables.light_color`` differentiable.
+
+``Mandelbox`` is likewise an extension (silently skipped by the reference
+binary): a procedural fractal distance estimate the CSG table cannot
+express at any size — see scene.csg.Mandelbox for semantics.  ``scale``
+and ``iterations`` are optional and structural (compiled into the plan);
+position/size/color behave like any other primitive.
 """
 
 from __future__ import annotations
@@ -39,7 +46,7 @@ import dataclasses
 from typing import List
 
 from . import generators
-from .csg import Box, Cross, ListNode, Mode, Sphere, bounds
+from .csg import Box, Cross, ListNode, Mandelbox, Mode, Sphere, bounds
 from .objects import Camera, Light
 
 
@@ -81,6 +88,12 @@ def parse_scene(text: str) -> Scene:
             elif cmd == "Cross":
                 x, y, z, sx, sy, sz = map(float, args[:6])
                 tree.append(Cross((x, y, z), (sx, sy, sz), color))
+            elif cmd == "Mandelbox":
+                x, y, z, size = map(float, args[:4])
+                mscale = float(args[4]) if len(args) > 4 else 2.0
+                miters = int(args[5]) if len(args) > 5 else 8
+                tree.append(Mandelbox((x, y, z), size, mscale, miters,
+                                      color))
             elif cmd == "Bounds":
                 size = float(args[0])
                 tree.append(bounds(size))
