@@ -23,7 +23,8 @@
 
 namespace {
 
-enum PrimKind : int32_t { SPHERE = 0, BOX = 1, CROSS = 2, MANDELBOX = 3 };
+enum PrimKind : int32_t { SPHERE = 0, BOX = 1, CROSS = 2, MANDELBOX = 3,
+                          MANDELBULB = 4 };
 
 struct Prim {
     int32_t type;
@@ -136,6 +137,19 @@ bool parseScene(const char *text, ParsedScene &out) {
             float aux[3] = {size, mscale, static_cast<float>(iterations)};
             int32_t g = newGroup(out, +1);
             pushPrim(out, MANDELBOX, pos, aux, color, g, +1.0f);
+            out.groups[g].count++;
+        } else if (cmd == "Mandelbulb") {
+            // Extension keyword (parser.py): optional trailing iterations
+            // defaults to 6; the power is fixed at 8 (aux[1], for ABI
+            // symmetry with Mandelbox's (param, iterations) pair).
+            float pos[3], size;
+            if (!(in >> pos[0] >> pos[1] >> pos[2] >> size)) return false;
+            int iterations = 6;
+            int it;
+            if (in >> it) iterations = it;
+            float aux[3] = {size, 8.0f, static_cast<float>(iterations)};
+            int32_t g = newGroup(out, +1);
+            pushPrim(out, MANDELBULB, pos, aux, color, g, +1.0f);
             out.groups[g].count++;
         } else if (cmd == "Bounds") {
             // COMPLEMENT list of one black box (scene.cpp:120-127):

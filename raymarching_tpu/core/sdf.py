@@ -65,6 +65,77 @@ def mandelbox_sd(p: jnp.ndarray, c: jnp.ndarray, size: jnp.ndarray,
                                        1e-24)) / dr
 
 
+def mandelbulb_sd(p: jnp.ndarray, c: jnp.ndarray, size: jnp.ndarray,
+                  power: float, iterations: int) -> jnp.ndarray:
+    """Power-8 Mandelbulb distance estimate, vectorized: p [..., 3] -> [...].
+
+    Trig-free triplex w <- w^8 + q0 with masked escape — value-identical
+    to the scalar early-break oracle (scene.csg.Mandelbulb.sdf, which
+    documents the algebra and the (x,z)-radius factoring).  The fixed
+    trip count unrolls at trace time; escaped lanes freeze via where.
+
+    Autodiff-safety guards (all value-neutral for live lanes, and all
+    zeroing the dead branch's cotangent via min/max/clip subgradients):
+      * w clipped to [-16, 16] before each step (live lanes have m <= 256
+        so |w| <= 16 exactly) — keeps frozen-lane polynomials finite;
+      * m floored at 1e-12 in the final log/sqrt (m = 0 only at the exact
+        center);
+      * the (x,z)-plane radius s floored at 1e-10 in the unit-vector
+        division (pa/pb are bounded ratios; s * pa -> 0 as s -> 0; the
+        relatively large floor keeps the FORWARD-MODE 1/s^2 tangent terms
+        within f32 range in the kernel jet sweep, and is value-exact
+        everywhere except within 1e-10 of the local y-axis).
+    """
+    del power                    # fixed at 8 — the polynomial collapse
+    q0 = (p - c) / size
+    w = q0
+    m = jnp.sum(w * w, axis=-1)
+    dz = jnp.ones(p.shape[:-1], p.dtype)
+    for _ in range(iterations):
+        esc = m > 256.0
+        wc = jnp.clip(w, -16.0, 16.0)
+        x, y, z = wc[..., 0], wc[..., 1], wc[..., 2]
+        mq = jnp.minimum(m, 65536.0)
+        # mq floored inside THIS sqrt too: at the exact center m = 0 and
+        # sqrt's inf VJP meets the zero m^3 co-factor (inf*0 = NaN); for
+        # m >= 1e-12 the floor is value-exact, below it m^3 underflows
+        # to 0 in f32 so dz_new = 1 either way.
+        dz_new = (8.0 * (mq * mq * mq) * jnp.sqrt(jnp.maximum(mq, 1e-12))
+                  * dz + 1.0)
+        x2, y2, z2 = x * x, y * y, z * z
+        x4, y4, z4 = x2 * x2, y2 * y2, z2 * z2
+        s2 = x2 + z2
+        # s2 floored INSIDE the sqrt: sqrt'(0) = inf and the on-axis
+        # cotangent into s is generally nonzero (yk = y*k4*k1*s), so an
+        # unguarded sqrt NaNs autodiff for points exactly on the local
+        # y-axis; 1e-20 keeps s consistent with the 1e-10 inv floor.
+        s = jnp.sqrt(jnp.maximum(s2, 1e-20))
+        inv = 1.0 / jnp.maximum(s, 1e-10)
+        ux, uz = x * inv, z * inv
+        ux2, uz2 = ux * ux, uz * uz
+        ux4, uz4 = ux2 * ux2, uz2 * uz2
+        k1 = x4 + y4 + z4 - 6.0 * y2 * z2 - 6.0 * x2 * y2 + 2.0 * z2 * x2
+        k4 = x2 - y2 + z2
+        pa = ux * uz * (ux2 - uz2) * (ux4 - 6.0 * ux2 * uz2 + uz4)
+        pb = (ux4 * ux4 - 28.0 * ux4 * ux2 * uz2 + 70.0 * ux4 * uz4
+              - 28.0 * ux2 * uz2 * uz4 + uz4 * uz4)
+        yk = y * k4 * k1 * s
+        w_new = jnp.stack([
+            64.0 * yk * pa + q0[..., 0],
+            -16.0 * y2 * s2 * k4 * k4 + k1 * k1 + q0[..., 1],
+            -8.0 * yk * pb + q0[..., 2],
+        ], axis=-1)
+        m_new = jnp.sum(w_new * w_new, axis=-1)
+        w = jnp.where(esc[..., None], w, w_new)
+        dz = jnp.where(esc, dz, dz_new)
+        m = jnp.where(esc, m, m_new)
+    m = jnp.maximum(m, 1e-12)
+    return size * 0.25 * jnp.log(m) * jnp.sqrt(m) / dz
+
+
+_PROC_SD = {"mb": mandelbox_sd, "bulb": mandelbulb_sd}
+
+
 def leaf_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray:
     """Signed distances of every leaf primitive.
 
@@ -98,12 +169,11 @@ def leaf_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray
     t = np.asarray(plan.prim_type, np.int32)       # static per-scene
     sd = jnp.where(t == int(PrimType.SPHERE), sphere,
                    jnp.where(t == int(PrimType.BOX), box, cross))
-    # Mandelbox leaves (extension): few per scene, each its own static
-    # column write — the dense per-type formulas above don't apply.
-    for (i, mb_scale, mb_iters) in plan.mb:
-        sd = sd.at[..., i].set(mandelbox_sd(
-            p, tables.prim_pos[i], tables.prim_aux[i, 0],
-            mb_scale, mb_iters))
+    # Procedural fractal leaves (extension): few per scene, each its own
+    # static column write — the dense per-type formulas above don't apply.
+    for (i, kind, param, iters) in plan.proc:
+        sd = sd.at[..., i].set(_PROC_SD[kind](
+            p, tables.prim_pos[i], tables.prim_aux[i, 0], param, iters))
     return sd
 
 
@@ -211,13 +281,14 @@ def _run_sd(tables: SceneTables, ptype, start: int, count: int,
             p: jnp.ndarray) -> jnp.ndarray:
     """Distances for one same-type leaf run: p [..., 3] -> [..., count].
 
-    ``ptype`` is an int PrimType, or the tagged tuple ("mb", scale, iters)
+    ``ptype`` is an int PrimType, or the tagged tuple (kind, param, iters)
     for Mandelbox runs (see compile._kernel_normal_form.run_type)."""
     pos = jnp.asarray(tables.prim_pos)[start:start + count]
     aux = jnp.asarray(tables.prim_aux)[start:start + count]
     if isinstance(ptype, tuple):
+        fn = _PROC_SD[ptype[0]]
         return jnp.stack(
-            [mandelbox_sd(p, pos[k], aux[k, 0], ptype[1], ptype[2])
+            [fn(p, pos[k], aux[k, 0], ptype[1], ptype[2])
              for k in range(count)], axis=-1)
     d = p[..., None, :] - pos
     if ptype == int(PrimType.SPHERE):

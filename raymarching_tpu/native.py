@@ -133,19 +133,23 @@ def native_parse_scene(text: str):
     if rc != 0:
         raise ValueError(f"native scene fill failed with code {rc}")
     g = group_count[0]
-    # Mandelbox rows (type 3) carry their STRUCTURAL (fold scale,
-    # iterations) pair in aux[1:3] over the C ABI; split them back out into
-    # plan-static form (compile.ScenePlan.mb) and zero the table slots so
-    # the differentiable aux tables match scene.compile._prim_arrays.
+    # Procedural rows (type 3 Mandelbox / 4 Mandelbulb) carry their
+    # STRUCTURAL (param, iterations) pair in aux[1:3] over the C ABI;
+    # split them back out into plan-static form (compile.ScenePlan.proc)
+    # and zero the table slots so the differentiable aux tables match
+    # scene.compile._prim_arrays.
     n = p_count.value
-    mb = tuple((int(i), float(prim_aux[i, 1]), int(prim_aux[i, 2]))
-               for i in np.nonzero(prim_type[:n] == 3)[0])
-    for (i, _, _) in mb:
+    _KIND = {3: "mb", 4: "bulb"}
+    proc = tuple(
+        (int(i), _KIND[int(prim_type[i])],
+         float(prim_aux[i, 1]), int(prim_aux[i, 2]))
+        for i in np.nonzero((prim_type[:n] == 3) | (prim_type[:n] == 4))[0])
+    for (i, _, _, _) in proc:
         prim_aux[i, 1:] = 0.0
     return dict(prim_type=prim_type[:p_count.value],
                 prim_pos=prim_pos[:p_count.value],
                 prim_aux=prim_aux[:p_count.value],
-                mb=mb,
+                proc=proc,
                 prim_color=prim_color[:p_count.value],
                 group_id=group_id[:p_count.value],
                 group_meta=group_meta[:g],

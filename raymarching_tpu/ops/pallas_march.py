@@ -156,11 +156,200 @@ def _mandelbox_sd_grad(tbl, i, px, py, pz, mscale: float, iters: int):
     return sd, gx, gy, gz
 
 
+def _mandelbulb_sd(tbl, i, px, py, pz, power: float, iters: int):
+    """Power-8 Mandelbulb distance estimate of leaf ``i`` — the trig-free
+    triplex iteration of core.sdf.mandelbulb_sd (same guards, same masked
+    escape; see scene.csg.Mandelbulb for the algebra), unrolled at trace
+    time.  All ops are VPU elementwise (mul/add/sqrt/log/min/max) — no
+    transcendental the Mosaic compiler lacks."""
+    del power
+    cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
+    size = tbl[i, 3]
+    q0x, q0y, q0z = (px - cx) / size, (py - cy) / size, (pz - cz) / size
+    wx, wy, wz = q0x, q0y, q0z
+    m = wx * wx + wy * wy + wz * wz
+    dz = jnp.ones_like(px)
+    for _ in range(iters):
+        esc = m > 256.0
+        x = jnp.clip(wx, -16.0, 16.0)
+        y = jnp.clip(wy, -16.0, 16.0)
+        z = jnp.clip(wz, -16.0, 16.0)
+        mq = jnp.minimum(m, 65536.0)
+        dz_new = (8.0 * (mq * mq * mq) * jnp.sqrt(jnp.maximum(mq, 1e-12))
+                  * dz + 1.0)   # see core.sdf.mandelbulb_sd
+        x2, y2, z2 = x * x, y * y, z * z
+        x4, y4, z4 = x2 * x2, y2 * y2, z2 * z2
+        s2 = x2 + z2
+        s = jnp.sqrt(jnp.maximum(s2, 1e-20))   # see core.sdf.mandelbulb_sd
+        inv = 1.0 / jnp.maximum(s, 1e-10)
+        ux, uz = x * inv, z * inv
+        ux2, uz2 = ux * ux, uz * uz
+        ux4, uz4 = ux2 * ux2, uz2 * uz2
+        k1 = x4 + y4 + z4 - 6.0 * y2 * z2 - 6.0 * x2 * y2 + 2.0 * z2 * x2
+        k4 = x2 - y2 + z2
+        pa = ux * uz * (ux2 - uz2) * (ux4 - 6.0 * ux2 * uz2 + uz4)
+        pb = (ux4 * ux4 - 28.0 * ux4 * ux2 * uz2 + 70.0 * ux4 * uz4
+              - 28.0 * ux2 * uz2 * uz4 + uz4 * uz4)
+        yk = y * k4 * k1 * s
+        nx = 64.0 * yk * pa + q0x
+        ny = -16.0 * y2 * s2 * k4 * k4 + k1 * k1 + q0y
+        nz = -8.0 * yk * pb + q0z
+        m_new = nx * nx + ny * ny + nz * nz
+        wx = jnp.where(esc, wx, nx)
+        wy = jnp.where(esc, wy, ny)
+        wz = jnp.where(esc, wz, nz)
+        dz = jnp.where(esc, dz, dz_new)
+        m = jnp.where(esc, m, m_new)
+    m = jnp.maximum(m, 1e-12)
+    return size * 0.25 * jnp.log(m) * jnp.sqrt(m) / dz
+
+
+class _Jet:
+    """Forward-mode scalar: value + 3 directional tangents (d/dp).
+
+    Operator-overloaded so the Mandelbulb gradient below IS the forward
+    iteration run on dual numbers — the tangent recurrences cannot drift
+    from the primal (the failure mode a hand-expanded Jacobian invites;
+    the Mandelbox fold is simple enough that _mandelbox_sd_grad writes its
+    Jacobian rows out by hand, the bulb's degree-8 polynomial is not).
+    Everything stays trace-time Python over jnp vectors, so the kernel
+    sees only elementwise VPU ops."""
+
+    __slots__ = ("v", "tx", "ty", "tz")
+
+    def __init__(self, v, tx, ty, tz):
+        self.v, self.tx, self.ty, self.tz = v, tx, ty, tz
+
+    def __add__(self, o):
+        if isinstance(o, _Jet):
+            return _Jet(self.v + o.v, self.tx + o.tx, self.ty + o.ty,
+                        self.tz + o.tz)
+        return _Jet(self.v + o, self.tx, self.ty, self.tz)
+
+    __radd__ = __add__
+
+    def __neg__(self):
+        return _Jet(-self.v, -self.tx, -self.ty, -self.tz)
+
+    def __sub__(self, o):
+        return self + (-o if isinstance(o, _Jet) else -o)
+
+    def __rsub__(self, o):
+        return (-self) + o
+
+    def __mul__(self, o):
+        if isinstance(o, _Jet):
+            return _Jet(self.v * o.v,
+                        self.tx * o.v + self.v * o.tx,
+                        self.ty * o.v + self.v * o.ty,
+                        self.tz * o.v + self.v * o.tz)
+        return _Jet(self.v * o, self.tx * o, self.ty * o, self.tz * o)
+
+    __rmul__ = __mul__
+
+
+def _jet_sqrt_floor(a: _Jet, floor: float) -> _Jet:
+    r = jnp.sqrt(jnp.maximum(a.v, floor))
+    g = jnp.where(a.v > floor, 0.5 / r, 0.0)
+    return _Jet(r, g * a.tx, g * a.ty, g * a.tz)
+
+
+def _jet_log_floor(a: _Jet, floor: float) -> _Jet:
+    v = jnp.maximum(a.v, floor)
+    g = jnp.where(a.v > floor, 1.0 / v, 0.0)
+    return _Jet(jnp.log(v), g * a.tx, g * a.ty, g * a.tz)
+
+
+def _jet_min_c(a: _Jet, c: float) -> _Jet:
+    keep = a.v < c
+    z = jnp.where(keep, 1.0, 0.0)
+    return _Jet(jnp.minimum(a.v, c), z * a.tx, z * a.ty, z * a.tz)
+
+
+def _jet_clip(a: _Jet, lo: float, hi: float) -> _Jet:
+    keep = jnp.logical_and(a.v > lo, a.v < hi)
+    z = jnp.where(keep, 1.0, 0.0)
+    return _Jet(jnp.clip(a.v, lo, hi), z * a.tx, z * a.ty, z * a.tz)
+
+
+def _jet_inv_floor(a: _Jet, floor: float) -> _Jet:
+    v = jnp.maximum(a.v, floor)
+    inv = 1.0 / v
+    g = jnp.where(a.v > floor, -inv * inv, 0.0)
+    return _Jet(inv, g * a.tx, g * a.ty, g * a.tz)
+
+
+def _jet_where(mask, a: _Jet, b: _Jet) -> _Jet:
+    return _Jet(jnp.where(mask, a.v, b.v), jnp.where(mask, a.tx, b.tx),
+                jnp.where(mask, a.ty, b.ty), jnp.where(mask, a.tz, b.tz))
+
+
+def _mandelbulb_sd_grad(tbl, i, px, py, pz, power: float, iters: int):
+    """(sd, d sd/dp) of Mandelbulb leaf ``i`` — the forward iteration of
+    _mandelbulb_sd executed on _Jet dual numbers (value + 3 tangents
+    seeded with dq0/dp = diag(1/size)).  Matches jax.grad of
+    core.sdf.mandelbulb_sd a.e. (escape/clip boundaries measure zero)."""
+    del power
+    cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
+    size = tbl[i, 3]
+    inv_s = 1.0 / size
+    zero = jnp.zeros_like(px)
+    s0 = inv_s + zero
+    q0x = _Jet((px - cx) * inv_s, s0, zero, zero)
+    q0y = _Jet((py - cy) * inv_s, zero, s0, zero)
+    q0z = _Jet((pz - cz) * inv_s, zero, zero, s0)
+    wx, wy, wz = q0x, q0y, q0z
+    m = wx * wx + wy * wy + wz * wz
+    dz = _Jet(jnp.ones_like(px), zero, zero, zero)
+    for _ in range(iters):
+        esc = m.v > 256.0
+        x = _jet_clip(wx, -16.0, 16.0)
+        y = _jet_clip(wy, -16.0, 16.0)
+        z = _jet_clip(wz, -16.0, 16.0)
+        mq = _jet_min_c(m, 65536.0)
+        dz_new = 8.0 * (mq * mq * mq) * _jet_sqrt_floor(mq, 1e-12) * dz + 1.0
+        x2, y2, z2 = x * x, y * y, z * z
+        x4, y4, z4 = x2 * x2, y2 * y2, z2 * z2
+        s2 = x2 + z2
+        s = _jet_sqrt_floor(s2, 1e-20)
+        inv = _jet_inv_floor(s, 1e-10)
+        ux, uz = x * inv, z * inv
+        ux2, uz2 = ux * ux, uz * uz
+        ux4, uz4 = ux2 * ux2, uz2 * uz2
+        k1 = (x4 + y4 + z4 - 6.0 * (y2 * z2) - 6.0 * (x2 * y2)
+              + 2.0 * (z2 * x2))
+        k4 = x2 - y2 + z2
+        pa = ux * uz * (ux2 - uz2) * (ux4 - 6.0 * (ux2 * uz2) + uz4)
+        pb = (ux4 * ux4 - 28.0 * (ux4 * (ux2 * uz2)) + 70.0 * (ux4 * uz4)
+              - 28.0 * ((ux2 * uz2) * uz4) + uz4 * uz4)
+        yk = y * k4 * k1 * s
+        nx = 64.0 * yk * pa + q0x
+        ny = -16.0 * (y2 * s2) * (k4 * k4) + k1 * k1 + q0y
+        nz = -8.0 * yk * pb + q0z
+        m_new = nx * nx + ny * ny + nz * nz
+        wx = _jet_where(esc, wx, nx)
+        wy = _jet_where(esc, wy, ny)
+        wz = _jet_where(esc, wz, nz)
+        dz = _jet_where(esc, dz, dz_new)
+        m = _jet_where(esc, m, m_new)
+    lg = _jet_log_floor(m, 1e-12)
+    rt = _jet_sqrt_floor(m, 1e-12)
+    inv_dz = _jet_inv_floor(dz, 0.0)      # dz >= 1 by construction
+    de = 0.25 * lg * rt * inv_dz
+    return size * de.v, size * de.tx, size * de.ty, size * de.tz
+
+
+_PROC_SD_KERNEL = {"mb": _mandelbox_sd, "bulb": _mandelbulb_sd}
+_PROC_GRAD_KERNEL = {"mb": _mandelbox_sd_grad, "bulb": _mandelbulb_sd_grad}
+
+
 def _prim_sd(ptype, tbl, i, px, py, pz):
     """Distance of primitive ``i`` (scalars from SMEM) to rays (vectors).
-    ``ptype``: int PrimType, or ("mb", scale, iters) for Mandelbox runs."""
+    ``ptype``: int PrimType, or (kind, param, iters) for procedural runs
+    (kind "mb" Mandelbox / "bulb" Mandelbulb)."""
     if isinstance(ptype, tuple):
-        return _mandelbox_sd(tbl, i, px, py, pz, ptype[1], ptype[2])
+        return _PROC_SD_KERNEL[ptype[0]](tbl, i, px, py, pz,
+                                         ptype[1], ptype[2])
     cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
     if ptype == int(PrimType.SPHERE):
         dx, dy, dz = px - cx, py - cy, pz - cz
@@ -391,7 +580,8 @@ def preload_table(kp, tbl, fused: bool):
         # _PRELOAD_LIMIT guard below still applies).
         for i, t in enumerate(kp.prim_type):
             load(i, range(4) if t in (int(PrimType.SPHERE),
-                                      int(PrimType.MANDELBOX))
+                                      int(PrimType.MANDELBOX),
+                                      int(PrimType.MANDELBULB))
                  else range(6))
         if len(cache) > _PRELOAD_LIMIT:
             return tbl
@@ -433,15 +623,15 @@ def preload_table(kp, tbl, fused: bool):
     return _TableView(tbl, cache)
 
 
-def _type_segments(prim_type, start: int, count: int, mb_map=None):
+def _type_segments(prim_type, start: int, count: int, proc_map=None):
     """Split leaves [start, start+count) into maximal same-type segments.
-    Mandelbox leaves (``mb_map``: leaf -> (scale, iters)) get the tagged
-    run type ("mb", scale, iters) — same convention as compile.run_type."""
+    Procedural leaves (``proc_map``: leaf -> (kind, param, iters)) get the
+    tagged run type — same convention as compile.run_type."""
     segs = []
     for off in range(count):
         t = prim_type[start + off]
-        if mb_map and (start + off) in mb_map:
-            t = ("mb",) + mb_map[start + off]
+        if proc_map and (start + off) in proc_map:
+            t = proc_map[start + off]
         if segs and segs[-1][0] == t:
             segs[-1] = (t, segs[-1][1], segs[-1][2] + 1)
         else:
@@ -472,7 +662,7 @@ def _scene_generic_tile(plan: ScenePlan, tbl, px, py, pz, dtype,
         v, i, gx, gy, gz = e
         return (-v, i, -gx, -gy, -gz)
 
-    mb_map = {i: (s, it) for (i, s, it) in plan.mb}
+    proc_map = {i: (k, pm, it) for (i, k, pm, it) in plan.proc}
 
     def fold_run(op, start, count, neg):
         # entry value = (neg ? -sd : sd); MIN folds directly, MAX via -min.
@@ -481,7 +671,7 @@ def _scene_generic_tile(plan: ScenePlan, tbl, px, py, pz, dtype,
         runs = tuple((pt, st, ct, scale)
                      for (pt, st, ct) in _type_segments(plan.prim_type,
                                                         start, count,
-                                                        mb_map))
+                                                        proc_map))
         if with_grad and with_idx:
             m, i, gx, gy, gz = _fold_runs_idx_grad(
                 tbl, runs, px, py, pz, (inf, neg_one, zero, zero, zero))
@@ -814,10 +1004,12 @@ def _fold_runs_idx(tbl, runs, px, py, pz, carry):
 def _prim_sd_grad(ptype, tbl, i, px, py, pz):
     """(sd, dsd/dp) of primitive ``i`` — hand-derived a.e. gradients:
     sphere: (p-c)/|p-c|; box: sign on the argmax axis (Chebyshev); cross:
-    sign on the MEDIAN axis (_med3 selects it); Mandelbox (tuple-tagged
-    run type): forward-mode Jacobian sweep (_mandelbox_sd_grad)."""
+    sign on the MEDIAN axis (_med3 selects it); procedural fractals
+    (tuple-tagged run type): forward-mode Jacobian sweeps
+    (_mandelbox_sd_grad / _mandelbulb_sd_grad)."""
     if isinstance(ptype, tuple):
-        return _mandelbox_sd_grad(tbl, i, px, py, pz, ptype[1], ptype[2])
+        return _PROC_GRAD_KERNEL[ptype[0]](tbl, i, px, py, pz,
+                                           ptype[1], ptype[2])
     cx, cy, cz = tbl[i, 0], tbl[i, 1], tbl[i, 2]
     dx, dy, dz = px - cx, py - cy, pz - cz
     if ptype == int(PrimType.SPHERE):

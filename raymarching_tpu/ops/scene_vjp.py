@@ -88,14 +88,16 @@ def _leaf_statics(plan: ScenePlan):
                     sign_eff[idx] = s
                 else:
                     ctx[idx] = s
-    is_sphere = (np.asarray(plan.prim_type, np.int32)
-                 == int(PrimType.SPHERE))
-    is_mb = (np.asarray(plan.prim_type, np.int32)
-             == int(PrimType.MANDELBOX))
+    pt = np.asarray(plan.prim_type, np.int32)
+    is_sphere = pt == int(PrimType.SPHERE)
+    # Procedural fractals (Mandelbox/Mandelbulb): homogeneous DEs whose
+    # size cotangent theta_cotangents derives from (sd, g, p).
+    is_proc = np.logical_or(pt == int(PrimType.MANDELBOX),
+                            pt == int(PrimType.MANDELBULB))
     if P == 0:
         is_sphere = np.zeros(1, bool)
-        is_mb = np.zeros(1, bool)
-    return sign_eff, is_sphere, is_mb
+        is_proc = np.zeros(1, bool)
+    return sign_eff, is_sphere, is_proc
 
 
 def winner_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
@@ -118,7 +120,7 @@ def stencil_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
                  interpret: bool, *, center: bool):
     """Winner evaluation at the FD stencil of every point in ONE kernel
     launch: p [..., 3] -> (sd [K, ...], widx [K, ...], g [K, ..., 3],
-    q [K, ..., 3] — the stencil points themselves, for the Mandelbox size
+    q [K, ..., 3] — the stencil points themselves, for the procedural-leaf
     cotangent in theta_cotangents).
 
     K = 7 with ``center`` (row 0 = p itself, rows 1+a / 4+a = p ± h e_a),
@@ -204,17 +206,18 @@ def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u,
     widx [...]: winner leaf per ray; g [..., 3]: d scene/dp per ray;
     u [...]: scalar cotangent on the scene SD per ray.
 
-    Plans with Mandelbox leaves additionally need the per-ray scene sd and
-    query point p [..., 3] (every caller has both from the same winner
+    Plans with procedural leaves (Mandelbox/Mandelbulb) additionally need
+    the per-ray scene sd and query point p [..., 3] (every caller has
+    both from the same winner
     pass): the DE is homogeneous, DE(p; c, s) = s*U((p-c)/s), so its size
     derivative is d scene/ds = (scene_sd - g.(p-c))/s — three more
     segment-sum columns, no extra kernel work.
     """
     P = int(np.shape(tables.prim_pos)[0])
-    sign_eff, is_sphere, is_mb = _leaf_statics(plan)
-    has_mb = bool(is_mb.any()) and bool(plan.mb)
-    if has_mb and (sd is None or p is None):
-        raise ValueError("plans with Mandelbox leaves need sd and p "
+    sign_eff, is_sphere, is_proc = _leaf_statics(plan)
+    has_proc = bool(is_proc.any()) and bool(plan.proc)
+    if has_proc and (sd is None or p is None):
+        raise ValueError("plans with procedural leaves need sd and p "
                          "for theta_cotangents")
 
     widx = widx.reshape(-1)
@@ -229,7 +232,7 @@ def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u,
     # Negative winner rows (miss) drop out of the one-hot contraction.
     mu = -u[:, None]
     cols = [mu * g, mu, 0.5 * mu * jnp.abs(g)]
-    if has_mb:
+    if has_proc:
         # columns 7, 8: -u*sd and -u*(g.p); with gpos = sum(-u g) the
         # per-prim size cotangent is (col8 - col7 - c.gpos)/s.
         cols.append(mu * sd.reshape(-1, 1))
@@ -244,8 +247,8 @@ def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u,
     aux_sphere = jnp.concatenate(
         [red[:, 3:4], jnp.zeros((P, 2), red.dtype)], axis=1)
     gaux = se * jnp.where(sph, aux_sphere, red[:, 4:7])
-    if has_mb:
-        mbm = jnp.asarray(is_mb[:P])[:, None]
+    if has_proc:
+        mbm = jnp.asarray(is_proc[:P])[:, None]
         s_safe = jnp.where(mbm[:, 0], tables.prim_aux[:, 0], 1.0)
         size_cot = (red[:, 8] - red[:, 7]
                     - jnp.sum(jnp.asarray(tables.prim_pos) * gpos, axis=1)

@@ -133,14 +133,15 @@ class GroupPlan:
 class KernelPlan:
     """Root fold over groups for the fused TPU kernel (depth <= 2 scenes).
 
-    ``mb``: per-Mandelbox-leaf structural parameters ``(leaf, scale,
-    iterations)`` — the fractal iteration is unrolled at trace time, so
-    these are plan statics, not table entries (only position/size are
-    differentiable table columns)."""
+    ``proc``: per-procedural-leaf structural parameters ``(leaf, kind,
+    param, iterations)``, kind "mb" (Mandelbox, param = fold scale) or
+    "bulb" (Mandelbulb, param = power) — the fractal iteration is unrolled
+    at trace time, so these are plan statics, not table entries (only
+    position/size are differentiable table columns)."""
 
     root_op: int                     # MIN | MAX
     groups: Tuple[GroupPlan, ...]
-    mb: Tuple[Tuple[int, float, int], ...] = ()
+    proc: Tuple[Tuple[int, str, float, int], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,9 +157,10 @@ class ScenePlan:
     # tables.light_color.  All reference scenes are all-white, where the
     # scalar path is bit-identical — so it stays the compiled default.
     colored_lights: bool = False
-    # Mandelbox extension: (leaf index, scale, iterations) per Mandelbox
-    # leaf — structural (see KernelPlan.mb); () for all reference scenes.
-    mb: Tuple[Tuple[int, float, int], ...] = ()
+    # Procedural-fractal extension: (leaf, kind, param, iterations) per
+    # Mandelbox/Mandelbulb leaf — structural (see KernelPlan.proc); () for
+    # all reference scenes.
+    proc: Tuple[Tuple[int, str, float, int], ...] = ()
 
     @property
     def num_primitives(self) -> int:
@@ -192,10 +194,13 @@ def _compile_tree(root: ListNode):
 
     kind, idx = walk(root)
     assert kind == KIND_LIST and idx == len(lists) - 1
-    from .csg import Mandelbox
-    mb = tuple((i, p.scale, p.iterations) for i, p in enumerate(prims)
-               if isinstance(p, Mandelbox))
-    return prims, tuple(prim_types), tuple(lists), provenance, mb
+    from .csg import Mandelbox, Mandelbulb
+    proc = tuple(
+        (i, "mb", p.scale, p.iterations) if isinstance(p, Mandelbox)
+        else (i, "bulb", float(p.power), p.iterations)
+        for i, p in enumerate(prims)
+        if isinstance(p, (Mandelbox, Mandelbulb)))
+    return prims, tuple(prim_types), tuple(lists), provenance, proc
 
 
 def _menger_lattice(start: int, count: int, scales, iters: int):
@@ -267,21 +272,22 @@ def _menger_lattice(start: int, count: int, scales, iters: int):
 
 def _kernel_normal_form(lists: Sequence[ListPlan],
                         prim_type: Sequence[int],
-                        provenance=None, mb=()) -> Optional[KernelPlan]:
+                        provenance=None, proc=()) -> Optional[KernelPlan]:
     """Lower a depth<=2 plan to root-fold-over-leaf-groups, or None."""
     provenance = provenance or {}
     root = lists[-1]
     groups: List[GroupPlan] = []
-    mb_map = {i: (s, it) for (i, s, it) in mb}
+    proc_map = {i: (k, pm, it) for (i, k, pm, it) in proc}
 
     def run_type(leaf: int):
-        # Mandelbox leaves carry their STRUCTURAL params in the run type
-        # tag ("mb", scale, iterations): the fold unrolls the fractal
-        # iteration at trace time, so leaves with different params cannot
-        # share a run (and every fold consumer switches on the tag).
+        # Procedural leaves carry their STRUCTURAL params in the run type
+        # tag (kind, param, iterations), kind "mb"|"bulb": the fold unrolls
+        # the fractal iteration at trace time, so leaves with different
+        # params cannot share a run (and every fold consumer switches on
+        # the tag).
         t = prim_type[leaf]
-        if leaf in mb_map:
-            return ("mb",) + mb_map[leaf]
+        if leaf in proc_map:
+            return proc_map[leaf]
         return t
 
     def leaf_runs(start: int, scales: Sequence[int]):
@@ -329,7 +335,8 @@ def _kernel_normal_form(lists: Sequence[ListPlan],
                                 scales=tuple(scales),
                                 runs=leaf_runs(start, scales),
                                 fused=fused, lattice=lattice))
-    return KernelPlan(root_op=root.op, groups=tuple(groups), mb=tuple(mb))
+    return KernelPlan(root_op=root.op, groups=tuple(groups),
+                      proc=tuple(proc))
 
 
 def _prim_arrays(prims: Sequence[Primitive]):
@@ -342,13 +349,13 @@ def _prim_arrays(prims: Sequence[Primitive]):
         # (1e15 keeps |d|^2 finite in f32 during vectorized leaf eval.)
         aux[0, 0] = 1.0
         pos[0] = 1e15
-    from .csg import Mandelbox
+    from .csg import Mandelbox, Mandelbulb
     for i, p in enumerate(prims):
         pos[i] = p.position
         color[i] = p.color
         if isinstance(p, Sphere):
             aux[i, 0] = p.radius
-        elif isinstance(p, Mandelbox):
+        elif isinstance(p, (Mandelbox, Mandelbulb)):
             aux[i, 0] = p.size
         else:
             aux[i] = p.size
@@ -357,11 +364,12 @@ def _prim_arrays(prims: Sequence[Primitive]):
 
 def compile_tree(root: ListNode, lights: Sequence[Light], camera: Camera
                  ) -> Tuple[ScenePlan, SceneTables]:
-    prims, prim_type, lists, provenance, mb = _compile_tree(root)
-    kernel = _kernel_normal_form(lists, prim_type, provenance, mb)
+    prims, prim_type, lists, provenance, proc = _compile_tree(root)
+    kernel = _kernel_normal_form(lists, prim_type, provenance, proc)
     colored = any(tuple(l.color) != (1.0, 1.0, 1.0) for l in lights)
     plan = ScenePlan(prim_type=prim_type, lists=lists, kernel=kernel,
-                     num_lights=len(lights), colored_lights=colored, mb=mb)
+                     num_lights=len(lights), colored_lights=colored,
+                     proc=proc)
     pos, aux, color = _prim_arrays(prims)
 
     nl = len(lights)

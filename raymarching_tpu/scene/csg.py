@@ -55,6 +55,7 @@ class PrimType(enum.IntEnum):
     BOX = 1
     CROSS = 2
     MANDELBOX = 3     # extension — iterated box/sphere-fold fractal DE
+    MANDELBULB = 4    # extension — power-8 triplex fractal DE
 
 
 def _v3(x) -> Vec3:
@@ -170,10 +171,84 @@ class Mandelbox:
         return self.size * math.sqrt(sum(v * v for v in q)) / dr
 
 
-Primitive = Union[Sphere, Box, Cross, Mandelbox]
+@dataclasses.dataclass
+class Mandelbulb:
+    """Power-8 Mandelbulb distance estimate (scene-format EXTENSION, like
+    [[Mandelbox]] — a second procedural model family with no reference
+    counterpart, body.h:25-33).
+
+    The White–Nylander triplex iteration w <- w^8 + q0 in unit space,
+    scaled by ``size``, with the classic escape-time distance estimate
+
+        DE = size * 0.25 * log(m) * sqrt(m) / dz,   m = |w|^2,
+        dz accumulating 8*m^3.5*dz + 1 per live step.
+
+    w^8 is evaluated TRIG-FREE: the spherical power collapses to a
+    polynomial in (x, y, z) (the standard power-8 algebraic identity),
+    restructured here so the (x, z)-plane radius is factored out as a unit
+    vector — the raw polynomial divides by (x^2+z^2)^3.5, which is 0/0 on
+    the y-axis; the factored form is exact off-axis and finite (with a
+    zero y-axis limit) on it.  Escaped lanes (m > 256) are frozen by
+    masking, so the fixed-trip-count unrolled loop is value-identical to
+    the scalar early-break form.
+
+    Signed: negative inside (log m < 0 for m < 1).  Homogeneous in size
+    like every leaf — DE(p; c, s) = s * DE((p-c)/s; 0, 1) — so the winner
+    backward's homogeneity-based size cotangent applies unchanged
+    (ops.scene_vjp.theta_cotangents).  ``iterations`` is structural; the
+    power is fixed at 8 (the polynomial collapse is power-specific).
+    """
+
+    position: Vec3
+    size: float
+    iterations: int = 6
+    color: Vec3 = WHITE
+
+    power: int = dataclasses.field(default=8, init=False)   # structural
+
+    def __post_init__(self):
+        self.position = _v3(self.position)
+        self.color = _v3(self.color)
+        self.size = float(self.size)
+        self.iterations = int(self.iterations)
+        if self.iterations < 1:
+            raise ValueError("Mandelbulb iterations must be >= 1")
+
+    def sdf(self, p: Vec3) -> float:
+        q0 = tuple((p[i] - self.position[i]) / self.size for i in range(3))
+        x, y, z = q0
+        m = x * x + y * y + z * z
+        dz = 1.0
+        for _ in range(self.iterations):
+            if m > 256.0:
+                break
+            dz = 8.0 * math.sqrt(m ** 7) * dz + 1.0
+            x2, y2, z2 = x * x, y * y, z * z
+            x4, y4, z4 = x2 * x2, y2 * y2, z2 * z2
+            s2 = x2 + z2
+            s = math.sqrt(max(s2, 1e-20))
+            inv = 1.0 / max(s, 1e-10)
+            ux, uz = x * inv, z * inv
+            ux2, uz2 = ux * ux, uz * uz
+            ux4, uz4 = ux2 * ux2, uz2 * uz2
+            k1 = x4 + y4 + z4 - 6.0 * y2 * z2 - 6.0 * x2 * y2 + 2.0 * z2 * x2
+            k4 = x2 - y2 + z2
+            pa = ux * uz * (ux2 - uz2) * (ux4 - 6.0 * ux2 * uz2 + uz4)
+            pb = (ux4 * ux4 - 28.0 * ux4 * ux2 * uz2 + 70.0 * ux4 * uz4
+                  - 28.0 * ux2 * uz2 * uz4 + uz4 * uz4)
+            x = 64.0 * y * k4 * k1 * s * pa + q0[0]
+            ynew = -16.0 * y2 * s2 * k4 * k4 + k1 * k1 + q0[1]
+            z = -8.0 * y * k4 * k1 * s * pb + q0[2]
+            y = ynew
+            m = x * x + y * y + z * z
+        m = max(m, 1e-12)
+        return self.size * 0.25 * math.log(m) * math.sqrt(m) / dz
+
+
+Primitive = Union[Sphere, Box, Cross, Mandelbox, Mandelbulb]
 
 PRIM_TYPE = {Sphere: PrimType.SPHERE, Box: PrimType.BOX, Cross: PrimType.CROSS,
-             Mandelbox: PrimType.MANDELBOX}
+             Mandelbox: PrimType.MANDELBOX, Mandelbulb: PrimType.MANDELBULB}
 
 
 @dataclasses.dataclass

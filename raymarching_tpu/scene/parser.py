@@ -16,6 +16,7 @@ existing ``scene/objects.txt`` files run unchanged:
     Color  <r> <g> <b>
     LightColor <r> <g> <b>      (extension, see below)
     Mandelbox <x> <y> <z> <size> [scale=2] [iterations=8]   (extension)
+    Mandelbulb <x> <y> <z> <size> [iterations=6]            (extension)
 
 Statefulness matches the reference: a running "current color" (default white)
 set by ``Color`` lines is applied to subsequently created bodies
@@ -33,11 +34,12 @@ keyword falls through silently, so extended scenes still load there (with
 white lights).  Non-white lights switch shading to per-channel accumulation
 (core.shading.lighting) and make ``tables.light_color`` differentiable.
 
-``Mandelbox`` is likewise an extension (silently skipped by the reference
-binary): a procedural fractal distance estimate the CSG table cannot
-express at any size — see scene.csg.Mandelbox for semantics.  ``scale``
-and ``iterations`` are optional and structural (compiled into the plan);
-position/size/color behave like any other primitive.
+``Mandelbox`` and ``Mandelbulb`` are likewise extensions (silently skipped
+by the reference binary): procedural fractal distance estimates the CSG
+table cannot express at any size — see scene.csg.Mandelbox / Mandelbulb
+for semantics.  ``scale``/``iterations`` are optional and structural
+(compiled into the plan); position/size/color behave like any other
+primitive.
 """
 
 from __future__ import annotations
@@ -46,7 +48,8 @@ import dataclasses
 from typing import List
 
 from . import generators
-from .csg import Box, Cross, ListNode, Mandelbox, Mode, Sphere, bounds
+from .csg import (Box, Cross, ListNode, Mandelbox, Mandelbulb, Mode,
+                  Sphere, bounds)
 from .objects import Camera, Light
 
 
@@ -94,6 +97,10 @@ def parse_scene(text: str) -> Scene:
                 miters = int(args[5]) if len(args) > 5 else 8
                 tree.append(Mandelbox((x, y, z), size, mscale, miters,
                                       color))
+            elif cmd == "Mandelbulb":
+                x, y, z, size = map(float, args[:4])
+                biters = int(args[4]) if len(args) > 4 else 6
+                tree.append(Mandelbulb((x, y, z), size, biters, color))
             elif cmd == "Bounds":
                 size = float(args[0])
                 tree.append(bounds(size))

@@ -11,7 +11,7 @@ first post-parity model family.  Covered here:
   * the hand-derived forward-mode Jacobian (_mandelbox_sd_grad) against
     jax.grad of the jnp field;
   * parser/writer round-trip of the ``Mandelbox`` keyword;
-  * plan compilation (structural (scale, iterations) in plan.mb, tagged
+  * plan compilation (structural (scale, iterations) in plan.proc, tagged
     kernel runs) and end-to-end backend agreement including CSG carves;
   * gradients through the IFT winner backward, incl. the homogeneity-based
     size cotangent (theta_cotangents sd/p columns), vs the autodiff oracle
@@ -148,11 +148,12 @@ def _world(mode=Mode.UNION):
 
 def test_compile_plan_records_structure():
     plan, tables = _world()
-    assert plan.mb, "Mandelbox leaves must be recorded in plan.mb"
-    (leaf, mscale, miters), = plan.mb
+    assert plan.proc, "Mandelbox leaves must be recorded in plan.proc"
+    (leaf, kind, mscale, miters), = plan.proc
+    assert kind == "mb"
     assert (mscale, miters) == (2.0, 6)
     assert plan.kernel is not None, "depth<=2 scene must keep the fast path"
-    assert plan.kernel.mb == plan.mb
+    assert plan.kernel.proc == plan.proc
     # the leaf sits in a tagged run that cannot merge with dense types
     tagged = [r for g in plan.kernel.groups for r in g.runs
               if isinstance(r[0], tuple)]
@@ -220,7 +221,7 @@ def grad_pair():
 
 def test_ift_grads_finite_with_signal(grad_pair):
     plan, _, g_ift = grad_pair
-    (leaf, _, _), = plan.mb
+    (leaf, _, _, _), = plan.proc
     flat, _ = jax.flatten_util.ravel_pytree(g_ift)
     assert np.all(np.isfinite(np.asarray(flat)))
     assert np.abs(np.asarray(g_ift.prim_pos)[leaf]).max() > 1e-6
@@ -291,7 +292,8 @@ def test_native_parser_parity():
     np.testing.assert_allclose(res["prim_pos"], tables.prim_pos, atol=0)
     np.testing.assert_allclose(res["prim_aux"], tables.prim_aux, atol=0)
     np.testing.assert_allclose(res["prim_color"], tables.prim_color, atol=0)
-    assert res["mb"] == plan.mb == ((0, 2.0, 6), (1, 2.0, 8))
+    assert res["proc"] == plan.proc == ((0, "mb", 2.0, 6),
+                                        (1, "mb", 2.0, 8))
 
 
 def test_mega_grads_match_jnp():
