@@ -24,16 +24,17 @@
 namespace {
 
 enum PrimKind : int32_t { SPHERE = 0, BOX = 1, CROSS = 2, MANDELBOX = 3,
-                          MANDELBULB = 4 };
+                          MANDELBULB = 4, JULIA = 5 };
 
 struct Prim {
     int32_t type;
     float pos[3];
     float aux[3];    // sphere: (radius, 0, 0); box/cross: size;
-                     // mandelbox: (size, fold scale, iterations) — the
-                     // ctypes layer splits the structural (scale, iters)
-                     // pair back out into plan statics (native.py)
+                     // fractals: (size, param, iterations) — the ctypes
+                     // layer splits the structural (param, iters) pair
+                     // back out into plan statics (native.py)
     float color[3];
+    float extra[4] = {0, 0, 0, 0};  // Julia quaternion constant c
     int32_t group;   // group index (root child)
     float scale;     // fold sign inside the group's min-reduction
 };
@@ -151,6 +152,21 @@ bool parseScene(const char *text, ParsedScene &out) {
             int32_t g = newGroup(out, +1);
             pushPrim(out, MANDELBULB, pos, aux, color, g, +1.0f);
             out.groups[g].count++;
+        } else if (cmd == "Julia") {
+            // Extension keyword (parser.py): quaternion constant c (4
+            // floats, structural) rides the Prim.extra slots over the
+            // C ABI; optional trailing iterations defaults to 11.
+            float pos[3], size, c4[4];
+            if (!(in >> pos[0] >> pos[1] >> pos[2] >> size
+                     >> c4[0] >> c4[1] >> c4[2] >> c4[3])) return false;
+            int iterations = 11;
+            int it;
+            if (in >> it) iterations = it;
+            float aux[3] = {size, 0.0f, static_cast<float>(iterations)};
+            int32_t g = newGroup(out, +1);
+            pushPrim(out, JULIA, pos, aux, color, g, +1.0f);
+            std::memcpy(out.prims.back().extra, c4, sizeof c4);
+            out.groups[g].count++;
         } else if (cmd == "Bounds") {
             // COMPLEMENT list of one black box (scene.cpp:120-127):
             // value = min(-sd) => gsign +1, scale -1.
@@ -225,7 +241,8 @@ int rm_parse_scene_counts(const char *text, int32_t *num_prims,
 int rm_parse_scene_fill(const char *text, int32_t *prim_type, float *prim_pos,
                         float *prim_aux, float *prim_color, int32_t *group_id,
                         int32_t *group_count, int32_t *group_meta,
-                        float *prim_scale, float *lights, float *camera) {
+                        float *prim_scale, float *lights, float *camera,
+                        float *prim_extra) {
     ParsedScene s;
     if (!parseScene(text, s)) return 1;
     for (size_t i = 0; i < s.prims.size(); ++i) {
@@ -234,6 +251,7 @@ int rm_parse_scene_fill(const char *text, int32_t *prim_type, float *prim_pos,
         std::memcpy(prim_pos + 3 * i, p.pos, sizeof p.pos);
         std::memcpy(prim_aux + 3 * i, p.aux, sizeof p.aux);
         std::memcpy(prim_color + 3 * i, p.color, sizeof p.color);
+        std::memcpy(prim_extra + 4 * i, p.extra, sizeof p.extra);
         group_id[i] = p.group;
         prim_scale[i] = p.scale;
     }

@@ -133,7 +133,47 @@ def mandelbulb_sd(p: jnp.ndarray, c: jnp.ndarray, size: jnp.ndarray,
     return size * 0.25 * jnp.log(m) * jnp.sqrt(m) / dz
 
 
-_PROC_SD = {"mb": mandelbox_sd, "bulb": mandelbulb_sd}
+def julia_sd(p: jnp.ndarray, c: jnp.ndarray, size: jnp.ndarray,
+             const, iterations: int) -> jnp.ndarray:
+    """Quaternion z^2 + c Julia distance estimate: p [..., 3] -> [...].
+
+    ``const`` is the structural 4-tuple Julia constant (see
+    scene.csg.Julia for the algebra and the DE).  Masked escape (bailout
+    16), same guard pattern as mandelbulb_sd: live lanes satisfy m <= 16
+    so the [-8, 8] clip is value-exact, the min(m, 4096) keeps frozen-lane
+    md factors finite, and the sqrt/log floors zero dead-branch
+    cotangents at the center fixed point."""
+    ca, cb, cc, cd = (float(v) for v in const)
+    q0 = (p - c) / size
+    a, b, c_, d = (q0[..., 0], q0[..., 1], q0[..., 2],
+                   jnp.zeros(p.shape[:-1], p.dtype))
+    m = a * a + b * b + c_ * c_ + d * d
+    md = jnp.ones(p.shape[:-1], p.dtype)
+    for _ in range(iterations):
+        esc = m > 16.0
+        mq = jnp.minimum(m, 4096.0)
+        md_new = 2.0 * jnp.sqrt(jnp.maximum(mq, 1e-12)) * md
+        ax = jnp.clip(a, -8.0, 8.0)
+        bx = jnp.clip(b, -8.0, 8.0)
+        cx = jnp.clip(c_, -8.0, 8.0)
+        dx = jnp.clip(d, -8.0, 8.0)
+        na = ax * ax - bx * bx - cx * cx - dx * dx + ca
+        nb = 2.0 * ax * bx + cb
+        nc = 2.0 * ax * cx + cc
+        nd = 2.0 * ax * dx + cd
+        m_new = na * na + nb * nb + nc * nc + nd * nd
+        a = jnp.where(esc, a, na)
+        b = jnp.where(esc, b, nb)
+        c_ = jnp.where(esc, c_, nc)
+        d = jnp.where(esc, d, nd)
+        md = jnp.where(esc, md, md_new)
+        m = jnp.where(esc, m, m_new)
+    m = jnp.maximum(m, 1e-12)
+    md = jnp.maximum(md, 1e-12)
+    return size * 0.25 * jnp.sqrt(m) * jnp.log(m) / md
+
+
+_PROC_SD = {"mb": mandelbox_sd, "bulb": mandelbulb_sd, "julia": julia_sd}
 
 
 def leaf_sd(plan: ScenePlan, tables: SceneTables, p: jnp.ndarray) -> jnp.ndarray:

@@ -59,6 +59,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         f32p,                  # prim_scale [P]
         f32p,                  # lights [L,3]
         f32p,                  # camera [10]: pos, dir, up, fov
+        f32p,                  # prim_extra [P,4]: Julia constant c
     ]
 
     lib.rm_write_png.restype = ctypes.c_int
@@ -112,6 +113,7 @@ def native_parse_scene(text: str):
     group_id = np.zeros(P, np.int32)
     group_count = np.zeros(1, np.int32)
     group_meta = np.zeros((G, 2), np.int32)
+    prim_extra = np.zeros((P, 4), np.float32)
     prim_scale = np.zeros(P, np.float32)
     lights = np.zeros((L, 3), np.float32)
     camera = np.zeros(10, np.float32)
@@ -129,21 +131,28 @@ def native_parse_scene(text: str):
         ptr(prim_scale, ctypes.c_float),
         ptr(lights, ctypes.c_float),
         ptr(camera, ctypes.c_float),
+        ptr(prim_extra, ctypes.c_float),
     )
     if rc != 0:
         raise ValueError(f"native scene fill failed with code {rc}")
     g = group_count[0]
-    # Procedural rows (type 3 Mandelbox / 4 Mandelbulb) carry their
-    # STRUCTURAL (param, iterations) pair in aux[1:3] over the C ABI;
+    # Procedural rows (type 3 Mandelbox / 4 Mandelbulb / 5 Julia) carry
+    # their STRUCTURAL (param, iterations) pair in aux[1:3] — Julia's
+    # 4-float quaternion constant rides prim_extra — over the C ABI;
     # split them back out into plan-static form (compile.ScenePlan.proc)
     # and zero the table slots so the differentiable aux tables match
     # scene.compile._prim_arrays.
     n = p_count.value
-    _KIND = {3: "mb", 4: "bulb"}
+    _KIND = {3: "mb", 4: "bulb", 5: "julia"}
+
+    def _param(i):
+        if prim_type[i] == 5:
+            return tuple(float(v) for v in prim_extra[i])
+        return float(prim_aux[i, 1])
+
     proc = tuple(
-        (int(i), _KIND[int(prim_type[i])],
-         float(prim_aux[i, 1]), int(prim_aux[i, 2]))
-        for i in np.nonzero((prim_type[:n] == 3) | (prim_type[:n] == 4))[0])
+        (int(i), _KIND[int(prim_type[i])], _param(i), int(prim_aux[i, 2]))
+        for i in np.nonzero(np.isin(prim_type[:n], (3, 4, 5)))[0])
     for (i, _, _, _) in proc:
         prim_aux[i, 1:] = 0.0
     return dict(prim_type=prim_type[:p_count.value],

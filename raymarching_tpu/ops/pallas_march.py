@@ -339,8 +339,94 @@ def _mandelbulb_sd_grad(tbl, i, px, py, pz, power: float, iters: int):
     return size * de.v, size * de.tx, size * de.ty, size * de.tz
 
 
-_PROC_SD_KERNEL = {"mb": _mandelbox_sd, "bulb": _mandelbulb_sd}
-_PROC_GRAD_KERNEL = {"mb": _mandelbox_sd_grad, "bulb": _mandelbulb_sd_grad}
+def _julia_sd(tbl, i, px, py, pz, const, iters: int):
+    """Quaternion z^2 + c Julia DE of leaf ``i`` — the masked-escape
+    iteration of core.sdf.julia_sd (see scene.csg.Julia), unrolled at
+    trace time.  ``const`` is the structural 4-tuple run-type param."""
+    ca, cb, cc, cd = (float(v) for v in const)
+    cx_, cy_, cz_ = tbl[i, 0], tbl[i, 1], tbl[i, 2]
+    size = tbl[i, 3]
+    a = (px - cx_) / size
+    b = (py - cy_) / size
+    c_ = (pz - cz_) / size
+    d = jnp.zeros_like(px)
+    m = a * a + b * b + c_ * c_ + d * d
+    md = jnp.ones_like(px)
+    for _ in range(iters):
+        esc = m > 16.0
+        mq = jnp.minimum(m, 4096.0)
+        md_new = 2.0 * jnp.sqrt(jnp.maximum(mq, 1e-12)) * md
+        ax = jnp.clip(a, -8.0, 8.0)
+        bx = jnp.clip(b, -8.0, 8.0)
+        cxx = jnp.clip(c_, -8.0, 8.0)
+        dx = jnp.clip(d, -8.0, 8.0)
+        na = ax * ax - bx * bx - cxx * cxx - dx * dx + ca
+        nb = 2.0 * ax * bx + cb
+        nc = 2.0 * ax * cxx + cc
+        nd = 2.0 * ax * dx + cd
+        m_new = na * na + nb * nb + nc * nc + nd * nd
+        a = jnp.where(esc, a, na)
+        b = jnp.where(esc, b, nb)
+        c_ = jnp.where(esc, c_, nc)
+        d = jnp.where(esc, d, nd)
+        md = jnp.where(esc, md, md_new)
+        m = jnp.where(esc, m, m_new)
+    m = jnp.maximum(m, 1e-12)
+    md = jnp.maximum(md, 1e-12)
+    return size * 0.25 * jnp.sqrt(m) * jnp.log(m) / md
+
+
+def _jet_max_c(a: _Jet, c: float) -> _Jet:
+    keep = a.v > c
+    z = jnp.where(keep, 1.0, 0.0)
+    return _Jet(jnp.maximum(a.v, c), z * a.tx, z * a.ty, z * a.tz)
+
+
+def _julia_sd_grad(tbl, i, px, py, pz, const, iters: int):
+    """(sd, d sd/dp) of Julia leaf ``i`` — the forward iteration on _Jet
+    dual numbers (same pattern as _mandelbulb_sd_grad)."""
+    ca, cb, cc, cd = (float(v) for v in const)
+    cx_, cy_, cz_ = tbl[i, 0], tbl[i, 1], tbl[i, 2]
+    size = tbl[i, 3]
+    inv_s = 1.0 / size
+    zero = jnp.zeros_like(px)
+    s0 = inv_s + zero
+    a = _Jet((px - cx_) * inv_s, s0, zero, zero)
+    b = _Jet((py - cy_) * inv_s, zero, s0, zero)
+    c_ = _Jet((pz - cz_) * inv_s, zero, zero, s0)
+    d = _Jet(zero, zero, zero, zero)
+    m = a * a + b * b + c_ * c_ + d * d
+    md = _Jet(jnp.ones_like(px), zero, zero, zero)
+    for _ in range(iters):
+        esc = m.v > 16.0
+        mq = _jet_min_c(m, 4096.0)
+        md_new = 2.0 * _jet_sqrt_floor(mq, 1e-12) * md
+        ax = _jet_clip(a, -8.0, 8.0)
+        bx = _jet_clip(b, -8.0, 8.0)
+        cxx = _jet_clip(c_, -8.0, 8.0)
+        dx = _jet_clip(d, -8.0, 8.0)
+        na = ax * ax - bx * bx - cxx * cxx - dx * dx + ca
+        nb = 2.0 * (ax * bx) + cb
+        nc = 2.0 * (ax * cxx) + cc
+        nd = 2.0 * (ax * dx) + cd
+        m_new = na * na + nb * nb + nc * nc + nd * nd
+        a = _jet_where(esc, a, na)
+        b = _jet_where(esc, b, nb)
+        c_ = _jet_where(esc, c_, nc)
+        d = _jet_where(esc, d, nd)
+        md = _jet_where(esc, md, md_new)
+        m = _jet_where(esc, m, m_new)
+    rt = _jet_sqrt_floor(m, 1e-12)
+    lg = _jet_log_floor(m, 1e-12)
+    inv_md = _jet_inv_floor(_jet_max_c(md, 1e-12), 0.0)
+    de = 0.25 * rt * lg * inv_md
+    return size * de.v, size * de.tx, size * de.ty, size * de.tz
+
+
+_PROC_SD_KERNEL = {"mb": _mandelbox_sd, "bulb": _mandelbulb_sd,
+                   "julia": _julia_sd}
+_PROC_GRAD_KERNEL = {"mb": _mandelbox_sd_grad, "bulb": _mandelbulb_sd_grad,
+                     "julia": _julia_sd_grad}
 
 
 def _prim_sd(ptype, tbl, i, px, py, pz):
@@ -581,7 +667,8 @@ def preload_table(kp, tbl, fused: bool):
         for i, t in enumerate(kp.prim_type):
             load(i, range(4) if t in (int(PrimType.SPHERE),
                                       int(PrimType.MANDELBOX),
-                                      int(PrimType.MANDELBULB))
+                                      int(PrimType.MANDELBULB),
+                                      int(PrimType.JULIA))
                  else range(6))
         if len(cache) > _PRELOAD_LIMIT:
             return tbl

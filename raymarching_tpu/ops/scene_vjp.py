@@ -92,8 +92,9 @@ def _leaf_statics(plan: ScenePlan):
     is_sphere = pt == int(PrimType.SPHERE)
     # Procedural fractals (Mandelbox/Mandelbulb): homogeneous DEs whose
     # size cotangent theta_cotangents derives from (sd, g, p).
-    is_proc = np.logical_or(pt == int(PrimType.MANDELBOX),
-                            pt == int(PrimType.MANDELBULB))
+    is_proc = np.isin(pt, (int(PrimType.MANDELBOX),
+                           int(PrimType.MANDELBULB),
+                           int(PrimType.JULIA)))
     if P == 0:
         is_sphere = np.zeros(1, bool)
         is_proc = np.zeros(1, bool)

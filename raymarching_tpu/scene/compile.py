@@ -194,12 +194,17 @@ def _compile_tree(root: ListNode):
 
     kind, idx = walk(root)
     assert kind == KIND_LIST and idx == len(lists) - 1
-    from .csg import Mandelbox, Mandelbulb
-    proc = tuple(
-        (i, "mb", p.scale, p.iterations) if isinstance(p, Mandelbox)
-        else (i, "bulb", float(p.power), p.iterations)
-        for i, p in enumerate(prims)
-        if isinstance(p, (Mandelbox, Mandelbulb)))
+    from .csg import Julia, Mandelbox, Mandelbulb
+
+    def proc_entry(i, p):
+        if isinstance(p, Mandelbox):
+            return (i, "mb", p.scale, p.iterations)
+        if isinstance(p, Mandelbulb):
+            return (i, "bulb", float(p.power), p.iterations)
+        return (i, "julia", tuple(p.c), p.iterations)
+
+    proc = tuple(proc_entry(i, p) for i, p in enumerate(prims)
+                 if isinstance(p, (Mandelbox, Mandelbulb, Julia)))
     return prims, tuple(prim_types), tuple(lists), provenance, proc
 
 
@@ -349,13 +354,13 @@ def _prim_arrays(prims: Sequence[Primitive]):
         # (1e15 keeps |d|^2 finite in f32 during vectorized leaf eval.)
         aux[0, 0] = 1.0
         pos[0] = 1e15
-    from .csg import Mandelbox, Mandelbulb
+    from .csg import Julia, Mandelbox, Mandelbulb
     for i, p in enumerate(prims):
         pos[i] = p.position
         color[i] = p.color
         if isinstance(p, Sphere):
             aux[i, 0] = p.radius
-        elif isinstance(p, (Mandelbox, Mandelbulb)):
+        elif isinstance(p, (Mandelbox, Mandelbulb, Julia)):
             aux[i, 0] = p.size
         else:
             aux[i] = p.size

@@ -31,7 +31,15 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
+import struct
 from typing import List as PyList, Tuple, Union
+
+
+def _f32(v: float) -> float:
+    """Round-trip through float32 — structural fractal params are baked
+    into compiled plans AND cross the C ABI as f32; canonicalizing here
+    keeps the Python- and native-parsed plans equal (same jit cache key)."""
+    return struct.unpack("f", struct.pack("f", float(v)))[0]
 
 Vec3 = Tuple[float, float, float]
 
@@ -56,6 +64,7 @@ class PrimType(enum.IntEnum):
     CROSS = 2
     MANDELBOX = 3     # extension — iterated box/sphere-fold fractal DE
     MANDELBULB = 4    # extension — power-8 triplex fractal DE
+    JULIA = 5         # extension — quaternion z^2 + c Julia-set DE
 
 
 def _v3(x) -> Vec3:
@@ -153,7 +162,7 @@ class Mandelbox:
         self.position = _v3(self.position)
         self.color = _v3(self.color)
         self.size = float(self.size)
-        self.scale = float(self.scale)
+        self.scale = _f32(self.scale)
         self.iterations = int(self.iterations)
         if self.iterations < 1:
             raise ValueError("Mandelbox iterations must be >= 1")
@@ -245,10 +254,72 @@ class Mandelbulb:
         return self.size * 0.25 * math.log(m) * math.sqrt(m) / dz
 
 
-Primitive = Union[Sphere, Box, Cross, Mandelbox, Mandelbulb]
+@dataclasses.dataclass
+class Julia:
+    """Quaternion Julia-set distance estimate (scene-format EXTENSION —
+    third procedural model family after [[Mandelbox]] / [[Mandelbulb]]).
+
+    The classic z <- z^2 + c quaternion iteration seeded from the 3D query
+    point's unit-space slice z0 = ((p - position)/size, 0), with the
+    escape-time estimate
+
+        DE = size * 0.25 * sqrt(m) * log(m) / md,   m = |z|^2,
+
+    where md accumulates |d z_n / d z_0| = 2 |z| md per live step (the
+    quaternion square's Jacobian has operator norm 2|z|).  Bailout 16.
+    Quaternion square is pure polynomial: (a,b,c,d)^2 =
+    (a^2-b^2-c^2-d^2, 2ab, 2ac, 2ad) — no transcendentals beyond the
+    final sqrt/log.
+
+    Signed (negative inside, m < 1) and homogeneous in ``size`` like every
+    leaf, so the winner backward's homogeneity-based size cotangent
+    applies unchanged.  ``c`` (4 floats) and ``iterations`` are structural
+    (baked into the compiled plan); position/size/color differentiate.
+    """
+
+    position: Vec3
+    size: float
+    c: Tuple[float, float, float, float] = (-0.2, 0.6, 0.2, 0.2)
+    iterations: int = 11
+    color: Vec3 = WHITE
+
+    def __post_init__(self):
+        self.position = _v3(self.position)
+        self.color = _v3(self.color)
+        self.size = float(self.size)
+        self.c = tuple(_f32(v) for v in self.c)
+        if len(self.c) != 4:
+            raise ValueError("Julia c must have 4 components")
+        self.iterations = int(self.iterations)
+        if self.iterations < 1:
+            raise ValueError("Julia iterations must be >= 1")
+
+    def sdf(self, p: Vec3) -> float:
+        a = (p[0] - self.position[0]) / self.size
+        b = (p[1] - self.position[1]) / self.size
+        c_ = (p[2] - self.position[2]) / self.size
+        d = 0.0
+        ca, cb, cc, cd = self.c
+        m = a * a + b * b + c_ * c_ + d * d
+        md = 1.0
+        for _ in range(self.iterations):
+            if m > 16.0:
+                break
+            md = 2.0 * math.sqrt(m) * md
+            a, b, c_, d = (a * a - b * b - c_ * c_ - d * d + ca,
+                           2.0 * a * b + cb, 2.0 * a * c_ + cc,
+                           2.0 * a * d + cd)
+            m = a * a + b * b + c_ * c_ + d * d
+        m = max(m, 1e-12)
+        md = max(md, 1e-12)
+        return self.size * 0.25 * math.sqrt(m) * math.log(m) / md
+
+
+Primitive = Union[Sphere, Box, Cross, Mandelbox, Mandelbulb, Julia]
 
 PRIM_TYPE = {Sphere: PrimType.SPHERE, Box: PrimType.BOX, Cross: PrimType.CROSS,
-             Mandelbox: PrimType.MANDELBOX, Mandelbulb: PrimType.MANDELBULB}
+             Mandelbox: PrimType.MANDELBOX, Mandelbulb: PrimType.MANDELBULB,
+             Julia: PrimType.JULIA}
 
 
 @dataclasses.dataclass

@@ -17,6 +17,7 @@ existing ``scene/objects.txt`` files run unchanged:
     LightColor <r> <g> <b>      (extension, see below)
     Mandelbox <x> <y> <z> <size> [scale=2] [iterations=8]   (extension)
     Mandelbulb <x> <y> <z> <size> [iterations=6]            (extension)
+    Julia <x> <y> <z> <size> <cx> <cy> <cz> <cw> [iterations=11]  (ext.)
 
 Statefulness matches the reference: a running "current color" (default white)
 set by ``Color`` lines is applied to subsequently created bodies
@@ -34,12 +35,12 @@ keyword falls through silently, so extended scenes still load there (with
 white lights).  Non-white lights switch shading to per-channel accumulation
 (core.shading.lighting) and make ``tables.light_color`` differentiable.
 
-``Mandelbox`` and ``Mandelbulb`` are likewise extensions (silently skipped
-by the reference binary): procedural fractal distance estimates the CSG
-table cannot express at any size — see scene.csg.Mandelbox / Mandelbulb
-for semantics.  ``scale``/``iterations`` are optional and structural
-(compiled into the plan); position/size/color behave like any other
-primitive.
+``Mandelbox``, ``Mandelbulb``, and ``Julia`` are likewise extensions
+(silently skipped by the reference binary): procedural fractal distance
+estimates the CSG table cannot express at any size — see scene.csg for
+each iteration's semantics.  Their trailing parameters (fold scale,
+iteration counts, the Julia quaternion constant) are structural (compiled
+into the plan); position/size/color behave like any other primitive.
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ import dataclasses
 from typing import List
 
 from . import generators
-from .csg import (Box, Cross, ListNode, Mandelbox, Mandelbulb, Mode,
+from .csg import (Box, Cross, Julia, ListNode, Mandelbox, Mandelbulb, Mode,
                   Sphere, bounds)
 from .objects import Camera, Light
 
@@ -101,6 +102,11 @@ def parse_scene(text: str) -> Scene:
                 x, y, z, size = map(float, args[:4])
                 biters = int(args[4]) if len(args) > 4 else 6
                 tree.append(Mandelbulb((x, y, z), size, biters, color))
+            elif cmd == "Julia":
+                x, y, z, size, ca, cb, cc, cd = map(float, args[:8])
+                jiters = int(args[8]) if len(args) > 8 else 11
+                tree.append(Julia((x, y, z), size, (ca, cb, cc, cd),
+                                  jiters, color))
             elif cmd == "Bounds":
                 size = float(args[0])
                 tree.append(bounds(size))

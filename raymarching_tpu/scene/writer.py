@@ -20,7 +20,8 @@ import io
 import numpy as np
 
 from .compile import SceneTables
-from .csg import Box, Cross, ListNode, Mandelbox, Mandelbulb, Mode, Sphere
+from .csg import (Box, Cross, Julia, ListNode, Mandelbox, Mandelbulb, Mode,
+                  Sphere)
 from .generators import DeathStarNode, MengerNode
 from .objects import Camera
 from .parser import Scene
@@ -121,6 +122,11 @@ def _emit_node(out, node, state) -> None:
         out.write(f"Mandelbulb {_fmt(*node.position)} {_fmt(node.size)} "
                   f"{node.iterations}\n")
         return
+    if isinstance(node, Julia):
+        _emit_color(out, node.color, state)
+        out.write(f"Julia {_fmt(*node.position)} {_fmt(node.size)} "
+                  f"{_fmt(*node.c)} {node.iterations}\n")
+        return
     raise ValueError(
         f"cannot serialize {type(node).__name__}: no objects.txt syntax "
         "for general nested lists (the grammar only has generators)")
@@ -142,7 +148,7 @@ def tables_to_scene(scene: Scene, tables: SceneTables) -> Scene:
         prim.color = tuple(float(v) for v in col[i])
         if isinstance(prim, Sphere):
             prim.radius = float(aux[i, 0])
-        elif isinstance(prim, (Mandelbox, Mandelbulb)):
+        elif isinstance(prim, (Mandelbox, Mandelbulb, Julia)):
             prim.size = float(aux[i, 0])
         else:
             prim.size = tuple(float(v) for v in aux[i])
