@@ -109,7 +109,8 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
     sd_fn = lambda tb, p: scene_sd(plan, tb, p)
     if backend == "jnp":
         return {"march_fn": make_march_fn(
-            sd_fn, cfg.iterations, cfg.surface_precision, tables)}
+            sd_fn, cfg.iterations, cfg.surface_precision, tables,
+            damping=cfg.ift_damping)}
     if backend != "pallas":
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -131,7 +132,7 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
         bwd_impl = make_march_bwd(plan, cfg, interpret)
     march_fn = make_march_fn(sd_fn, cfg.iterations, cfg.surface_precision,
                              tables, forward_impl=forward_impl,
-                             bwd_impl=bwd_impl)
+                             bwd_impl=bwd_impl, damping=cfg.ift_damping)
 
     # Kernels invoked outside a custom_vjp must see stop-gradient inputs —
     # pallas_call has no JVP rule, and these uses are piecewise-constant /

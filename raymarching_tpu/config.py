@@ -90,6 +90,14 @@ class RenderConfig:
     # semantics.
     fused_generators: bool = False
 
+    # IFT backward stabilization (opt-in, 0.0 = exact clamped IFT): when
+    # > 0, the per-ray 1/(grad f . d) factor becomes the Tikhonov-damped
+    # denom/(denom^2 + damping^2), rolling grazing rays' weights off to
+    # zero instead of 1/eps.  Essential when FITTING rough/fractal scenes,
+    # where grazing rays dominate and the exact clamped gradient is ~100x
+    # noise (see ops.march_op.ift_ray_weights).  A few 1e-3 works well.
+    ift_damping: float = 0.0
+
     # Soft shadows (opt-in, 0.0 = reference-parity hard boolean): the
     # shadow march additionally tracks min over steps of
     # clamp(k * sd / t, 0, 1) (the classic SDF penumbra estimate) and the

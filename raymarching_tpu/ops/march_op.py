@@ -46,10 +46,39 @@ from ..core.march import MarchResult, march_while
 _DENOM_EPS = 1e-6
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def ift_ray_weights(t_bar, denom, damping: float):
+    """The IFT per-ray scalar cotangent w = -t_bar / (grad f . d), stabilized.
+
+    damping == 0 (default): sign-preserving _DENOM_EPS clamp — the exact
+    IFT derivative everywhere it is well-conditioned, up to 1/eps at
+    grazing incidence.
+
+    damping > 0: Tikhonov-damped inverse -t_bar * denom/(denom^2 + damping^2).
+    At |denom| >> damping this is 1/denom to O((damping/denom)^2); as
+    |denom| -> 0 the weight rolls off to ZERO instead of exploding to
+    1/eps.  Rationale: a grazing ray's hit point is genuinely
+    ill-conditioned in the scene parameters, but a PIXEL loss only varies
+    over the pixel footprint — the exact 1/denom linearization holds for a
+    vanishing parameter radius, so near-silhouette rays contribute
+    enormous terms (up to t_bar/eps = 1e6 t_bar) that do not reflect the
+    loss landscape.  The damped weight is a per-ray trust region; set
+    cfg.ift_damping ~ a few 1e-3 when FITTING (examples/fit_fractal.py).
+    Exactness note: damping bounds only the IFT route; on rough surfaces
+    the normal-chain gradient (d shade / d normal / d p) is the dominant
+    high-frequency term and is correctly LEFT exact — the jagged landscape
+    it reflects is real, and smooth-geometry objectives (see the fitting
+    example) are the remedy, not a biased derivative."""
+    if damping > 0.0:
+        return -t_bar * denom / (denom * denom + damping * damping)
+    d = jnp.where(jnp.abs(denom) < _DENOM_EPS,
+                  jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
+    return -t_bar / d
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def march_op(scene_sd_fn: Callable, iterations: int, eps: float,
              forward_impl: Optional[Callable],
-             bwd_impl: Optional[Callable],
+             bwd_impl: Optional[Callable], damping: float,
              origin: jnp.ndarray, ray: jnp.ndarray, tables) -> MarchResult:
     """March origin + t*ray to the surface of ``scene_sd_fn(tables, .)``.
 
@@ -69,16 +98,16 @@ def march_op(scene_sd_fn: Callable, iterations: int, eps: float,
 
 
 def _march_fwd(scene_sd_fn, iterations, eps, forward_impl, bwd_impl,
-               origin, ray, tables):
+               damping, origin, ray, tables):
     res = march_op(scene_sd_fn, iterations, eps, forward_impl, bwd_impl,
-                   origin, ray, tables)
+                   damping, origin, ray, tables)
     t = jnp.sum((res.position - origin) * ray, axis=-1) / \
         jnp.sum(ray * ray, axis=-1)
     return res, (res.position, res.converged, t, ray, tables)
 
 
 def _march_bwd(scene_sd_fn, iterations, eps, forward_impl, bwd_impl,
-               residuals, cotangents):
+               damping, residuals, cotangents):
     if bwd_impl is not None:
         return bwd_impl(residuals, cotangents)
     p_hit, converged, t, ray, tables = residuals
@@ -90,12 +119,10 @@ def _march_bwd(scene_sd_fn, iterations, eps, forward_impl, bwd_impl,
     ones = jnp.ones(p_hit.shape[:-1], p_hit.dtype)
     _, grad_p = vjp(ones)
     denom = jnp.sum(grad_p * ray, axis=-1)
-    denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
-                      jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
 
     # Scalar cotangent on f per ray; zero where the march never converged.
     t_bar = jnp.where(converged, jnp.sum(p_bar * ray, axis=-1), 0.0)
-    w = -t_bar / denom
+    w = ift_ray_weights(t_bar, denom, damping)
     tables_bar, gp_w = vjp(w)                       # f_theta route; w*grad_p f
 
     o_bar = p_bar + gp_w                            # I + d (x) dt/do
@@ -108,10 +135,11 @@ march_op.defvjp(_march_fwd, _march_bwd)
 
 def make_march_fn(scene_sd_fn: Callable, iterations: int, eps: float,
                   tables, forward_impl: Optional[Callable] = None,
-                  bwd_impl: Optional[Callable] = None):
+                  bwd_impl: Optional[Callable] = None,
+                  damping: float = 0.0):
     """Adapt to the (origin, dirs) -> MarchResult interface of
     core.render's ``march_fn`` hook."""
     def fn(origin, dirs):
         return march_op(scene_sd_fn, iterations, eps, forward_impl,
-                        bwd_impl, origin, dirs, tables)
+                        bwd_impl, damping, origin, dirs, tables)
     return fn

@@ -499,7 +499,7 @@ def _two_phase_march(plan: ScenePlan, cfg: RenderConfig, origin, dirs,
 # Differentiable wrapper: fused Pallas forward + modular jnp backward.
 # ---------------------------------------------------------------------------
 
-_DENOM_EPS = 1e-6
+from .march_op import ift_ray_weights
 
 
 def _sd_fn(plan, cfg):
@@ -664,10 +664,8 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
     # 3. IFT route at the hit point (winner row 0 of the same launch).
     g0 = g7[0]
     denom = jnp.sum(g0 * dirs, axis=-1)
-    denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
-                      jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
     t_bar = jnp.where(conv, jnp.sum(p_bar * dirs, axis=-1), 0.0)
-    w = -t_bar / denom
+    w = ift_ray_weights(t_bar, denom, cfg.ift_damping)
     gp_w = w[..., None] * g0
 
     # 4. one concatenated scatter for all 7 rows' parameter cotangents
@@ -711,11 +709,8 @@ def _fused_bwd(plan, cfg, interpret, residuals, g_out):
         ones = jnp.ones(p.shape[:-1], p.dtype)
         _, grad_p = vjp_f(ones)
         denom = jnp.sum(grad_p * dirs, axis=-1)
-        denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
-                          jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS),
-                          denom)
         t_bar = jnp.where(conv, jnp.sum(p_bar * dirs, axis=-1), 0.0)
-        w = -t_bar / denom
+        w = ift_ray_weights(t_bar, denom, cfg.ift_damping)
         tables_bar2, gp_w = vjp_f(w)
 
     o_bar = jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1)))

@@ -58,7 +58,7 @@ from ..config import RenderConfig
 from ..scene.compile import MIN, ScenePlan, SceneTables
 from ..scene.csg import PrimType
 
-_DENOM_EPS = 1e-6
+from .march_op import ift_ray_weights
 
 
 @functools.lru_cache(maxsize=None)
@@ -277,11 +277,8 @@ def make_march_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool):
 
         sd, widx, g = winner_eval(plan, cfg, p_hit, tables, interpret)
         denom = jnp.sum(g * ray, axis=-1)
-        denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
-                          jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS),
-                          denom)
         t_bar = jnp.where(converged, jnp.sum(p_bar * ray, axis=-1), 0.0)
-        w = -t_bar / denom
+        w = ift_ray_weights(t_bar, denom, cfg.ift_damping)
         tables_bar = theta_cotangents(plan, tables, widx, g, w,
                                       sd=sd, p=p_hit)
         gp_w = w[..., None] * g
@@ -298,10 +295,8 @@ def ift_pieces(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
     the two vjp_f pullbacks in pallas_render._fused_bwd."""
     sd, widx, g = winner_eval(plan, cfg, p_hit, tables, interpret)
     denom = jnp.sum(g * ray, axis=-1)
-    denom = jnp.where(jnp.abs(denom) < _DENOM_EPS,
-                      jnp.where(denom < 0, -_DENOM_EPS, _DENOM_EPS), denom)
     t_bar = jnp.where(conv, jnp.sum(p_bar * ray, axis=-1), 0.0)
-    w = -t_bar / denom
+    w = ift_ray_weights(t_bar, denom, cfg.ift_damping)
     tables_bar = theta_cotangents(plan, tables, widx, g, w, sd=sd, p=p_hit)
     return tables_bar, w[..., None] * g
 

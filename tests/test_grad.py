@@ -153,3 +153,36 @@ def test_config4_camera_pose_gradients_menger():
         val = np.asarray(getattr(g, field))
         assert np.all(np.isfinite(val)), field
         assert np.abs(val).max() > 1e-7, field
+
+
+def test_ift_damping_weights_and_backends():
+    """cfg.ift_damping (opt-in IFT stabilization, ops.march_op.
+    ift_ray_weights): damping=0 reproduces the legacy sign-preserving
+    clamp exactly; damping>0 matches 1/denom on well-conditioned rays,
+    rolls grazing rays off to zero, and every backend accepts the flag
+    with finite results."""
+    from raymarching_tpu.ops.march_op import _DENOM_EPS, ift_ray_weights
+
+    t_bar = jnp.asarray([1.0, -2.0, 0.5, 1.0, 0.0])
+    denom = jnp.asarray([-0.9, 0.7, 1e-9, -1e-9, 0.3])
+    w0 = np.asarray(ift_ray_weights(t_bar, denom, 0.0))
+    np.testing.assert_allclose(w0[:2], [1.0 / 0.9, 2.0 / 0.7], rtol=1e-6)
+    np.testing.assert_allclose(w0[2:4], [-0.5 / _DENOM_EPS,
+                                         1.0 / _DENOM_EPS], rtol=1e-6)
+    wd = np.asarray(ift_ray_weights(t_bar, denom, 1e-3))
+    # well-conditioned rays: matches 1/denom to O((damping/denom)^2)
+    np.testing.assert_allclose(wd[:2], w0[:2], rtol=1e-5)
+    # grazing rays: rolled off toward zero, not amplified to 1/eps
+    assert abs(wd[2]) < 1e-2 and abs(wd[3]) < 1e-2
+    assert wd[4] == 0.0
+
+    plan, tables = _world()
+    cfg = CFG.replace(shadows=False, normal_mode="analytic",
+                      ift_damping=3e-3)
+    for backend, interp in (("jnp", False), ("mega", True)):
+        g = jax.grad(lambda t: jnp.mean(render_tables(
+            plan, t, cfg, backend=backend, interpret=interp,
+            differentiable=True) ** 2))(tables)
+        flat, _ = jax.flatten_util.ravel_pytree(g)
+        assert np.isfinite(np.asarray(flat)).all(), backend
+        assert np.abs(np.asarray(g.prim_pos)).max() > 1e-8, backend

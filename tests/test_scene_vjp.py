@@ -140,7 +140,7 @@ def test_march_bwd_matches_jnp_route():
     ours = make_march_bwd(plan, CFG, True)(residuals, cot)
     ref = mo._march_bwd(lambda tb, q: scene_sd(plan, tb, q),
                         CFG.iterations, CFG.surface_precision, None, None,
-                        residuals, cot)
+                        0.0, residuals, cot)
     np.testing.assert_allclose(np.asarray(ours[0]), np.asarray(ref[0]),
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ours[1]), np.asarray(ref[1]),
