@@ -11,16 +11,31 @@ from raymarching_tpu.core.sdf import (scene_sd, scene_sd_kernel_form,
                                       scene_surface)
 from raymarching_tpu.ops.pallas_march import kernel_key, pallas_surface_eval
 from raymarching_tpu.scene.compile import compile_tree
-from raymarching_tpu.scene.csg import Box, Cross, ListNode, Mode, Sphere
+from raymarching_tpu.scene.csg import (Box, Cross, Julia, ListNode,
+                                       Mandelbox, Mandelbulb, Mode, Sphere)
 from raymarching_tpu.scene.objects import Camera
 
 
 def _random_prim(rng):
     pos = tuple(rng.uniform(-6, 6, 3))
     color = tuple(rng.uniform(0, 1, 3))
-    kind = rng.integers(0, 3)
+    kind = rng.integers(0, 6)
     if kind == 0:
         return Sphere(pos, float(rng.uniform(0.3, 3.0)), color)
+    if kind == 3:
+        # procedural leaves: LOW iteration counts — the scalar oracle runs
+        # f64, the stack f32, and chaotic folds amplify the precision gap
+        # beyond the shared tolerance at deep iteration counts
+        return Mandelbox(pos, float(rng.uniform(0.5, 2.0)),
+                         scale=float(rng.uniform(1.5, 3.0)),
+                         iterations=int(rng.integers(2, 5)), color=color)
+    if kind == 4:
+        return Mandelbulb(pos, float(rng.uniform(0.5, 2.0)),
+                          iterations=int(rng.integers(2, 5)), color=color)
+    if kind == 5:
+        return Julia(pos, float(rng.uniform(0.5, 2.0)),
+                     c=tuple(rng.uniform(-0.8, 0.8, 4)),
+                     iterations=int(rng.integers(2, 6)), color=color)
     size = tuple(rng.uniform(0.5, 4.0, 3))
     return (Box if kind == 1 else Cross)(pos, size, color)
 

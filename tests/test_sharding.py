@@ -148,3 +148,31 @@ def test_2d_mesh_hosts_by_chips():
     loss, t2 = jax.jit(
         lambda t: train_step(plan, t, target, CFG, mesh, lr=0.01))(tables)
     assert np.isfinite(float(loss))
+
+
+def test_sharded_fractal_train_step():
+    """Procedural fractal leaves under shard_map: the full production
+    train step (mega kernel, IFT backward, grad psum) on a scene mixing a
+    Mandelbulb and a quaternion Julia runs on the 8-device mesh, produces
+    a finite loss, and moves the fractal parameters."""
+    from raymarching_tpu.scene.csg import Julia, Mandelbulb
+
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        Mandelbulb((0.0, 0.0, -6.0), 1.5, iterations=4,
+                   color=(0.4, 0.7, 0.9)),
+        Julia((3.0, 1.0, -8.0), 1.2, c=(-0.2, 0.6, 0.2, 0.2),
+              iterations=5, color=(0.9, 0.5, 0.2)),
+    ])
+    plan, tables = compile_tree(tree, [Light((6.0, 8.0, 4.0))],
+                                Camera(position=(0, 0, 6), fov=55.0))
+    mesh = make_mesh(8)
+    cfg = CFG.replace(shadows=False, ift_damping=3e-3)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    loss, new_tables = jax.jit(lambda t: train_step(
+        plan, t, target, cfg, mesh, lr=0.01, backend="mega",
+        interpret=True))(tables)
+    assert np.isfinite(float(loss))
+    moved = np.abs(np.asarray(new_tables.prim_pos)
+                   - np.asarray(tables.prim_pos)).max()
+    assert np.isfinite(moved) and moved > 0.0
