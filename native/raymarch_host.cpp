@@ -48,6 +48,8 @@ struct ParsedScene {
     std::vector<Prim> prims;
     std::vector<Group> groups;
     std::vector<float> lights;           // L * 3
+    std::vector<float> light_colors;     // L * 3 (LightColor extension)
+    float cur_light_color[3] = {1, 1, 1};
     float camera[10] = {0, 0, 0, 0, 0, -1, 0, 1, 0, 90};  // pos, dir, up, fov
 };
 
@@ -202,6 +204,14 @@ bool parseScene(const char *text, ParsedScene &out) {
             float pos[3];
             if (!(in >> pos[0] >> pos[1] >> pos[2])) return false;
             out.lights.insert(out.lights.end(), pos, pos + 3);
+            out.light_colors.insert(out.light_colors.end(),
+                                    out.cur_light_color,
+                                    out.cur_light_color + 3);
+        } else if (cmd == "LightColor") {
+            // Extension keyword (parser.py): a running current light color
+            // applied to subsequent Light lines; default white.
+            if (!(in >> out.cur_light_color[0] >> out.cur_light_color[1]
+                     >> out.cur_light_color[2])) return false;
         } else if (cmd == "Camera") {
             std::string sub;
             if (!(in >> sub)) return false;
@@ -242,7 +252,7 @@ int rm_parse_scene_fill(const char *text, int32_t *prim_type, float *prim_pos,
                         float *prim_aux, float *prim_color, int32_t *group_id,
                         int32_t *group_count, int32_t *group_meta,
                         float *prim_scale, float *lights, float *camera,
-                        float *prim_extra) {
+                        float *prim_extra, float *light_colors) {
     ParsedScene s;
     if (!parseScene(text, s)) return 1;
     for (size_t i = 0; i < s.prims.size(); ++i) {
@@ -261,6 +271,8 @@ int rm_parse_scene_fill(const char *text, int32_t *prim_type, float *prim_pos,
         group_meta[2 * g + 1] = s.groups[g].count;
     }
     std::memcpy(lights, s.lights.data(), s.lights.size() * sizeof(float));
+    std::memcpy(light_colors, s.light_colors.data(),
+                s.light_colors.size() * sizeof(float));
     std::memcpy(camera, s.camera, sizeof s.camera);
     return 0;
 }

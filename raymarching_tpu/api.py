@@ -217,6 +217,15 @@ def render_tables(plan: ScenePlan, tables: SceneTables,
     unrolled autodiff on ``ref`` with differentiable=True)."""
     cfg = cfg or RenderConfig()
     backend = resolve_backend(backend or cfg.backend)
+    if backend == "pallas" and (cfg.soft_shadow_k > 0.0
+                                or cfg.ao_strength > 0.0):
+        # The multi-kernel pallas path has no soft-shadow/AO hook — its
+        # shading would silently fall back to soft_shadow_factor over the
+        # jnp scene_sd, re-marching every shadow ray through the
+        # [rays, prims] leaf matrix (the working set the kernel path
+        # exists to avoid).  The mega kernel tracks the penumbra factor
+        # in-kernel; route there (it is the auto choice on TPU anyway).
+        backend = "mega"
     if backend == "mega":
         return _render_mega(plan, tables, cfg, interpret)
     hooks = make_render_hooks(plan, tables, cfg, backend,
@@ -243,6 +252,9 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     import numpy as np
 
     backend = resolve_backend(backend or cfg.backend)
+    if backend == "pallas" and (cfg.soft_shadow_k > 0.0
+                                or cfg.ao_strength > 0.0):
+        backend = "mega"        # see render_tables: no pallas soft/AO hook
     from .core import camera as cam
     from .core.render import _shade_rays
     S = cfg.samples_per_pixel
@@ -269,6 +281,73 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         out[r:r + n] = np.asarray(block(tables, jnp.int32(r), n))
         r += n
     return out
+
+
+def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                *, interpret: Optional[bool] = None) -> dict:
+    """Render AOVs (arbitrary output variables) in one pass — the
+    compositing/debugging outputs a production renderer exposes beyond the
+    beauty image (no reference equivalent; its pipeline writes color only,
+    render.cpp:122-139):
+
+      color  [H, W, 3]  the beauty image (identical to render_tables)
+      depth  [H, W]     mean ray-space hit distance t over converged SSAA
+                        samples; +inf where no sample converged
+      normal [H, W, 3]  SSAA-mean surface normal, renormalized; zero on miss
+      objid  [H, W]     int32 winner primitive index of the pixel's FIRST
+                        SSAA sample (-1 = miss) — ids do not average
+      hit    [H, W]     converged-sample coverage fraction in [0, 1]
+
+    One mega-kernel launch supplies everything but the normal (one more
+    surface-kernel launch); runs interpret-mode off-TPU.  Not
+    differentiable (outputs, not a loss path)."""
+    from .core import camera as cam
+    from .ops.pallas_render import pallas_render_rays
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    origin, dirs = cam.generate_rays(tables, cfg)
+    S = cfg.samples_per_pixel
+    H, W = cfg.height, cfg.width
+    flat = lax.stop_gradient(dirs.reshape(-1, 3))
+    sg_tables = jax.tree_util.tree_map(lax.stop_gradient, tables)
+
+    p, sd, conv, cidx, light, smask, _, _ = pallas_render_rays(
+        plan, cfg, origin, flat, sg_tables, interpret=interpret)
+    color = jnp.where((cidx >= 0)[..., None],
+                      jnp.asarray(sg_tables.prim_color)[
+                          jnp.clip(cidx, 0, None)], 0.0)
+    colors = (light if plan.colored_lights else light[..., None]) * color
+
+    g = _normal_op(plan, cfg, interpret, p, sg_tables)
+    sq = jnp.sum(g * g, axis=-1, keepdims=True)
+    n = g / jnp.sqrt(jnp.maximum(sq, jnp.finfo(g.dtype).tiny))
+    n = jnp.where(conv[..., None], n, 0.0)
+
+    t = jnp.sum((p - origin) * flat, axis=-1) / jnp.sum(flat * flat, axis=-1)
+
+    convS = conv.reshape(H, W, S)
+    hit = jnp.mean(convS.astype(jnp.float32), axis=2)
+    tS = jnp.where(convS, t.reshape(H, W, S), 0.0)
+    depth = jnp.where(hit > 0.0,
+                      jnp.sum(tS, axis=2) / jnp.maximum(
+                          jnp.sum(convS, axis=2), 1),
+                      jnp.inf)
+    nS = jnp.where(convS[..., None], n.reshape(H, W, S, 3), 0.0)
+    nm = jnp.sum(nS, axis=2)
+    nsq = jnp.sum(nm * nm, axis=-1, keepdims=True)
+    normal = jnp.where(hit[..., None] > 0.0,
+                       nm / jnp.sqrt(jnp.maximum(
+                           nsq, jnp.finfo(nm.dtype).tiny)), 0.0)
+    objid = cidx.reshape(H, W, S)[..., 0].astype(jnp.int32)
+
+    return {
+        "color": jnp.mean(colors.reshape(H, W, S, 3), axis=2),
+        "depth": depth,
+        "normal": normal,
+        "objid": objid,
+        "hit": hit,
+    }
 
 
 @partial(jax.jit, static_argnames=("plan", "cfg", "backend",

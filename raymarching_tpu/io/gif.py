@@ -126,6 +126,8 @@ def encode_gif(frames: Sequence[np.ndarray] | Iterable[np.ndarray], *,
     for f in frames:
         if f.shape[:2] != (h, w) or f.shape[-1] < 3:
             raise ValueError("all frames must be [H, W, 3] of one size")
+    if not 0 <= int(delay_cs) <= 0xFFFF:
+        raise ValueError(f"delay_cs must be in [0, 65535], got {delay_cs}")
 
     out = bytearray()
     out += b"GIF89a"

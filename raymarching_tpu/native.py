@@ -60,6 +60,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         f32p,                  # lights [L,3]
         f32p,                  # camera [10]: pos, dir, up, fov
         f32p,                  # prim_extra [P,4]: Julia constant c
+        f32p,                  # light_colors [L,3]: LightColor extension
     ]
 
     lib.rm_write_png.restype = ctypes.c_int
@@ -114,6 +115,7 @@ def native_parse_scene(text: str):
     group_count = np.zeros(1, np.int32)
     group_meta = np.zeros((G, 2), np.int32)
     prim_extra = np.zeros((P, 4), np.float32)
+    light_colors = np.ones((L, 3), np.float32)
     prim_scale = np.zeros(P, np.float32)
     lights = np.zeros((L, 3), np.float32)
     camera = np.zeros(10, np.float32)
@@ -132,6 +134,7 @@ def native_parse_scene(text: str):
         ptr(lights, ctypes.c_float),
         ptr(camera, ctypes.c_float),
         ptr(prim_extra, ctypes.c_float),
+        ptr(light_colors, ctypes.c_float),
     )
     if rc != 0:
         raise ValueError(f"native scene fill failed with code {rc}")
@@ -164,4 +167,5 @@ def native_parse_scene(text: str):
                 group_meta=group_meta[:g],
                 prim_scale=prim_scale[:p_count.value],
                 lights=lights[:l_count.value],
+                light_colors=light_colors[:l_count.value],
                 camera=camera)

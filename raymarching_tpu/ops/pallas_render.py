@@ -510,6 +510,36 @@ def _sd_fn(plan, cfg):
     return lambda tb, q: scene_sd(plan, tb, q)
 
 
+def _lambert_replay(plan, cfg, tables, p, n, smask, sfac, aofac):
+    """The shared differentiable tail of BOTH backward shading replays:
+    per-light Lambert from a (replayed) normal, with the kernel's SAVED
+    discrete/stop-gradient factors reapplied — hard-shadow booleans from
+    the smask bitfield, or the soft-shadow sfac [R, L] and AO aofac [R]
+    constants — then the [saturation, 1] clamp.  One definition keeps
+    _replay_shade and _exact_fd_bwd's closure from drifting apart (any
+    shading-semantics change lands in exactly one place)."""
+    colored = plan.colored_lights
+    from ..core import shading as sh
+    total = jnp.zeros(p.shape if colored else p.shape[:-1], p.dtype)
+    for li in range(int(plan.num_lights)):
+        lp = jnp.asarray(tables.light_pos)[li]
+        lambert = jnp.sum(n * sh.normalize(lp - p), axis=-1)
+        if sfac is not None:
+            lambert = lambert * sfac[..., li]
+        else:
+            shadowed = (smask >> li) & 1
+            lambert = jnp.where(shadowed == 1, 0.0, lambert)
+        if colored:
+            total = total + lambert[..., None] * \
+                jnp.asarray(tables.light_color)[li]
+        else:
+            total = total + lambert
+    light = jnp.clip(total, cfg.saturation, 1.0)
+    if aofac is not None:
+        light = light * (aofac[..., None] if colored else aofac)
+    return light if colored else light[..., None]
+
+
 def _replay_shade(plan, cfg, interpret, tables, p, cidx, smask,
                   sfac=None, aofac=None):
     """Differentiable jnp replay of shading from saved kernel outputs.
@@ -532,37 +562,18 @@ def _replay_shade(plan, cfg, interpret, tables, p, cidx, smask,
     # Differentiate the SAME normal estimator the forward kernel evaluated
     # (the analytic winner gradient == reverse-mode through the sd field
     # a.e., so jax.vjp of sd reproduces it; FD replays the 6-eval stencil).
-    # On the exact-table FD path the estimator is api._normal_op: Pallas
-    # forward, winner-kernel backward (ops.scene_vjp) — transposing this
-    # replay never touches the [rays, prims] matrix.
-    if not cfg.fused_generators and cfg.normal_mode != "analytic":
-        from ..api import _normal_op
-        g = _normal_op(plan, cfg, interpret, p, tables)
-    elif cfg.normal_mode == "analytic":
+    # The exact-table FD configuration never reaches this replay —
+    # _fused_bwd dispatches it to _exact_fd_bwd (single-launch stencil
+    # winner kernel) before ever building the shade closure.
+    assert cfg.fused_generators or cfg.normal_mode == "analytic", (
+        "exact-table FD backward must go through _exact_fd_bwd")
+    if cfg.normal_mode == "analytic":
         g = sh.normal_analytic(sd_one, p)
     else:
         g = sh.normal_fd(sd_one, p, cfg.fd_h)
     n = sh.normalize(g)
 
-    colored = plan.colored_lights
-    total = jnp.zeros(p.shape if colored else p.shape[:-1], p.dtype)
-    for li in range(int(plan.num_lights)):
-        lp = jnp.asarray(tables.light_pos)[li]
-        lambert = jnp.sum(n * sh.normalize(lp - p), axis=-1)
-        if sfac is not None:
-            lambert = lambert * sfac[..., li]
-        else:
-            shadowed = (smask >> li) & 1
-            lambert = jnp.where(shadowed == 1, 0.0, lambert)
-        if colored:
-            total = total + lambert[..., None] * \
-                jnp.asarray(tables.light_color)[li]
-        else:
-            total = total + lambert
-    light = jnp.clip(total, cfg.saturation, 1.0)
-    if aofac is not None:
-        light = light * (aofac[..., None] if colored else aofac)
-    light = light if colored else light[..., None]
+    light = _lambert_replay(plan, cfg, tables, p, n, smask, sfac, aofac)
     return light * p_color_color
 
 
@@ -630,24 +641,9 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
 
     def shade(tables_, p_, gfd_, color_):
         n = sh.normalize(gfd_)
-        total = jnp.zeros(p_.shape if colored else p_.shape[:-1], p_.dtype)
-        for li in range(int(plan.num_lights)):
-            lp = jnp.asarray(tables_.light_pos)[li]
-            lambert = jnp.sum(n * sh.normalize(lp - p_), axis=-1)
-            if sfac is not None:
-                lambert = lambert * sfac[..., li]
-            else:
-                shadowed = (smask >> li) & 1
-                lambert = jnp.where(shadowed == 1, 0.0, lambert)
-            if colored:
-                total = total + lambert[..., None] * \
-                    jnp.asarray(tables_.light_color)[li]
-            else:
-                total = total + lambert
-        light = jnp.clip(total, cfg.saturation, 1.0)
-        if aofac is not None:
-            light = light * (aofac[..., None] if colored else aofac)
-        return (light if colored else light[..., None]) * color_
+        light = _lambert_replay(plan, cfg, tables_, p_, n, smask, sfac,
+                                aofac)
+        return light * color_
 
     _, vjp_shade = jax.vjp(shade, tables, p, gfd, color_p)
     tables_bar, p_bar, gfd_bar, color_bar = vjp_shade(g_out)

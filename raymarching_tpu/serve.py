@@ -15,6 +15,11 @@ API:
                      shadows=0|1, format=png|ppm,
                      soft_shadow_k (penumbra sharpness, 0 = hard),
                      ao (ambient-occlusion strength, 0 = off)
+  POST /aovs                     -> ZIP of AOV planes from ONE render:
+       color.png (beauty), normal.png ([-1,1] mapped to [0,255]),
+       hit.png (coverage), depth.npy (float32, +inf = miss),
+       objid.npy (int32, -1 = miss)
+       body + query params: the /render set (format ignored)
   POST /animate                  -> ZIP of frame_NNN.png (format=zip,
        default) or a looping animated GIF (format=gif)
        body: the scene text; camera orbits the scene (turntable path:
@@ -51,12 +56,13 @@ MAX_SSAA = 4
 MAX_ITERATIONS = 10_000
 MAX_FRAMES = 600
 MAX_ANIMATE_SAMPLES = 1 << 28     # total rays across all frames
+MAX_GIF_PIXELS = 1 << 24          # total PIXELS a gif response may encode
 MAX_BODY_BYTES = 1 << 20          # 1 MiB of scene text (~25k lines)
 DEFAULT_RAY_CHUNK = 65536
 
 
 def _make_handler(backend: str):
-    from .api import render_tables_jit, resolve_backend
+    from .api import render_aovs, render_tables_jit, resolve_backend
     from .config import RenderConfig
     from .io.image import to_uint8
     from .io.png import encode_png
@@ -139,6 +145,32 @@ def _make_handler(backend: str):
             else:
                 self._send_bytes(encode_png(data), "image/png")
 
+        def _do_aovs(self, q):
+            parsed = self._read_request(q)
+            if parsed is None:
+                return
+            cfg, plan, tables, _ = parsed
+            aovs = render_aovs(plan, tables, cfg)
+            n = np.asarray(aovs["normal"], np.float32)
+            normal8 = np.clip((n * 0.5 + 0.5) * 255.0 + 0.5,
+                              0, 255).astype(np.uint8)
+            hit = np.asarray(aovs["hit"], np.float32)
+            hit8 = np.repeat(
+                np.clip(hit * 255.0 + 0.5, 0, 255)
+                .astype(np.uint8)[..., None], 3, axis=-1)
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                zf.writestr("color.png", encode_png(
+                    to_uint8(np.asarray(aovs["color"]), cfg.gamma)))
+                zf.writestr("normal.png", encode_png(normal8))
+                zf.writestr("hit.png", encode_png(hit8))
+                for name, dtype in (("depth", np.float32),
+                                    ("objid", np.int32)):
+                    b = io.BytesIO()
+                    np.save(b, np.asarray(aovs[name], dtype))
+                    zf.writestr(name + ".npy", b.getvalue())
+            self._send_bytes(buf.getvalue(), "application/zip")
+
         def _do_animate(self, q):
             parsed = self._read_request(q)
             if parsed is None:
@@ -149,6 +181,18 @@ def _make_handler(backend: str):
                 self._json(422, {"error": f"frames x rays = {total} over "
                                           f"cap {MAX_ANIMATE_SAMPLES}"})
                 return
+            # GIF encoding is pure-Python LZW (~1e6 px/s single-threaded):
+            # the ray cap bounds only the cheap device half, so bound the
+            # ENCODE-side pixel count separately or one request pins the
+            # handler thread for minutes.
+            if q.get("format", "zip").lower() == "gif":
+                px = frames * cfg.width * cfg.height
+                if px > MAX_GIF_PIXELS:
+                    self._json(422, {"error": f"frames x pixels = {px} "
+                                              f"over GIF encode cap "
+                                              f"{MAX_GIF_PIXELS}; use "
+                                              f"format=zip"})
+                    return
             orbit = math.radians(float(q.get("orbit", 360.0)))
             if "center" in q:
                 center = np.array([float(v) for v in
@@ -168,8 +212,15 @@ def _make_handler(backend: str):
             radius = float(np.hypot(p0[0], p0[2]))
             phi0 = math.atan2(float(p0[2]), float(p0[0]))
 
+            # Full loops exclude the endpoint (frame 0 == frame N would
+            # duplicate); PARTIAL sweeps must include it — the last frame
+            # sits at exactly ``orbit`` degrees, not orbit*(N-1)/N.
+            two_pi = 2.0 * math.pi
+            denom = (max(frames, 1) if abs(orbit) >= two_pi - 1e-9
+                     else max(frames - 1, 1))
+
             def frame(i):
-                phi = phi0 + orbit * i / max(frames, 1)
+                phi = phi0 + orbit * i / denom
                 pos = center + np.array(
                     [radius * math.cos(phi), float(p0[1]),
                      radius * math.sin(phi)], np.float32)
@@ -200,6 +251,7 @@ def _make_handler(backend: str):
             url = urllib.parse.urlparse(self.path)
             q = dict(urllib.parse.parse_qsl(url.query))
             routes = {"/render": self._do_render,
+                      "/aovs": self._do_aovs,
                       "/animate": self._do_animate}
             handler = routes.get(url.path)
             if handler is None:

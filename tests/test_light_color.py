@@ -109,3 +109,27 @@ def test_writer_roundtrip_light_color():
     assert [l.color for l in again.lights] == [l.color for l in scene.lights]
     assert [l.position for l in again.lights] == \
         [l.position for l in scene.lights]
+
+
+def test_native_parser_lightcolor_parity():
+    """The C++ twin parses the LightColor extension: running color state
+    applied to subsequent Light lines, white default, crossing the ABI in
+    the light_colors lane."""
+    import pytest
+
+    from raymarching_tpu import compile_scene
+    from raymarching_tpu.native import available, native_parse_scene
+
+    if not available():
+        pytest.skip("native library not built")
+    text = ("Light 1 2 3\n"                      # before any LightColor
+            "LightColor 1 0 0\n"
+            "Light 6 8 5\n"
+            "LightColor 0.2 0.4 1\n"
+            "Light -4 2 0\n"
+            "Sphere 0 0 -5 1\n")
+    res = native_parse_scene(text)
+    plan, tables = compile_scene(parse_scene(text))
+    np.testing.assert_allclose(res["light_colors"], tables.light_color,
+                               atol=0)
+    np.testing.assert_allclose(res["lights"], tables.light_pos, atol=0)

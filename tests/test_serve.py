@@ -57,6 +57,29 @@ def test_render_ppm(server):
     assert pixels.size == 16 * 8 * 3
 
 
+def test_aovs_zip(server):
+    import io
+    import zipfile
+
+    req = urllib.request.Request(
+        server + "/aovs?width=24&height=16&iterations=60&ssaa=1",
+        data=SCENE.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/zip"
+        body = r.read()
+    with zipfile.ZipFile(io.BytesIO(body)) as zf:
+        names = set(zf.namelist())
+        assert names == {"color.png", "normal.png", "hit.png",
+                         "depth.npy", "objid.npy"}
+        depth = np.load(io.BytesIO(zf.read("depth.npy")))
+        objid = np.load(io.BytesIO(zf.read("objid.npy")))
+    assert depth.shape == (16, 24) and depth.dtype == np.float32
+    assert objid.shape == (16, 24) and objid.dtype == np.int32
+    # the sphere fills the center; everything converges on Bounds or it
+    assert objid[8, 12] == 1 and np.isfinite(depth[8, 12])
+
+
 def test_malformed_scene_400(server):
     req = urllib.request.Request(server + "/render?width=8&height=8",
                                  data=b"Sphere 1 2 zzz 4", method="POST")
@@ -135,6 +158,19 @@ def test_animate_total_rays_cap_422(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 422
+
+
+def test_animate_gif_pixel_cap_422(server):
+    # under the ray cap (ssaa=1) but over the GIF encode-side pixel cap;
+    # the same request as format=zip is only ray-capped
+    req = urllib.request.Request(
+        server + "/animate?width=2048&height=1024&ssaa=1&frames=24"
+                 "&format=gif",
+        data=SCENE.encode(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 422
+    assert "GIF encode cap" in e.value.read().decode()
 
 
 def test_animate_bad_center_400(server):
