@@ -11,10 +11,13 @@
 //
 // Build: make native   -> libraymarch_host.so (links system zlib for PNG).
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <map>
 #include <sstream>
 #include <string>
 #include <vector>
@@ -99,10 +102,30 @@ void mengerRecurse(ParsedScene &s, int32_t group, const float pos[3],
     }
 }
 
+// Numeric "r g b" or a defined material name (parser.py resolve_color).
+bool readColor(std::istringstream &in,
+               const std::map<std::string, std::array<float, 3>> &materials,
+               float dst[3]) {
+    std::string first;
+    if (!(in >> first)) return false;
+    char *end = nullptr;
+    float r = std::strtof(first.c_str(), &end);
+    if (end != first.c_str() && end && *end == '\0') {
+        if (!(in >> dst[1] >> dst[2])) return false;
+        dst[0] = r;
+        return true;
+    }
+    auto it = materials.find(first);
+    if (it == materials.end()) return false;   // unknown material
+    std::memcpy(dst, it->second.data(), 3 * sizeof(float));
+    return true;
+}
+
 bool parseScene(const char *text, ParsedScene &out) {
     std::istringstream stream(text);
     std::string line;
     float color[3] = {1.0f, 1.0f, 1.0f};
+    std::map<std::string, std::array<float, 3>> materials;
 
     while (std::getline(stream, line)) {
         std::istringstream in(line);
@@ -210,8 +233,14 @@ bool parseScene(const char *text, ParsedScene &out) {
         } else if (cmd == "LightColor") {
             // Extension keyword (parser.py): a running current light color
             // applied to subsequent Light lines; default white.
-            if (!(in >> out.cur_light_color[0] >> out.cur_light_color[1]
-                     >> out.cur_light_color[2])) return false;
+            if (!readColor(in, materials, out.cur_light_color)) return false;
+        } else if (cmd == "Material") {
+            // Extension keyword (parser.py): named reusable color, pure
+            // sugar over the running-color state; later definition wins.
+            std::string name;
+            float c[3];
+            if (!(in >> name >> c[0] >> c[1] >> c[2])) return false;
+            materials[name] = {c[0], c[1], c[2]};
         } else if (cmd == "Camera") {
             std::string sub;
             if (!(in >> sub)) return false;
@@ -228,7 +257,7 @@ bool parseScene(const char *text, ParsedScene &out) {
                 if (!(in >> out.camera[9])) return false;
             }
         } else if (cmd == "Color") {
-            if (!(in >> color[0] >> color[1] >> color[2])) return false;
+            if (!readColor(in, materials, color)) return false;
         }
         // Unknown keywords are ignored, like the reference loader.
     }

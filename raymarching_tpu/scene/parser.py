@@ -15,6 +15,8 @@ existing ``scene/objects.txt`` files run unchanged:
     Camera FOV <deg>
     Color  <r> <g> <b>
     LightColor <r> <g> <b>      (extension, see below)
+    Material <name> <r> <g> <b>                             (extension)
+    Color <name> / LightColor <name>                        (extension)
     Mandelbox <x> <y> <z> <size> [scale=2] [iterations=8]   (extension)
     Mandelbulb <x> <y> <z> <size> [iterations=6]            (extension)
     Julia <x> <y> <z> <size> <cx> <cy> <cz> <cw> [iterations=11]  (ext.)
@@ -34,6 +36,16 @@ applied to subsequent ``Light`` lines; in the reference binary the unknown
 keyword falls through silently, so extended scenes still load there (with
 white lights).  Non-white lights switch shading to per-channel accumulation
 (core.shading.lighting) and make ``tables.light_color`` differentiable.
+
+``Material`` names a reusable color: ``Material steel 0.6 0.6 0.65``
+defines it, and a subsequent ``Color steel`` (or ``LightColor steel``)
+selects it exactly as the numeric form would — the named form is pure
+sugar over the reference's running-color state, so materials never reach
+the compiled tables.  Names may be redefined (later definition wins for
+subsequent uses); an undefined name is a parse error.  In the reference
+binary ``Material`` lines fall through silently, but ``Color <name>``
+does not parse there — scenes meant to stay reference-loadable should
+keep numeric ``Color`` lines.
 
 ``Mandelbox``, ``Mandelbulb``, and ``Julia`` are likewise extensions
 (silently skipped by the reference binary): procedural fractal distance
@@ -75,6 +87,16 @@ def parse_scene(text: str) -> Scene:
     camera = Camera()
     color = (1.0, 1.0, 1.0)
     light_color = (1.0, 1.0, 1.0)
+    materials: dict = {}
+
+    def resolve_color(args):
+        """Numeric ``r g b`` or a defined material name."""
+        try:
+            return tuple(map(float, args[:3]))
+        except ValueError:
+            if args and args[0] in materials:
+                return materials[args[0]]
+            raise ValueError(f"unknown material {args[0]!r}") from None
 
     for line in text.splitlines():
         tokens = line.split()
@@ -131,9 +153,13 @@ def parse_scene(text: str) -> Scene:
                 elif sub == "FOV":
                     camera.fov = float(rest[0])
             elif cmd == "Color":
-                color = tuple(map(float, args[:3]))
+                color = resolve_color(args)
             elif cmd == "LightColor":
-                light_color = tuple(map(float, args[:3]))
+                light_color = resolve_color(args)
+            elif cmd == "Material":
+                if len(args) < 4:
+                    raise ValueError("Material needs <name> <r> <g> <b>")
+                materials[args[0]] = tuple(map(float, args[1:4]))
             # Unknown keywords fall through silently, like the reference.
         except (ValueError, IndexError) as e:
             raise ValueError(f"malformed scene line: {line!r}") from e
