@@ -1,0 +1,291 @@
+"""Empirical roofline for the march kernel: how close is the renderer to
+this chip's measured speed of light?
+
+The interesting question a raw Mrays/s number cannot answer is *what
+fraction of the hardware's arithmetic ceiling the kernel reaches* — and
+where the rest goes.  MXU-FLOP "MFU" is the wrong yardstick for sphere
+tracing (there are no matmuls in the hot loop; the march is pure VPU
+min/select/mul-add work), so this harness measures the ceiling itself:
+
+  1. ``vpu_fma``      — synthetic Pallas kernel, pure chained mul-add on a
+                        resident VMEM tile: the chip's measured elementwise
+                        f32 FLOP/s peak (speed of light for ANY pointwise
+                        kernel).
+  2. ``vpu_foldmix``  — same harness, but the op mix of the CSG fold
+                        (abs/min/max/mul-add): the realistic ceiling for
+                        SDF folding.
+  3. ``field_sol``    — the REAL ``_scene_sd_tile`` evaluated back-to-back
+                        with no march bookkeeping, no convergence logic and
+                        no straggler waste: scene-field evaluations/s at
+                        speed of light, exact and fused table variants.
+  4. ``march_real``   — the production march kernel on the bench workload,
+                        decomposed with its own per-ray step counters into
+                        achieved field-evals/s, lane-level waste (converged
+                        lanes a tile keeps stepping) and per-step overhead.
+
+utilization = achieved evals/s ÷ field SOL; the gap factors measured here
+(straggler waste × loop overhead) multiply out to explain it, which turns
+"MFU is single digit" into an actionable decomposition.  Run on the TPU
+host: ``python benchmarks/roofline.py [--json out.json]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INTERPRET = False       # --interpret: CPU smoke-test mode (not a benchmark)
+
+SUBLANES = 512          # synthetic tile: [512, 128] f32 = 256 KiB in VMEM
+LANES = 128
+UNROLL = 64             # hand-unrolled ops per while iteration (Mosaic has
+                        # no partial fori unroll; python loop = full unroll)
+
+
+def _time_to_host(fn, *args, reps=5):
+    """Median wall time of fn(*args) with a host fetch (block_until_ready
+    is unreliable on tunneled platforms — fetching is ground truth)."""
+    out = fn(*args)
+    jax.tree_util.tree_map(np.asarray, out)     # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree_util.tree_map(np.asarray, out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+# ---------------------------------------------------------------- synthetic
+
+def _chain_kernel(iters: int, mix: str, x_ref, o_ref):
+    """iters x UNROLL dependent vector ops on a resident [S, 128] tile."""
+    x = x_ref[...]
+    a = jnp.float32(1.000001)
+    b = jnp.float32(1e-7)
+
+    def body(_, x):
+        for k in range(UNROLL):
+            if mix == "fma":
+                x = x * a + b                       # 2 flops
+            elif mix == "foldmix":
+                # the CSG fold's steady-state mix per primitive-ish unit:
+                # translate (add), abs, running min, scaled add
+                if k % 4 == 0:
+                    x = x + b
+                elif k % 4 == 1:
+                    x = jnp.abs(x)
+                elif k % 4 == 2:
+                    x = jnp.minimum(x, a)
+                else:
+                    x = x * a + b
+            else:
+                raise ValueError(mix)
+        return x
+
+    x = jax.lax.fori_loop(0, iters, body, x)
+    o_ref[...] = x
+
+
+def synthetic_peak(mix: str, iters: int = 4096) -> dict:
+    """Measured elementwise throughput for the given op mix (Gop/s; an
+    'op' is one vector instruction per element — fma counts 2 FLOPs)."""
+    x = jnp.ones((SUBLANES, LANES), jnp.float32)
+    call = pl.pallas_call(
+        functools.partial(_chain_kernel, iters, mix),
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=INTERPRET,
+    )
+    f = jax.jit(call)
+    dt = _time_to_host(f, x)
+    ops = SUBLANES * LANES * iters * UNROLL
+    gops = ops / dt / 1e9
+    return {"mix": mix, "gops": gops,
+            "gflops": gops * (2.0 if mix == "fma" else 1.25),
+            "seconds": dt}
+
+
+# ------------------------------------------------------------ field S.O.L.
+
+def _field_kernel(kp, evals: int, fused: bool, tbl_ref, px_ref, py_ref,
+                  pz_ref, o_ref):
+    from raymarching_tpu.ops.pallas_march import (_scene_sd_tile,
+                                                  preload_table)
+    tbl = preload_table(kp, tbl_ref, fused)
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
+    acc = jnp.zeros(px.shape, jnp.float32)
+
+    def body(_, carry):
+        px, py, pz, acc = carry
+        sd = _scene_sd_tile(kp, tbl, px, py, pz, jnp.float32, fused=fused)
+        # advance a hair along +x so successive evals are data-dependent
+        # (no DCE / no pipelining across evals, like a real march)
+        pz = pz + jnp.minimum(sd, 1.0) * jnp.float32(1e-3)
+        return px, py, pz, acc + sd
+
+    _, _, _, acc = jax.lax.fori_loop(0, evals, body, (px, py, pz, acc))
+    o_ref[...] = acc
+
+
+def field_sol(plan, tables, cfg, fused: bool, evals: int = 256,
+              tiles: int = 64) -> dict:
+    """Back-to-back scene-field evaluations/s: the march's ceiling once all
+    control flow, convergence checks and stragglers are removed."""
+    from raymarching_tpu.core import camera as cam
+    from raymarching_tpu.ops.pallas_march import (LANES, _build_table,
+                                                  _tbl_spec, kernel_key)
+
+    kp = kernel_key(plan)
+    sub = cfg.tile_sublanes
+    rows = tiles * sub
+    origin, dirs = cam.generate_rays(tables, cfg)
+    d = np.resize(np.asarray(dirs.reshape(-1, 3)), (rows * LANES, 3))
+    o = np.asarray(origin, np.float32)
+    p = o[None, :] + 2.0 * d                     # start a bit into the scene
+    comps = [jnp.asarray(p[:, a].reshape(rows, LANES)) for a in range(3)]
+    tbl = _build_table(tables, kp)
+
+    spec = pl.BlockSpec((sub, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_field_kernel, kp, evals, fused),
+        grid=(tiles,),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        in_specs=[_tbl_spec(int(tbl.shape[0]) - 1), spec, spec, spec],
+        out_specs=spec,
+        interpret=INTERPRET,
+    )
+    f = jax.jit(call)
+    dt = _time_to_host(f, tbl, *comps)
+    lane_evals = rows * LANES * evals
+    return {"fused": fused, "lane_evals_per_s": lane_evals / dt,
+            "seconds": dt}
+
+
+# ------------------------------------------------------------- real march
+
+def march_real(plan, tables, cfg, fused: bool) -> dict:
+    """The production march on the bench camera: time it, and decompose
+    with the kernel's own per-ray step counters."""
+    from raymarching_tpu.core import camera as cam
+    from raymarching_tpu.ops.pallas_march import (LANES, _EXIT_CHECK_EVERY,
+                                                  pallas_march)
+
+    origin, dirs = cam.generate_rays(tables, cfg)
+    dirs = jnp.reshape(dirs, (-1, 3))
+    o = jnp.broadcast_to(jnp.asarray(origin), dirs.shape)
+
+    f = jax.jit(lambda oo, dd, tb: pallas_march(
+        plan.kernel, cfg.iterations, cfg.surface_precision,
+        cfg.tile_sublanes, oo, dd, tb, fused=fused,
+        interpret=INTERPRET).position)
+    dt = _time_to_host(f, o, dirs, tables)
+
+    _, steps = jax.jit(lambda oo, dd, tb: pallas_march(
+        plan.kernel, cfg.iterations, cfg.surface_precision,
+        cfg.tile_sublanes, oo, dd, tb, fused=fused,
+        with_steps=True, interpret=INTERPRET))(o, dirs, tables)
+    steps = np.asarray(steps).ravel()
+
+    R = dirs.shape[0]
+    tile_rays = cfg.tile_sublanes * LANES
+    ntiles = math.ceil(R / tile_rays)
+    pad = np.zeros(ntiles * tile_rays, np.float32)
+    pad[:R] = steps
+    per_tile = pad.reshape(ntiles, tile_rays)
+    K = _EXIT_CHECK_EVERY
+    # a tile runs ceil(max_lane_steps / K) * K evaluations on EVERY lane
+    tile_steps = np.ceil(per_tile.max(axis=1) / K) * K
+    tile_steps = np.minimum(tile_steps, cfg.iterations)
+    lane_evals = float((tile_steps * tile_rays).sum())
+    active_evals = float(steps.sum())
+
+    return {
+        "fused": fused,
+        "seconds": dt,
+        "rays": int(R),
+        "mean_steps": float(steps.mean()),
+        "tile_mean_steps": float(tile_steps.mean()),
+        "lane_evals": lane_evals,
+        "active_evals": active_evals,
+        "straggler_waste": lane_evals / max(active_evals, 1.0),
+        "achieved_lane_evals_per_s": lane_evals / dt,
+        "achieved_active_evals_per_s": active_evals / dt,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None, help="also write JSON here")
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke test (timings meaningless)")
+    args = ap.parse_args()
+
+    global INTERPRET
+    if args.interpret:
+        INTERPRET = True
+        jax.config.update("jax_platforms", "cpu")
+
+    from raymarching_tpu import RenderConfig, compile_scene, load_scene
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene = load_scene(os.path.join(here, "scenes", "demo.txt"))
+    plan, tables = compile_scene(scene)
+    cfg = RenderConfig(width=args.width, height=args.width, ssaa=2,
+                       iterations=args.iters, shadows=True)
+
+    report = {"platform": jax.devices()[0].platform,
+              "device": str(jax.devices()[0])}
+
+    for mix in ("fma", "foldmix"):
+        r = synthetic_peak(mix)
+        report[f"peak_{mix}"] = r
+        print(f"[synthetic {mix:8s}] {r['gops']:8.1f} Gop/s "
+              f"({r['gflops']:.0f} GFLOP/s equiv)", flush=True)
+
+    for fused in (False, True):
+        r = field_sol(plan, tables, cfg, fused)
+        report[f"field_sol_{'fused' if fused else 'exact'}"] = r
+        print(f"[field SOL {'fused' if fused else 'exact':5s}] "
+              f"{r['lane_evals_per_s'] / 1e9:6.3f} Geval/s", flush=True)
+
+    for fused in (False, True):
+        r = march_real(plan, tables, cfg, fused)
+        key = f"march_{'fused' if fused else 'exact'}"
+        report[key] = r
+        sol = report[f"field_sol_{'fused' if fused else 'exact'}"]
+        util = r["achieved_lane_evals_per_s"] / sol["lane_evals_per_s"]
+        r["sol_utilization"] = util
+        print(f"[march {'fused' if fused else 'exact':5s}] "
+              f"{r['achieved_lane_evals_per_s'] / 1e9:6.3f} Geval/s issued "
+              f"= {100 * util:5.1f}% of SOL | straggler waste "
+              f"{r['straggler_waste']:.2f}x | mean steps "
+              f"{r['mean_steps']:.1f} (tile {r['tile_mean_steps']:.1f})",
+              flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items()
+                      if not isinstance(v, dict)}))
+
+
+if __name__ == "__main__":
+    main()
