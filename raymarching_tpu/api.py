@@ -302,7 +302,7 @@ def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     surface-kernel launch); runs interpret-mode off-TPU.  Not
     differentiable (outputs, not a loss path)."""
     from .core import camera as cam
-    from .ops.pallas_render import pallas_render_rays
+    from .ops.pallas_render import _blend_bounces, pallas_render_rays
 
     if interpret is None:
         interpret = not _on_tpu()
@@ -312,12 +312,13 @@ def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     flat = lax.stop_gradient(dirs.reshape(-1, 3))
     sg_tables = jax.tree_util.tree_map(lax.stop_gradient, tables)
 
-    p, sd, conv, cidx, light, smask, _, _ = pallas_render_rays(
-        plan, cfg, origin, flat, sg_tables, interpret=interpret)
-    color = jnp.where((cidx >= 0)[..., None],
-                      jnp.asarray(sg_tables.prim_color)[
-                          jnp.clip(cidx, 0, None)], 0.0)
-    colors = (light if plan.colored_lights else light[..., None]) * color
+    outs = pallas_render_rays(plan, cfg, origin, flat, sg_tables,
+                              interpret=interpret)
+    p, sd, conv, cidx, light, smask = outs[:6]
+    # geometry planes stay primary-hit; the color plane blends any mirror
+    # bounces so it keeps matching the beauty render exactly
+    colors = _blend_bounces(plan, cfg, sg_tables, cidx, light,
+                            outs[8] if len(outs) > 8 else ())
 
     g = _normal_op(plan, cfg, interpret, p, sg_tables)
     sq = jnp.sum(g * g, axis=-1, keepdims=True)

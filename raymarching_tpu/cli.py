@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--soft-shadow-k", type=float, default=0.0,
                    help="penumbra sharpness for soft shadows (extension; "
                    "0 = reference-parity hard boolean)")
+    p.add_argument("--reflect", type=float, default=0.0, metavar="S",
+                   help="mirror reflection strength in [0, 1), 0 = off "
+                        "(tinted-mirror extension)")
+    p.add_argument("--bounces", type=int, default=1,
+                   help="mirror bounce count (with --reflect)")
     p.add_argument("--ao", type=float, default=0.0, metavar="STRENGTH",
                    help="SDF ambient-occlusion strength (extension; 0 = off)")
     p.add_argument("--ray-chunk", type=int, default=0,
@@ -101,7 +106,8 @@ def main(argv=None) -> int:
         iterations=args.iterations, gamma=args.gamma,
         shadows=not args.no_shadows, normal_mode=args.normal_mode,
         ray_chunk=args.ray_chunk, soft_shadow_k=args.soft_shadow_k,
-        ao_strength=args.ao)
+        ao_strength=args.ao, reflect_strength=args.reflect,
+        reflect_bounces=args.bounces)
 
     backends = [resolve_backend(b.strip())
                 for b in args.backend.split(",") if b.strip()]

@@ -118,6 +118,22 @@ class RenderConfig:
     ao_samples: int = 5
     ao_delta: float = 0.1
 
+    # Mirror reflections (opt-in, 0.0 = reference parity): tinted-mirror
+    # model — a hit's color becomes
+    #     color * ((1 - s) * light  +  s * c_reflected)
+    # where c_reflected re-runs the full pipeline (march + shadows + shade)
+    # from the hit point along the mirrored direction, recursively for
+    # ``reflect_bounces`` levels (the LAST bounce uses its plain shade).
+    # Multiplying the reflected radiance by the surface's own color makes
+    # black surfaces (the Bounds walls) naturally non-reflective and
+    # colored surfaces tint what they mirror, so no miss masking is needed.
+    # The bounce origin is pushed off the surface by
+    # (surface_precision + offset_precision) along the normal, exactly like
+    # shadow rays.  Supported on ref/jnp (differentiable via autodiff) and
+    # the mega kernel (forward; the fused backward rejects it loudly).
+    reflect_strength: float = 0.0
+    reflect_bounces: int = 1
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

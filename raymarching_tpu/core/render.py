@@ -36,7 +36,8 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                 march_fn: Optional[Callable] = None,
                 shadow_fn: Optional[Callable] = None,
                 surface_fn: Optional[Callable] = None,
-                normal_fn: Optional[Callable] = None) -> jnp.ndarray:
+                normal_fn: Optional[Callable] = None,
+                _bounces: Optional[int] = None) -> jnp.ndarray:
     """Render a flat batch of rays. origin [3] or [R,3]; dirs [R,3] -> [R,3].
 
     Optional fused-implementation hooks (e.g. Pallas kernels via ops.*):
@@ -44,6 +45,8 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
       shadow_fn(origin, dirs, tmax) -> MarchResult   forward-only
       surface_fn(p) -> (sd, color)                   color lookup
       normal_fn(p) -> unnormalized SDF gradient
+    All hooks accept per-ray origins, so the reflection recursion (see
+    RenderConfig.reflect_strength) reuses them unchanged.
     """
     sd_fn = lambda p: scene_sd(plan, tables, p)
     o = jnp.broadcast_to(origin, dirs.shape)
@@ -92,7 +95,24 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         ao_samples=cfg.ao_samples, ao_delta=cfg.ao_delta)
 
     light = light if plan.colored_lights else light[..., None]
-    return light * color
+    base = light * color
+
+    # Tinted-mirror reflections (extension, cfg.reflect_strength > 0):
+    # c = color * ((1-s) * light + s * c_reflected); the bounce re-enters
+    # this same function (same hooks) with per-ray origins pushed off the
+    # surface.  d and n are unit, so the mirrored direction needs no
+    # renormalization.
+    s = cfg.reflect_strength
+    bounces = cfg.reflect_bounces if _bounces is None else _bounces
+    if s > 0.0 and bounces > 0:
+        off = cfg.surface_precision + cfg.offset_precision
+        ddot = jnp.sum(dirs * n, axis=-1, keepdims=True)
+        rdir = dirs - 2.0 * ddot * n
+        c_ref = _shade_rays(plan, tables, cfg, p_hit + off * n, rdir,
+                            differentiable, march_fn, shadow_fn,
+                            surface_fn, normal_fn, _bounces=bounces - 1)
+        return (1.0 - s) * base + s * color * c_ref
+    return base
 
 
 def render_image(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,

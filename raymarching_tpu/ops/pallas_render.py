@@ -130,17 +130,33 @@ def _split_shade_refs(out_refs, num_lights: int, colored: bool,
     return cidx_ref, light_refs, smask_ref, sfac_refs, ao_ref
 
 
+def _num_shade_refs(num_lights: int, colored: bool, soft: bool,
+                    ao: bool) -> int:
+    """Flat ref count of one _split_shade_refs set."""
+    return (1 + (3 if colored else 1) + 1 + (num_lights if soft else 0)
+            + (1 if ao else 0))
+
+
 def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    offset_eps: float, saturation: float, fd_h: float,
                    num_lights: int, shadows: bool, fused: bool,
                    analytic: bool, colored: bool, soft_k: float,
                    ao_strength: float, ao_samples: int, ao_delta: float,
+                   bounces: int,
                    tbl_ref, lights_ref, org_ref, dx_ref, dy_ref, dz_ref,
                    *out_refs):
     (px_ref, py_ref, pz_ref, sd_ref, done_ref) = out_refs[:5]
-    shade_refs = _split_shade_refs(out_refs[5:], num_lights, colored,
-                                   shadows and soft_k > 0.0,
-                                   ao_strength > 0.0)
+    soft = shadows and soft_k > 0.0
+    ao = ao_strength > 0.0
+    # one full shade-ref set for the primary hit + one per mirror bounce
+    n_per = _num_shade_refs(num_lights, colored, soft, ao)
+    rest = list(out_refs[5:])
+    shade_sets = []
+    for _ in range(1 + bounces):
+        shade_sets.append(_split_shade_refs(rest[:n_per], num_lights,
+                                            colored, soft, ao))
+        rest = rest[n_per:]
+    assert not rest
     dtype = dx_ref.dtype
     # hoist loop-invariant scalar loads out of every march/eval below
     tbl_ref = preload_table(kp, tbl_ref, fused)
@@ -155,11 +171,34 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
     px_ref[...], py_ref[...], pz_ref[...] = px, py, pz
     sd_ref[...], done_ref[...] = sd, done
 
-    _shade_body(kp, iterations, eps, offset_eps, saturation, fd_h,
-                num_lights, shadows, fused, analytic, colored, soft_k,
-                ao_strength, ao_samples, ao_delta,
-                tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
-                *shade_refs)
+    nrm = _shade_body(kp, iterations, eps, offset_eps, saturation, fd_h,
+                      num_lights, shadows, fused, analytic, colored, soft_k,
+                      ao_strength, ao_samples, ao_delta,
+                      tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
+                      *shade_sets[0])
+
+    # 2. mirror bounces (RenderConfig.reflect_*): reflect off the shaded
+    # hit, push the origin off the surface exactly like a shadow ray, and
+    # re-run the identical march + shade — everything stays in registers/
+    # VMEM; per-bounce shade outputs are blended OUTSIDE the kernel (the
+    # kernel table carries no primitive colors).  d and n are unit, so the
+    # mirrored direction needs no renormalization.
+    for b in range(1, 1 + bounces):
+        nx, ny, nz = nrm
+        ddot = dx * nx + dy * ny + dz * nz
+        dx = dx - 2.0 * ddot * nx
+        dy = dy - 2.0 * ddot * ny
+        dz = dz - 2.0 * ddot * nz
+        off = eps + offset_eps
+        ox, oy, oz = px + nx * off, py + ny * off, pz + nz * off
+        px, py, pz, sd, _ = _march_values(kp, tbl_ref, ox, oy, oz,
+                                          dx, dy, dz, iterations, eps,
+                                          fused)
+        nrm = _shade_body(kp, iterations, eps, offset_eps, saturation,
+                          fd_h, num_lights, shadows, fused, analytic,
+                          colored, soft_k, ao_strength, ao_samples,
+                          ao_delta, tbl_ref, lights_ref, px, py, pz, sd,
+                          dx, dy, dz, *shade_sets[b])
 
 
 def _shade_body(kp: KernelPlan, iterations: int, eps: float,
@@ -259,6 +298,8 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
         clipped = jnp.clip(tot, saturation, 1.0)
         ref[...] = clipped * ao if ao is not None else clipped
     smask_ref[...] = smask
+    # unit surface normal, for the caller's reflection bounce (if any)
+    return nx, ny, nz
 
 
 def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
@@ -330,7 +371,8 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           num_lights: int, shadows: bool, fused: bool,
                           analytic: bool, colored: bool, soft_k: float,
                           ao_strength: float, ao_samples: int,
-                          ao_delta: float, tile_sublanes: int,
+                          ao_delta: float, bounces: int,
+                          tile_sublanes: int,
                           num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -342,8 +384,8 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
     kernel = functools.partial(_render_kernel, kp, iterations, eps,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
-                               ao_strength, ao_samples, ao_delta)
-    out_shape = (f32, f32, f32, f32, f32) + _shade_out_shapes(
+                               ao_strength, ao_samples, ao_delta, bounces)
+    out_shape = (f32, f32, f32, f32, f32) + (1 + bounces) * _shade_out_shapes(
         f32, i32, num_lights, colored, shadows and soft_k > 0.0,
         ao_strength > 0.0)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -386,11 +428,16 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
 
     ``light`` already includes the soft-shadow / AO factors when those
     modes are on; ``sfac``/``aofac`` ride along only so the backward
-    replay can reapply the exact (stop-gradient) factors the kernel used."""
+    replay can reapply the exact (stop-gradient) factors the kernel used.
+
+    With cfg.reflect_strength > 0 a NINTH element is appended: a tuple of
+    per-bounce (cidx_b, light_b, smask_b, sfac_b, aofac_b) shade outputs
+    from the in-kernel mirror bounces — blend with _blend_bounces."""
     kp = kernel_key(plan)
     colored = plan.colored_lights
     soft = cfg.shadows and cfg.soft_shadow_k > 0.0
     ao = cfg.ao_strength > 0.0
+    bounces = cfg.reflect_bounces if cfg.reflect_strength > 0.0 else 0
     L = int(plan.num_lights)
     R = dirs.shape[0]
     num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
@@ -404,7 +451,7 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         axis=1)
     org = jnp.asarray(origin, jnp.float32).reshape(3)
 
-    if 0 < cfg.two_phase_k1 < cfg.iterations:
+    if 0 < cfg.two_phase_k1 < cfg.iterations and bounces == 0:
         p, sd, conv = _two_phase_march(plan, cfg, org, dirs, tables,
                                        interpret)
         shade = _compiled_shade_call(
@@ -426,18 +473,25 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         cfg.saturation, cfg.fd_h, L, cfg.shadows,
         cfg.fused_generators, cfg.normal_mode == "analytic", colored,
         cfg.soft_shadow_k, cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
-        cfg.tile_sublanes, num_tiles,
+        bounces, cfg.tile_sublanes, num_tiles,
         int(tables.prim_pos.shape[0]), interpret)
     outs = call(tbl, lights, org, *comps)
     px, py, pz, sd, done = outs[:5]
+    n_per = _num_shade_refs(L, colored, soft, ao)
+    rest = outs[5:]
     cidx, light, smask, sfac, aofac = _unpack_shade_outs(
-        outs[5:], unprep, L, colored, soft, ao)
+        rest[:n_per], unprep, L, colored, soft, ao)
+    bounce_shades = tuple(
+        _unpack_shade_outs(rest[(1 + b) * n_per:(2 + b) * n_per], unprep,
+                           L, colored, soft, ao)
+        for b in range(bounces))
 
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
     sd = unprep(sd)
-    return (p, sd,
+    base = (p, sd,
             jnp.logical_and(unprep(done) > 0.5, sd < cfg.surface_precision),
             cidx, light, smask, sfac, aofac)
+    return base + (bounce_shades,) if bounces else base
 
 
 # Phase-2 capacity as a fraction of the chunk: covers any scene whose
@@ -577,26 +631,49 @@ def _replay_shade(plan, cfg, interpret, tables, p, cidx, smask,
     return light * p_color_color
 
 
+def _blend_bounces(plan, cfg, tables, cidx, light, bounce_shades):
+    """Final ray color from the primary shade + per-bounce shade outputs
+    (tinted-mirror blend, core.render._shade_rays semantics):
+
+        c_k = color_k * ((1-s) * light_k + s * c_{k+1}),   c_last plain.
+
+    With no bounces this reduces to the plain ``light * color``."""
+    s = cfg.reflect_strength
+
+    def col(ci):
+        return jnp.where((ci >= 0)[..., None],
+                         jnp.asarray(tables.prim_color)[
+                             jnp.clip(ci, 0, None)], 0.0)
+
+    def lit(li):
+        return li if plan.colored_lights else li[..., None]
+
+    if not bounce_shades:
+        return lit(light) * col(cidx)
+    last = bounce_shades[-1]
+    c = lit(last[1]) * col(last[0])
+    for shade_b in reversed(bounce_shades[:-1]):
+        c = col(shade_b[0]) * ((1.0 - s) * lit(shade_b[1]) + s * c)
+    return col(cidx) * ((1.0 - s) * lit(light) + s * c)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_render_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                     tables, origin, dirs):
     """Colors [R, 3] for rays (origin [3], dirs [R, 3]) — one kernel."""
-    p, sd, conv, cidx, light, smask, _, _ = pallas_render_rays(
-        plan, cfg, origin, dirs, tables, interpret=interpret)
-    color = jnp.where((cidx >= 0)[..., None],
-                      jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)],
-                      0.0)
-    light = light if plan.colored_lights else light[..., None]
-    return light * color
+    outs = pallas_render_rays(plan, cfg, origin, dirs, tables,
+                              interpret=interpret)
+    cidx, light = outs[3], outs[4]
+    return _blend_bounces(plan, cfg, tables, cidx, light,
+                          outs[8] if len(outs) > 8 else ())
 
 
 def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
-    p, sd, conv, cidx, light, smask, sfac, aofac = pallas_render_rays(
-        plan, cfg, origin, dirs, tables, interpret=interpret)
-    color = jnp.where((cidx >= 0)[..., None],
-                      jnp.asarray(tables.prim_color)[jnp.clip(cidx, 0, None)],
-                      0.0)
-    out = (light if plan.colored_lights else light[..., None]) * color
+    outs = pallas_render_rays(plan, cfg, origin, dirs, tables,
+                              interpret=interpret)
+    p, sd, conv, cidx, light, smask, sfac, aofac = outs[:8]
+    out = _blend_bounces(plan, cfg, tables, cidx, light,
+                         outs[8] if len(outs) > 8 else ())
     t = jnp.sum((p - origin) * dirs, axis=-1) / jnp.sum(dirs * dirs, axis=-1)
     return out, (tables, origin, dirs, p, sd, conv, cidx, smask, t,
                  sfac, aofac)
@@ -676,6 +753,13 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
 
 
 def _fused_bwd(plan, cfg, interpret, residuals, g_out):
+    if cfg.reflect_strength > 0.0:
+        raise NotImplementedError(
+            "reflections are forward-only on the mega kernel: the fused "
+            "backward replays primary shading only.  For gradients with "
+            "reflect_strength > 0 use backend='pallas' (per-ray IFT "
+            "through the bounce recursion) or backend='ref' with "
+            "differentiable=True.")
     if not cfg.fused_generators and cfg.normal_mode == "fd":
         return _exact_fd_bwd(plan, cfg, residuals, g_out, interpret)
 

@@ -14,7 +14,9 @@ API:
        query params: width, height, ssaa, iterations, gamma,
                      shadows=0|1, format=png|ppm,
                      soft_shadow_k (penumbra sharpness, 0 = hard),
-                     ao (ambient-occlusion strength, 0 = off)
+                     ao (ambient-occlusion strength, 0 = off),
+                     reflect (mirror strength in [0, 1), 0 = off),
+                     bounces (mirror bounce count, default 1, max 3)
   POST /aovs                     -> ZIP of AOV planes from ONE render:
        color.png (beauty), normal.png ([-1,1] mapped to [0,255]),
        hit.png (coverage), depth.npy (float32, +inf = miss),
@@ -121,6 +123,9 @@ def _make_handler(backend: str):
                 # extensions, both clamped non-negative (0 = parity default)
                 soft_shadow_k=max(0.0, float(q.get("soft_shadow_k", 0.0))),
                 ao_strength=max(0.0, float(q.get("ao", 0.0))),
+                reflect_strength=min(max(0.0, float(q.get("reflect", 0.0))),
+                                     0.99),
+                reflect_bounces=min(max(int(q.get("bounces", 1)), 1), 3),
                 normal_mode="fd", ray_chunk=DEFAULT_RAY_CHUNK)
             return cfg, plan, tables, limits[4][1]
 

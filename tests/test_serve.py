@@ -57,6 +57,21 @@ def test_render_ppm(server):
     assert pixels.size == 16 * 8 * 3
 
 
+def test_render_with_reflections(server):
+    base = urllib.request.Request(
+        server + "/render?width=24&height=16&iterations=80&format=ppm",
+        data=SCENE.encode(), method="POST")
+    refl = urllib.request.Request(
+        server + "/render?width=24&height=16&iterations=80&format=ppm"
+                 "&reflect=0.5",
+        data=SCENE.encode(), method="POST")
+    with urllib.request.urlopen(base) as r:
+        a = r.read()
+    with urllib.request.urlopen(refl) as r:
+        b = r.read()
+    assert a != b                    # reflections change the pixels
+
+
 def test_aovs_zip(server):
     import io
     import zipfile
