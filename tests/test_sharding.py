@@ -113,6 +113,21 @@ def test_sharded_mega_matches_single_device():
     np.testing.assert_allclose(img, single, atol=2e-5)
 
 
+def test_sharded_mega_reflections_match_single_device():
+    """Mirror bounces ride the sharded mega path unchanged: each shard's
+    bounce rays stay within the shard (per-ray recursion, no cross-ray
+    dependence), so sharded == single-device bitwise-close."""
+    plan, tables = _world()
+    mesh = make_mesh(4)
+    cfg = CFG.replace(normal_mode="fd", reflect_strength=0.4)
+    img = np.asarray(jax.jit(lambda t: render_sharded(
+        plan, t, cfg, mesh, backend="mega", interpret=True))(tables))
+    from raymarching_tpu.api import render_tables
+    single = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                      interpret=True))
+    np.testing.assert_allclose(img, single, atol=2e-5)
+
+
 def test_hlo_single_tail_allreduce():
     """Compiled-HLO contract (docs/collectives.md): the production
     train_step has ZERO forward collectives, and XLA's combiner fuses every
