@@ -84,13 +84,19 @@ def _shade_rays(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         g = shading.normal_fd(sd_fn, p_hit, cfg.fd_h)
     n = shading.normalize(g)
 
+    # Slice to the REAL light count: compile_tree pads zero-light scenes
+    # with one all-white row at the origin so the kernel ABI always has a
+    # [>=1, 3] table — the pad must never shade (the kernels loop over the
+    # static plan.num_lights and were already immune; this keeps the
+    # oracles in agreement, tests/test_degenerate_scenes.py).
     light = shading.lighting(
-        sd_fn, tables.light_pos, p_hit, n,
+        sd_fn, tables.light_pos[:plan.num_lights], p_hit, n,
         iterations=cfg.iterations, surface_eps=cfg.surface_precision,
         offset_eps=cfg.offset_precision, saturation=cfg.saturation,
         shadows=cfg.shadows, early_exit=cfg.early_exit and not differentiable,
         shadow_fn=shadow_fn,
-        light_colors=(tables.light_color if plan.colored_lights else None),
+        light_colors=(tables.light_color[:plan.num_lights]
+                      if plan.colored_lights else None),
         soft_shadow_k=cfg.soft_shadow_k, ao_strength=cfg.ao_strength,
         ao_samples=cfg.ao_samples, ao_delta=cfg.ao_delta)
 

@@ -25,3 +25,23 @@ def test_unbounded_scene_finite():
 def test_lights_only_scene_finite():
     img = np.asarray(render_ref(parse_scene("Light 0 10 0"), CFG))
     assert np.all(np.isfinite(img))
+
+
+def test_zero_light_scene_backends_agree():
+    """compile_tree pads zero-light scenes with one all-white origin row so
+    the kernel ABI always has a [>=1, 3] light table; the pad must never
+    shade.  The kernels loop over the static plan.num_lights and were
+    always immune — the oracle once looped over the padded table rows and
+    lit a phantom light at the origin (regression, r2)."""
+    from raymarching_tpu.api import render_tables
+    from raymarching_tpu.scene.compile import compile_scene
+
+    plan, tables = compile_scene(parse_scene("Sphere 0 0 -5 1"))
+    imgs = {be: np.asarray(render_tables(plan, tables, CFG, backend=be,
+                                         interpret=True))
+            for be in ("ref", "jnp", "pallas", "mega")}
+    # no light: every converged pixel sits exactly at the saturation floor
+    assert imgs["ref"].max() <= CFG.saturation + 1e-6
+    for be, img in imgs.items():
+        np.testing.assert_allclose(img, imgs["ref"], atol=1e-5,
+                                   err_msg=be)
