@@ -99,3 +99,48 @@ def test_fuzz_all_layers_agree(seed, depth):
     match = np.all(np.abs(color - col_py) < 1e-6, axis=-1)
     assert match.mean() > 0.98, f"color mismatches beyond ties: " \
         f"{(~match).sum()}/{len(match)}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_reflections_mega_matches_jnp(seed):
+    """Render-level fuzz for the mirror-bounce extension: random CSG
+    worlds (wrapped in Bounds so bounce rays always terminate) rendered
+    with reflect_strength through the in-kernel bounce loop vs the
+    recursive jnp oracle."""
+    from raymarching_tpu import RenderConfig
+    from raymarching_tpu.api import render_tables
+    from raymarching_tpu.scene.csg import bounds
+    from raymarching_tpu.scene.objects import Light
+
+    rng = np.random.default_rng(4000 + seed)
+    # smooth leaves only (Sphere/Box/Cross): fractal DEs have chaotic
+    # normals, so a 1e-5 primary hit difference lawfully reflects into a
+    # DIFFERENT object — pixel-level cross-backend parity is only
+    # well-defined off the chaotic leaves (their own parity is fuzzed
+    # field-level in test_fuzz_all_layers_agree)
+    tree = ListNode(Mode.UNION)
+    for _ in range(int(rng.integers(2, 6))):
+        pos = tuple(rng.uniform(-6, 6, 3))
+        color = tuple(rng.uniform(0, 1, 3))
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            tree.append(Sphere(pos, float(rng.uniform(0.3, 3.0)), color))
+        else:
+            tree.append((Box if kind == 1 else Cross)(
+                pos, tuple(rng.uniform(0.5, 4.0, 3)), color))
+    tree.append(bounds(60.0))
+    lights = [Light(tuple(rng.uniform(-10, 10, 3)))
+              for _ in range(int(rng.integers(1, 3)))]
+    plan, tables = compile_tree(tree, lights,
+                                Camera(position=(0, 1, 9), fov=60.0))
+    cfg = RenderConfig(width=24, height=16, ssaa=1, iterations=120,
+                       reflect_strength=0.4,
+                       reflect_bounces=int(rng.integers(1, 3)))
+    a = np.asarray(render_tables(plan, tables, cfg, backend="jnp"))
+    m = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                 interpret=True))
+    assert np.isfinite(m).all()
+    # tolerance covers f32 march-order noise at grazing bounces; the
+    # match must hold for ~every pixel, not just on average
+    close = np.abs(a - m).max(axis=-1) < 5e-3
+    assert close.mean() > 0.99, f"{(~close).sum()}/{close.size} pixels off"
