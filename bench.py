@@ -59,7 +59,35 @@ def _measure(plan, tables, cfg, backend, reps=3):
     return cfg.rays_per_image / dt / 1e6
 
 
+def _device_watchdog(timeout_s: float = 240.0) -> str:
+    """Probe backend init in a SUBPROCESS with a hard timeout.
+
+    When the axon tunnel is down, jax backend initialization blocks for
+    tens of minutes inside a C call before raising UNAVAILABLE — a thread
+    timer cannot interrupt it, and the driver would record a stack trace
+    instead of a JSON record.  A throwaway subprocess is killable."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return ""
+        return (r.stderr.strip().splitlines() or ["backend init failed"])[-1]
+    except subprocess.TimeoutExpired:
+        return f"backend init timed out after {timeout_s:.0f}s (tunnel down?)"
+
+
 def main():
+    err = _device_watchdog()
+    if err:
+        print(json.dumps({
+            "metric": "mrays_per_s_fwd_bwd_menger512_ssaa2",
+            "value": 0.0, "unit": "Mrays/s/chip", "vs_baseline": 0.0,
+            "error": f"TPU unavailable, bench did not run: {err}"}))
+        return 0
+
     from raymarching_tpu import RenderConfig, compile_scene, load_scene
     from raymarching_tpu.api import render_tables, resolve_backend
 
