@@ -22,6 +22,7 @@ from make_goldens import GOLDENS
 
 @pytest.mark.parametrize("scene_file,name,cfg",
                          GOLDENS, ids=[g[1] for g in GOLDENS])
+@pytest.mark.slow
 def test_matches_golden(scenes_dir, scene_file, name, cfg):
     golden = read_png(f"tests/golden/{name}.png")
     scene = load_scene(str(scenes_dir / scene_file))

@@ -296,6 +296,7 @@ def test_native_parser_parity():
                                         (1, "mb", 2.0, 8))
 
 
+@pytest.mark.slow
 def test_mega_grads_match_jnp():
     plan, tables = _world()
     gm = jax.grad(lambda t: _loss(plan, t, GCFG, "mega", True))(tables)
@@ -309,6 +310,7 @@ def test_mega_grads_match_jnp():
                                            f"{field}")
 
 
+@pytest.mark.slow
 def test_default_config_grads_finite_through_fixed_point():
     """Regression: an axis-aligned camera ray marches INTO the fold's fixed
     point (the Mandelbox's own position, where the iterated q — and hence

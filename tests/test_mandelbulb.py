@@ -167,6 +167,7 @@ CFG = RenderConfig(width=24, height=16, ssaa=1, iterations=150,
                    shadows=True, normal_mode="fd")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", [Mode.UNION, Mode.DIFFERENCE])
 def test_backends_agree(mode):
     plan, tables = _world(mode)
@@ -275,6 +276,7 @@ def test_native_parser_parity():
                                         (2, "mb", 2.0, 7))
 
 
+@pytest.mark.slow
 def test_mega_grads_match_jnp():
     plan, tables = _world()
     gm = jax.grad(lambda t: _loss(plan, t, GCFG, "mega", True))(tables)

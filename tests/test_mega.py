@@ -11,6 +11,7 @@ from raymarching_tpu.scene.compile import compile_tree
 from raymarching_tpu.scene.csg import Box, ListNode, Mode, Sphere, bounds
 from raymarching_tpu.scene.generators import death_star, menger_sponge
 from raymarching_tpu.scene.objects import Camera, Light
+import pytest
 
 CFG = RenderConfig(width=24, height=16, ssaa=2, iterations=80,
                    shadows=True, normal_mode="fd")
@@ -37,6 +38,7 @@ def test_mega_matches_multikernel_image():
     np.testing.assert_allclose(m, p, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mega_gradients_match_jnp():
     plan, tables = _world()
 

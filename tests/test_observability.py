@@ -70,6 +70,7 @@ class TestStructLog:
 
 
 class TestSelfcheck:
+    @pytest.mark.slow
     def test_rerun_check_passes_on_healthy_device(self, demo, log_stream):
         plan, tables = demo
         report = rerun_check(plan, tables, CFG, backend="jnp", repeats=3)
@@ -132,6 +133,7 @@ class TestSelfcheck:
 
 
 class TestCLIIntegration:
+    @pytest.mark.slow
     def test_log_json_and_selfcheck_flags(self, tmp_path):
         from raymarching_tpu.cli import main
         out = tmp_path / "out.png"

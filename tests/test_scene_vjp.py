@@ -180,6 +180,7 @@ def test_fd_normal_bwd_matches_jnp_vjp():
     _tables_close(t_ours, t_ref, rtol=2e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["pallas", "mega"])
 def test_end_to_end_fd_grads_match_jnp(backend):
     """Full render gradcheck on the FD path: the kernel backward must

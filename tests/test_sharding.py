@@ -165,6 +165,7 @@ def test_2d_mesh_hosts_by_chips():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_sharded_fractal_train_step():
     """Procedural fractal leaves under shard_map: the full production
     train step (mega kernel, IFT backward, grad psum) on a scene mixing a

@@ -19,6 +19,7 @@ from raymarching_tpu.api import render_tables
 from raymarching_tpu.scene.compile import compile_tree
 from raymarching_tpu.scene.csg import Box, ListNode, Mode, Sphere, bounds
 from raymarching_tpu.scene.objects import Camera, Light
+import pytest
 
 CFG = RenderConfig(width=24, height=16, ssaa=2, iterations=80,
                    shadows=True, normal_mode="fd")
@@ -124,6 +125,7 @@ def test_soft_ao_gradients_mega_match_jnp():
             err_msg=f"mega gradient mismatch in {field}")
 
 
+@pytest.mark.slow
 def test_soft_ao_gradients_ref_oracle_matches_jnp():
     """The unrolled-autodiff oracle (scan march + stop-gradient factors)
     and the IFT fast path agree on gradients with soft+AO on.  (No FD

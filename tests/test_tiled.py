@@ -43,6 +43,7 @@ def test_tiled_blocks_are_self_consistent(demo):
     np.testing.assert_allclose(a, b, **TOL)
 
 
+@pytest.mark.slow
 def test_tiled_matches_whole_frame_mega_interpret(demo):
     plan, tables = demo
     cfg = CFG.replace(tile_sublanes=8)
