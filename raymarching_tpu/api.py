@@ -283,6 +283,80 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     return out
 
 
+def render_rays(plan: ScenePlan, tables: SceneTables,
+                origins: jnp.ndarray, dirs: jnp.ndarray,
+                cfg: Optional[RenderConfig] = None, *,
+                interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Render an ARBITRARY ray bundle -> [R, 3] linear colors.
+
+    ``origins`` [R, 3] (per-ray) or [3] (shared); ``dirs`` [R, 3] unit.
+    No reference equivalent (its rays only come from the camera grid,
+    render.cpp:92-101) — this is the entry point for custom samplings:
+    posed-photo fitting, light probes, batched animation frames
+    (render_frames).  Runs the mega kernel (per-ray origins ride three
+    VMEM streams instead of the SMEM broadcast) and is differentiable
+    w.r.t. tables, origins and dirs through the same custom-VJP op as
+    render_tables' mega path.  ``cfg.ray_chunk`` bounds the working set."""
+    cfg = cfg or RenderConfig()
+    if interpret is None:
+        interpret = not _on_tpu()
+    from .ops.pallas_render import fused_render_op
+
+    dirs = jnp.asarray(dirs, jnp.float32)
+    origins = jnp.asarray(origins, jnp.float32)
+    R = dirs.shape[0]
+    chunk = cfg.ray_chunk
+    if not (chunk and R > chunk):
+        return fused_render_op(plan, cfg, interpret, tables, origins, dirs)
+    per_ray = origins.ndim == 2
+    pad = (-R) % chunk
+    dpad = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))]) \
+        if pad else dirs
+    dblk = dpad.reshape(-1, chunk, 3)
+    if per_ray:
+        opad = jnp.concatenate(
+            [origins, jnp.broadcast_to(origins[-1:], (pad, 3))]) \
+            if pad else origins
+        oblk = opad.reshape(-1, chunk, 3)
+        colors = jax.lax.map(
+            lambda od: fused_render_op(plan, cfg, interpret, tables,
+                                       od[0], od[1]), (oblk, dblk))
+    else:
+        colors = jax.lax.map(
+            lambda d: fused_render_op(plan, cfg, interpret, tables,
+                                      origins, d), dblk)
+    return colors.reshape(-1, 3)[:R]
+
+
+def render_frames(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                  positions: jnp.ndarray, directions: jnp.ndarray, *,
+                  interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Batched multi-frame render: F camera poses -> [F, H, W, 3].
+
+    All F frames' rays go through ONE chunked device stream (render_rays
+    with per-ray origins), so dispatch / tail latency amortizes across the
+    whole animation instead of per frame — the batch-serving path behind
+    serve.py's /animate.  ``positions``/``directions`` are [F, 3]; other
+    camera intrinsics (up, fov) come from ``tables``."""
+    from .core import camera as cam
+
+    positions = jnp.asarray(positions, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    F = int(positions.shape[0])
+    S = cfg.samples_per_pixel
+    R = cfg.height * cfg.width * S
+    all_o, all_d = [], []
+    for i in range(F):
+        t = tables._replace(cam_position=positions[i],
+                            cam_direction=directions[i])
+        o, d = cam.generate_rays(t, cfg)
+        all_o.append(jnp.broadcast_to(o, (R, 3)))
+        all_d.append(d.reshape(R, 3))
+    colors = render_rays(plan, tables, jnp.concatenate(all_o),
+                         jnp.concatenate(all_d), cfg, interpret=interpret)
+    return jnp.mean(colors.reshape(F, cfg.height, cfg.width, S, 3), axis=3)
+
+
 def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                 *, interpret: Optional[bool] = None) -> dict:
     """Render AOVs (arbitrary output variables) in one pass — the

@@ -142,9 +142,16 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    num_lights: int, shadows: bool, fused: bool,
                    analytic: bool, colored: bool, soft_k: float,
                    ao_strength: float, ao_samples: int, ao_delta: float,
-                   bounces: int,
-                   tbl_ref, lights_ref, org_ref, dx_ref, dy_ref, dz_ref,
-                   *out_refs):
+                   bounces: int, per_ray_org: bool,
+                   tbl_ref, lights_ref, *in_refs):
+    if per_ray_org:
+        # arbitrary ray bundles (api.render_rays / batched animation
+        # frames): each lane carries its own origin in VMEM
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = in_refs[:6]
+        out_refs = in_refs[6:]
+    else:
+        org_ref, dx_ref, dy_ref, dz_ref = in_refs[:4]
+        out_refs = in_refs[4:]
     (px_ref, py_ref, pz_ref, sd_ref, done_ref) = out_refs[:5]
     soft = shadows and soft_k > 0.0
     ao = ao_strength > 0.0
@@ -161,9 +168,12 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
     # hoist loop-invariant scalar loads out of every march/eval below
     tbl_ref = preload_table(kp, tbl_ref, fused)
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
-    ox = jnp.full(dx.shape, org_ref[0], dtype)
-    oy = jnp.full(dx.shape, org_ref[1], dtype)
-    oz = jnp.full(dx.shape, org_ref[2], dtype)
+    if per_ray_org:
+        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+    else:
+        ox = jnp.full(dx.shape, org_ref[0], dtype)
+        oy = jnp.full(dx.shape, org_ref[1], dtype)
+        oz = jnp.full(dx.shape, org_ref[2], dtype)
 
     # 1. primary march
     px, py, pz, sd, done = _march_values(kp, tbl_ref, ox, oy, oz,
@@ -372,7 +382,7 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           analytic: bool, colored: bool, soft_k: float,
                           ao_strength: float, ao_samples: int,
                           ao_delta: float, bounces: int,
-                          tile_sublanes: int,
+                          per_ray_org: bool, tile_sublanes: int,
                           num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -384,15 +394,17 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
     kernel = functools.partial(_render_kernel, kp, iterations, eps,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
-                               ao_strength, ao_samples, ao_delta, bounces)
+                               ao_strength, ao_samples, ao_delta, bounces,
+                               per_ray_org)
     out_shape = (f32, f32, f32, f32, f32) + (1 + bounces) * _shade_out_shapes(
         f32, i32, num_lights, colored, shadows and soft_k > 0.0,
         ao_strength > 0.0)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    org_specs = [ray_spec] * 3 if per_ray_org else [smem]
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[_tbl_spec(num_prims), smem, smem] + [ray_spec] * 3,
+        in_specs=[_tbl_spec(num_prims), smem] + org_specs + [ray_spec] * 3,
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,
@@ -422,9 +434,11 @@ def _unpack_shade_outs(outs, unprep, num_lights: int, colored: bool,
 def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
                        origin: jnp.ndarray, dirs: jnp.ndarray,
                        tables: SceneTables, *, interpret: bool = False):
-    """Fully fused forward: dirs [R, 3], origin [3] ->
+    """Fully fused forward: dirs [R, 3], origin [3] or [R, 3] ->
     (p_hit [R,3], sd [R], converged [R], cidx [R], light [R], smask [R],
-    sfac [R, L] | None, aofac [R] | None).
+    sfac [R, L] | None, aofac [R] | None).  A [R, 3] origin makes every
+    lane carry its own origin (arbitrary ray bundles / batched frames);
+    a [3] origin stays an SMEM broadcast (one fewer VMEM stream).
 
     ``light`` already includes the soft-shadow / AO factors when those
     modes are on; ``sfac``/``aofac`` ride along only so the backward
@@ -449,11 +463,17 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         [jnp.asarray(tables.light_pos), jnp.zeros((nL, 1), jnp.float32),
          jnp.asarray(tables.light_color), jnp.zeros((nL, 1), jnp.float32)],
         axis=1)
-    org = jnp.asarray(origin, jnp.float32).reshape(3)
+    per_ray_org = jnp.ndim(origin) == 2
+    if per_ray_org:
+        org_args = [prep(jnp.asarray(origin, jnp.float32)[:, a])
+                    for a in range(3)]
+    else:
+        org_args = [jnp.asarray(origin, jnp.float32).reshape(3)]
 
     if 0 < cfg.two_phase_k1 < cfg.iterations and bounces == 0:
-        p, sd, conv = _two_phase_march(plan, cfg, org, dirs, tables,
-                                       interpret)
+        p, sd, conv = _two_phase_march(plan, cfg,
+                                       jnp.asarray(origin, jnp.float32),
+                                       dirs, tables, interpret)
         shade = _compiled_shade_call(
             kp, cfg.iterations, cfg.surface_precision,
             cfg.offset_precision, cfg.saturation, cfg.fd_h,
@@ -473,9 +493,9 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         cfg.saturation, cfg.fd_h, L, cfg.shadows,
         cfg.fused_generators, cfg.normal_mode == "analytic", colored,
         cfg.soft_shadow_k, cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
-        bounces, cfg.tile_sublanes, num_tiles,
+        bounces, per_ray_org, cfg.tile_sublanes, num_tiles,
         int(tables.prim_pos.shape[0]), interpret)
-    outs = call(tbl, lights, org, *comps)
+    outs = call(tbl, lights, *org_args, *comps)
     px, py, pz, sd, done = outs[:5]
     n_per = _num_shade_refs(L, colored, soft, ao)
     rest = outs[5:]
@@ -746,7 +766,10 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
     tables_bar2 = theta_cotangents(plan, tables, widx7, g7, u_all,
                                    sd=sd7, p=q7)
 
-    o_bar = jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1)))
+    # a [3] origin broadcast over rays sums its cotangent; a [R, 3]
+    # per-ray origin keeps it per ray (api.render_rays bundles)
+    o_bar = (p_bar + gp_w if jnp.ndim(origin) == 2 else
+             jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1))))
     d_bar = t[..., None] * (p_bar + gp_w)
     tables_bar = jax.tree_util.tree_map(jnp.add, tables_bar, tables_bar2)
     return tables_bar, o_bar, d_bar
@@ -793,7 +816,10 @@ def _fused_bwd(plan, cfg, interpret, residuals, g_out):
         w = ift_ray_weights(t_bar, denom, cfg.ift_damping)
         tables_bar2, gp_w = vjp_f(w)
 
-    o_bar = jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1)))
+    # a [3] origin broadcast over rays sums its cotangent; a [R, 3]
+    # per-ray origin keeps it per ray (api.render_rays bundles)
+    o_bar = (p_bar + gp_w if jnp.ndim(origin) == 2 else
+             jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1))))
     d_bar = t[..., None] * (p_bar + gp_w)
     tables_bar = jax.tree_util.tree_map(jnp.add, tables_bar, tables_bar2)
     return tables_bar, o_bar, d_bar

@@ -61,6 +61,7 @@ MAX_ANIMATE_SAMPLES = 1 << 28     # total rays across all frames
 MAX_GIF_PIXELS = 1 << 24          # total PIXELS a gif response may encode
 MAX_BODY_BYTES = 1 << 20          # 1 MiB of scene text (~25k lines)
 DEFAULT_RAY_CHUNK = 65536
+FRAME_BATCH = 8                   # poses per batched /animate device stream
 
 
 def _make_handler(backend: str):
@@ -224,32 +225,50 @@ def _make_handler(backend: str):
             denom = (max(frames, 1) if abs(orbit) >= two_pi - 1e-9
                      else max(frames - 1, 1))
 
-            def frame(i):
+            def pose(i):
                 phi = phi0 + orbit * i / denom
                 pos = center + np.array(
                     [radius * math.cos(phi), float(p0[1]),
                      radius * math.sin(phi)], np.float32)
                 look = center - pos
                 nrm = float(np.linalg.norm(look))
-                t = tables._replace(
-                    cam_position=pos,
-                    cam_direction=(look / nrm) if nrm > 1e-6
-                    else tables.cam_direction)
-                img = np.asarray(render_tables_jit(plan, t, cfg, resolved))
-                return to_uint8(img, cfg.gamma)
+                return pos, ((look / nrm) if nrm > 1e-6
+                             else np.asarray(tables.cam_direction))
+
+            def frames_iter():
+                if resolved == "mega":
+                    # batch-serving path: FRAME_BATCH poses per device
+                    # stream (render_frames) — dispatch/tail latency
+                    # amortizes across frames instead of per frame
+                    from .api import render_frames
+                    for b0 in range(0, frames, FRAME_BATCH):
+                        n = min(FRAME_BATCH, frames - b0)
+                        ps, ds = zip(*(pose(b0 + i) for i in range(n)))
+                        imgs = np.asarray(render_frames(
+                            plan, tables, cfg,
+                            np.stack(ps).astype(np.float32),
+                            np.stack(ds).astype(np.float32)))
+                        for img in imgs:
+                            yield to_uint8(img, cfg.gamma)
+                else:
+                    for i in range(frames):
+                        pos, d = pose(i)
+                        t = tables._replace(cam_position=pos,
+                                            cam_direction=d)
+                        img = np.asarray(render_tables_jit(
+                            plan, t, cfg, resolved))
+                        yield to_uint8(img, cfg.gamma)
 
             if q.get("format", "zip") == "gif":
                 from .io.gif import encode_gif
                 delay = max(1, min(int(q.get("delay_cs", 4)), 1000))
-                body = encode_gif((frame(i) for i in range(frames)),
-                                  delay_cs=delay)
+                body = encode_gif(frames_iter(), delay_cs=delay)
                 self._send_bytes(body, "image/gif")
                 return
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
-                for i in range(frames):
-                    zf.writestr(f"frame_{i:03d}.png",
-                                encode_png(frame(i)))
+                for i, data in enumerate(frames_iter()):
+                    zf.writestr(f"frame_{i:03d}.png", encode_png(data))
             self._send_bytes(buf.getvalue(), "application/zip")
 
         def do_POST(self):

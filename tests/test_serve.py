@@ -156,6 +156,41 @@ def test_animate_gif(server):
     assert body[-1:] == b"\x3B"
 
 
+def test_animate_batched_mega_matches_per_frame(server):
+    """The mega backend routes /animate through render_frames (batched
+    poses in one device stream); frames must be identical to the per-frame
+    jnp path's output frames."""
+    import io
+    import zipfile
+
+    mega_srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler("mega"))
+    t = threading.Thread(target=mega_srv.serve_forever, daemon=True)
+    t.start()
+    mega = f"http://127.0.0.1:{mega_srv.server_address[1]}"
+    try:
+        q = "/animate?width=16&height=12&iterations=40&frames=3&orbit=90"
+        out = {}
+        for name, base in (("jnp", server), ("mega", mega)):
+            req = urllib.request.Request(base + q, data=SCENE.encode(),
+                                         method="POST")
+            with urllib.request.urlopen(req) as r:
+                with zipfile.ZipFile(io.BytesIO(r.read())) as zf:
+                    out[name] = [zf.read(n) for n in sorted(zf.namelist())]
+        assert len(out["mega"]) == 3
+        assert all(b[:8] == b"\x89PNG\r\n\x1a\n" for b in out["mega"])
+        try:
+            from PIL import Image
+        except ImportError:
+            return
+        for a, b in zip(out["jnp"], out["mega"]):
+            ia = np.asarray(Image.open(io.BytesIO(a)), np.int16)
+            ib = np.asarray(Image.open(io.BytesIO(b)), np.int16)
+            # backends agree to float noise -> at most 1 uint8 count
+            assert np.abs(ia - ib).max() <= 1
+    finally:
+        mega_srv.shutdown()
+
+
 def test_animate_frames_cap_422(server):
     req = urllib.request.Request(
         server + "/animate?width=8&height=8&frames=100000",
