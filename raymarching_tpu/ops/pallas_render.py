@@ -163,6 +163,12 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
         shade_sets.append(_split_shade_refs(rest[:n_per], num_lights,
                                             colored, soft, ao))
         rest = rest[n_per:]
+    # per-bounce hit geometry (px, py, pz, sd, done) — the backward
+    # replay's IFT anchors (_reflect_bwd)
+    bgeom_sets = []
+    for _ in range(bounces):
+        bgeom_sets.append(tuple(rest[:5]))
+        rest = rest[5:]
     assert not rest
     dtype = dx_ref.dtype
     # hoist loop-invariant scalar loads out of every march/eval below
@@ -201,9 +207,12 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
         dz = dz - 2.0 * ddot * nz
         off = eps + offset_eps
         ox, oy, oz = px + nx * off, py + ny * off, pz + nz * off
-        px, py, pz, sd, _ = _march_values(kp, tbl_ref, ox, oy, oz,
-                                          dx, dy, dz, iterations, eps,
-                                          fused)
+        px, py, pz, sd, bdone = _march_values(kp, tbl_ref, ox, oy, oz,
+                                              dx, dy, dz, iterations, eps,
+                                              fused)
+        gb = bgeom_sets[b - 1]
+        gb[0][...], gb[1][...], gb[2][...] = px, py, pz
+        gb[3][...], gb[4][...] = sd, bdone
         nrm = _shade_body(kp, iterations, eps, offset_eps, saturation,
                           fd_h, num_lights, shadows, fused, analytic,
                           colored, soft_k, ao_strength, ao_samples,
@@ -398,7 +407,7 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                                per_ray_org)
     out_shape = (f32, f32, f32, f32, f32) + (1 + bounces) * _shade_out_shapes(
         f32, i32, num_lights, colored, shadows and soft_k > 0.0,
-        ao_strength > 0.0)
+        ao_strength > 0.0) + bounces * (f32, f32, f32, f32, f32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     org_specs = [ray_spec] * 3 if per_ray_org else [smem]
     return pl.pallas_call(
@@ -445,8 +454,10 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     replay can reapply the exact (stop-gradient) factors the kernel used.
 
     With cfg.reflect_strength > 0 a NINTH element is appended: a tuple of
-    per-bounce (cidx_b, light_b, smask_b, sfac_b, aofac_b) shade outputs
-    from the in-kernel mirror bounces — blend with _blend_bounces."""
+    per-bounce (cidx_b, light_b, smask_b, sfac_b, aofac_b, p_b, sd_b,
+    conv_b) outputs from the in-kernel mirror bounces — blend the first
+    two with _blend_bounces; the geometry tail anchors the differentiable
+    backward replay (_reflect_bwd)."""
     kp = kernel_key(plan)
     colored = plan.colored_lights
     soft = cfg.shadows and cfg.soft_shadow_k > 0.0
@@ -501,10 +512,18 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     rest = outs[5:]
     cidx, light, smask, sfac, aofac = _unpack_shade_outs(
         rest[:n_per], unprep, L, colored, soft, ao)
-    bounce_shades = tuple(
-        _unpack_shade_outs(rest[(1 + b) * n_per:(2 + b) * n_per], unprep,
-                           L, colored, soft, ao)
-        for b in range(bounces))
+    geom = rest[(1 + bounces) * n_per:]
+    bounce_shades = []
+    for b in range(bounces):
+        shade_b = _unpack_shade_outs(rest[(1 + b) * n_per:(2 + b) * n_per],
+                                     unprep, L, colored, soft, ao)
+        g = geom[b * 5:(b + 1) * 5]
+        p_b = jnp.stack([unprep(g[0]), unprep(g[1]), unprep(g[2])], axis=-1)
+        sd_b = unprep(g[3])
+        conv_b = jnp.logical_and(unprep(g[4]) > 0.5,
+                                 sd_b < cfg.surface_precision)
+        bounce_shades.append(shade_b + (p_b, sd_b, conv_b))
+    bounce_shades = tuple(bounce_shades)
 
     p = jnp.stack([unprep(px), unprep(py), unprep(pz)], axis=-1)
     sd = unprep(sd)
@@ -692,11 +711,11 @@ def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
     outs = pallas_render_rays(plan, cfg, origin, dirs, tables,
                               interpret=interpret)
     p, sd, conv, cidx, light, smask, sfac, aofac = outs[:8]
-    out = _blend_bounces(plan, cfg, tables, cidx, light,
-                         outs[8] if len(outs) > 8 else ())
+    bounce_res = outs[8] if len(outs) > 8 else ()
+    out = _blend_bounces(plan, cfg, tables, cidx, light, bounce_res)
     t = jnp.sum((p - origin) * dirs, axis=-1) / jnp.sum(dirs * dirs, axis=-1)
     return out, (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-                 sfac, aofac)
+                 sfac, aofac, bounce_res)
 
 
 def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
@@ -719,7 +738,7 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
                             stencil_eval, theta_cotangents)
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-     sfac, aofac) = residuals
+     sfac, aofac, _bounce_res) = residuals
     sd7, widx7, g7, q7 = stencil_eval(plan, cfg, p, tables, interpret,
                                       center=True)
     inv = 1.0 / (2.0 * cfg.fd_h)
@@ -775,19 +794,111 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
     return tables_bar, o_bar, d_bar
 
 
+def _anchored_hit(plan, cfg, p_saved, conv_saved):
+    """Differentiable surrogate for "march from (o, d) to the surface",
+    anchored at a kernel-saved hit point: the primal just returns
+    ``p_saved`` (bitwise the mega kernel's own march result), while the
+    VJP applies the implicit-function cotangent rule at that point —
+    t* satisfies f(o + t* d) = eps, so dt*/d(theta, o, d) flows through
+    grad f at the hit (ops.march_op semantics, damped per
+    cfg.ift_damping).  Unconverged lanes contribute no t-cotangent; their
+    p_bar still flows to the origin (p = o + sum(steps) d exactly as in
+    _fused_bwd's primary route)."""
+    sdf = _sd_fn(plan, cfg)
+
+    @jax.custom_vjp
+    def hit(tables, o, d):
+        return p_saved
+
+    def fwd(tables, o, d):
+        return p_saved, (tables, o, d)
+
+    def bwd(res, p_bar):
+        tables, o, d = res
+        _, vjp_f = jax.vjp(lambda tb, q: sdf(tb, q), tables, p_saved)
+        ones = jnp.ones(p_saved.shape[:-1], p_saved.dtype)
+        _, grad_p = vjp_f(ones)
+        denom = jnp.sum(grad_p * d, axis=-1)
+        t_bar = jnp.where(conv_saved, jnp.sum(p_bar * d, axis=-1), 0.0)
+        w = ift_ray_weights(t_bar, denom, cfg.ift_damping)
+        tb_bar, gp_w = vjp_f(w)
+        t = (jnp.sum((p_saved - o) * d, axis=-1)
+             / jnp.sum(d * d, axis=-1))
+        adj = p_bar + gp_w
+        return tb_bar, adj, t[..., None] * adj
+
+    hit.defvjp(fwd, bwd)
+    return hit
+
+
+def _reflect_bwd(plan, cfg, interpret, residuals, g_out):
+    """Backward for reflect configs on the mega kernel: one differentiable
+    jnp replay of the WHOLE bounce chain (core.render._shade_rays
+    semantics), with every march replaced by an ``_anchored_hit`` at the
+    kernel-saved per-bounce hit point.  ``jax.vjp`` of the chain then
+    transposes everything the recursion couples — including the
+    second-order terms through the reflected direction d' = d - 2(d.n)n,
+    where n itself is a field gradient (FD stencil or analytic, matching
+    cfg.normal_mode) — so scene parameters receive cotangents from every
+    bounce, not just the primary shade.
+
+    The field evals ride the jnp scene field (scene_sd / scene_sd_fused),
+    i.e. the same route the multi-kernel 'pallas' backend differentiates
+    bounces through; the winner-kernel fast path (ops.scene_vjp) stays
+    reserved for the reflection-free default."""
+    from ..core import shading as sh
+
+    (tables, origin, dirs, p, sd, conv, cidx, smask, t,
+     sfac, aofac, bounce_res) = residuals
+    anchors = [(p, conv, cidx, smask, sfac, aofac)]
+    for br in bounce_res:
+        cidx_b, _light_b, smask_b, sfac_b, aofac_b, p_b, _sd_b, conv_b = br
+        anchors.append((p_b, conv_b, cidx_b, smask_b, sfac_b, aofac_b))
+    hits = [_anchored_hit(plan, cfg, a[0], a[1]) for a in anchors]
+    sdf = _sd_fn(plan, cfg)
+    s = cfg.reflect_strength
+    off = cfg.surface_precision + cfg.offset_precision
+
+    def chain(tables_, origin_, dirs_):
+        o = jnp.broadcast_to(origin_, dirs_.shape)
+        d = dirs_
+        cols, lits = [], []
+        for b, (_, _, cidx_b, smask_b, sfac_b, aofac_b) in \
+                enumerate(anchors):
+            ph = hits[b](tables_, o, d)
+            sd_one = lambda q: sdf(tables_, q)
+            if cfg.normal_mode == "analytic":
+                g = sh.normal_analytic(sd_one, ph)
+            else:
+                g = sh.normal_fd(sd_one, ph, cfg.fd_h)
+            n = sh.normalize(g)
+            lits.append(_lambert_replay(plan, cfg, tables_, ph, n, smask_b,
+                                        sfac_b, aofac_b))
+            cols.append(jnp.where(
+                (cidx_b >= 0)[..., None],
+                jnp.asarray(tables_.prim_color)[jnp.clip(cidx_b, 0, None)],
+                0.0))
+            if b + 1 < len(anchors):
+                ddot = jnp.sum(d * n, axis=-1, keepdims=True)
+                d = d - 2.0 * ddot * n
+                o = ph + off * n
+        c = lits[-1] * cols[-1]
+        for b in reversed(range(len(anchors) - 1)):
+            c = cols[b] * ((1.0 - s) * lits[b] + s * c)
+        return c
+
+    _, vjp = jax.vjp(chain, tables, origin, dirs)
+    return vjp(g_out)
+
+
 def _fused_bwd(plan, cfg, interpret, residuals, g_out):
     if cfg.reflect_strength > 0.0:
-        raise NotImplementedError(
-            "reflections are forward-only on the mega kernel: the fused "
-            "backward replays primary shading only.  For gradients with "
-            "reflect_strength > 0 use backend='pallas' (per-ray IFT "
-            "through the bounce recursion) or backend='ref' with "
-            "differentiable=True.")
+        return _reflect_bwd(plan, cfg, interpret, residuals, g_out)
     if not cfg.fused_generators and cfg.normal_mode == "fd":
         return _exact_fd_bwd(plan, cfg, residuals, g_out, interpret)
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-     sfac, aofac) = residuals
+     sfac, aofac, _bounce_res) = residuals
 
     # 1. Transpose the shading replay w.r.t. (tables, p).  The ray
     # direction enters shading only through the saved discrete color

@@ -5,9 +5,9 @@ s c_reflected), bounce origin pushed off the surface like a shadow ray.
 
 Contracts covered here: jnp == ref oracle, mega kernel == jnp (in-kernel
 bounce loop), pallas multi-kernel == jnp (hook recursion with per-ray
-origins), s=0 bit-parity with the baseline, differentiability on the
-ref (unrolled) and pallas (IFT) routes, and the mega backward's loud
-rejection."""
+origins), s=0 bit-parity with the baseline, and differentiability on all
+three routes — ref (unrolled), pallas (IFT through the hook recursion),
+and mega (anchored-replay chain backward, ops.pallas_render._reflect_bwd)."""
 
 import jax
 import jax.numpy as jnp
@@ -142,9 +142,40 @@ def test_gradients_ref_vs_pallas_ift(world):
         assert cos > 0.995, (f, cos)
 
 
-def test_mega_backward_raises(world):
+@pytest.mark.parametrize("bounces", [1, 2])
+def test_gradients_ref_vs_mega(world, bounces):
+    """The mega backward (_reflect_bwd anchored-replay chain) must agree
+    with unrolled autodiff through the ref oracle — including the
+    second-order terms through the reflected direction."""
     plan, tables = world
-    cfg = CFG.replace(width=16, height=8)
-    with pytest.raises(NotImplementedError, match="forward-only"):
-        jax.grad(lambda t: jnp.mean(render_tables(
-            plan, t, cfg, backend="mega", interpret=True)))(tables)
+    cfg = CFG.replace(width=16, height=12, iterations=150,
+                      reflect_bounces=bounces)
+
+    def loss(backend, diff):
+        return lambda t: jnp.mean(render_tables(
+            plan, t, cfg, backend=backend, differentiable=diff,
+            interpret=True))
+
+    gref = jax.grad(loss("ref", True))(tables)
+    gmeg = jax.grad(loss("mega", False))(tables)
+    for f in ("prim_pos", "prim_color", "light_pos"):
+        ga = np.asarray(getattr(gref, f)).ravel()
+        gb = np.asarray(getattr(gmeg, f)).ravel()
+        assert np.isfinite(gb).all(), f
+        scale = np.abs(ga).max() + 1e-12
+        assert np.abs(ga - gb).max() / scale < 0.08, f
+        cos = ga @ gb / (np.linalg.norm(ga) * np.linalg.norm(gb) + 1e-30)
+        assert cos > 0.995, (f, cos)
+
+
+def test_mega_reflect_grad_analytic_normals(world):
+    """Analytic normal mode routes the replay through jax.grad of the
+    field (second-order under vjp) — must stay finite and nonzero."""
+    plan, tables = world
+    cfg = CFG.replace(width=16, height=12, iterations=150,
+                      normal_mode="analytic")
+    g = jax.grad(lambda t: jnp.mean(render_tables(
+        plan, t, cfg, backend="mega", interpret=True)))(tables)
+    gp = np.asarray(g.prim_pos)
+    assert np.isfinite(gp).all()
+    assert np.abs(gp).max() > 0.0
