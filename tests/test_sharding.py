@@ -128,6 +128,38 @@ def test_sharded_mega_reflections_match_single_device():
     np.testing.assert_allclose(img, single, atol=2e-5)
 
 
+def test_sharded_reflect_gradient_descends():
+    """Reflection gradients flow under shard_map: the mega anchored-replay
+    backward (ops.pallas_render._reflect_bwd) runs per ray shard, and the
+    scene cotangents combine in the tail psum.  At this 32x16 resolution
+    the photometric landscape is bumpy (discrete pixel flips), so assert
+    the two deterministic properties instead of SGD monotonicity: the
+    gradient on the shifted coordinate points back toward the target, and
+    a small step along -grad reduces the loss."""
+    plan, tables = _world()
+    mesh = make_mesh(4)
+    cfg = CFG.replace(normal_mode="fd", reflect_strength=0.4)
+    pp = np.array(tables.prim_pos)
+    pp[1, 0] += 0.4
+    target = jax.jit(lambda t: render_sharded(
+        plan, t, cfg, mesh, backend="mega", interpret=True))(
+        tables._replace(prim_pos=pp))
+
+    def loss_fn(t):
+        img = render_sharded(plan, t, cfg, mesh, backend="mega",
+                             interpret=True)
+        return jnp.mean((img - target) ** 2)
+
+    loss0, g = jax.jit(jax.value_and_grad(loss_fn))(tables)
+    assert np.isfinite(float(loss0))
+    assert np.isfinite(np.asarray(g.prim_pos)).all()
+    # target shifted the sphere +x: descending must push pp[1,0] up
+    assert float(g.prim_pos[1, 0]) < 0.0
+    stepped = jax.tree_util.tree_map(lambda x, gg: x - 0.01 * gg, tables, g)
+    loss1 = float(jax.jit(loss_fn)(stepped))
+    assert loss1 < float(loss0)
+
+
 def test_hlo_single_tail_allreduce():
     """Compiled-HLO contract (docs/collectives.md): the production
     train_step has ZERO forward collectives, and XLA's combiner fuses every
