@@ -357,6 +357,72 @@ def render_frames(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     return jnp.mean(colors.reshape(F, cfg.height, cfg.width, S, 3), axis=3)
 
 
+def turntable_frames(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                     frames: int, *, orbit: Optional[float] = None,
+                     center=None, backend: str = "auto",
+                     interpret: Optional[bool] = None, batch: int = 8):
+    """Yield ``frames`` [H, W, 3] float frames orbiting the scene — the
+    shared turntable path behind serve.py's /animate and the CLI's
+    ``--animate`` (no reference equivalent; its main() renders one frame,
+    main.cpp:17-88).
+
+    The camera circles in the xz plane about ``center`` (default: mean
+    primitive position) at its starting radius and height, always looking
+    at the centre.  ``orbit`` is the swept angle in RADIANS (default one
+    full turn).  Full loops exclude the endpoint (frame 0 == frame N
+    would duplicate); PARTIAL sweeps include it — the last frame sits at
+    exactly ``orbit``, not orbit*(N-1)/N.
+
+    On the mega backend, poses render ``batch`` at a time through ONE
+    chunked device stream (render_frames) so dispatch/tail latency
+    amortizes across the animation; other backends re-run a single jitted
+    executable per frame (only the camera pytree changes, so every frame
+    after the first reuses the compiled executable)."""
+    import math
+
+    import numpy as np
+
+    resolved = resolve_backend(backend)
+    if orbit is None:
+        orbit = 2.0 * math.pi
+    if center is not None:
+        center = np.asarray(center, np.float32)
+    else:
+        center = (np.asarray(tables.prim_pos, np.float32).mean(0)
+                  if tables.prim_pos.shape[0] else np.zeros(3, np.float32))
+    p0 = np.asarray(tables.cam_position, np.float32) - center
+    radius = float(np.hypot(p0[0], p0[2]))
+    phi0 = math.atan2(float(p0[2]), float(p0[0]))
+    two_pi = 2.0 * math.pi
+    denom = (max(frames, 1) if abs(orbit) >= two_pi - 1e-9
+             else max(frames - 1, 1))
+
+    def pose(i):
+        phi = phi0 + orbit * i / denom
+        pos = center + np.array([radius * math.cos(phi), float(p0[1]),
+                                 radius * math.sin(phi)], np.float32)
+        look = center - pos
+        nrm = float(np.linalg.norm(look))
+        return pos, ((look / nrm) if nrm > 1e-6
+                     else np.asarray(tables.cam_direction))
+
+    if resolved == "mega":
+        for b0 in range(0, frames, batch):
+            n = min(batch, frames - b0)
+            ps, ds = zip(*(pose(b0 + i) for i in range(n)))
+            imgs = np.asarray(render_frames(
+                plan, tables, cfg, np.stack(ps).astype(np.float32),
+                np.stack(ds).astype(np.float32), interpret=interpret))
+            for img in imgs:
+                yield img
+    else:
+        for i in range(frames):
+            pos, d = pose(i)
+            t = tables._replace(cam_position=jnp.asarray(pos),
+                                cam_direction=jnp.asarray(d))
+            yield np.asarray(render_tables_jit(plan, t, cfg, resolved))
+
+
 def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                 *, interpret: Optional[bool] = None) -> dict:
     """Render AOVs (arbitrary output variables) in one pass — the

@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SDF ambient-occlusion strength (extension; 0 = off)")
     p.add_argument("--ray-chunk", type=int, default=0,
                    help="rays per chunk (bounds memory on the jnp path)")
+    p.add_argument("--animate", type=int, default=0, metavar="N",
+                   help="render an N-frame turntable orbit instead of one "
+                   "image; --out .gif writes an animated GIF, otherwise "
+                   "numbered frames <out>_000.png ... (serve /animate twin)")
+    p.add_argument("--orbit", type=float, default=360.0, metavar="DEG",
+                   help="turntable sweep in degrees (with --animate)")
+    p.add_argument("--delay-cs", type=int, default=4,
+                   help="GIF frame delay in centiseconds (with --animate)")
     p.add_argument("--compare", action="store_true",
                    help="report max abs difference between backends")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -76,7 +84,9 @@ def main(argv=None) -> int:
 
     import os
     ext = os.path.splitext(args.out)[1].lower()
-    if ext not in (".png", ".ppm", ".jpg", ".jpeg", ""):
+    if args.animate > 0 and ext == ".gif":
+        pass
+    elif ext not in (".png", ".ppm", ".jpg", ".jpeg", ""):
         print(f"error: unsupported output format {ext!r} "
               "(png, ppm, jpg are supported)", file=sys.stderr)
         return 2
@@ -131,6 +141,41 @@ def main(argv=None) -> int:
             return 3
         print(f"selfcheck ok (rerun x{report['rerun']['repeats']} bitwise, "
               f"oracle bad-frac {report['oracle']['bad_pixel_frac']:.4f})")
+
+    if args.animate > 0:
+        import math
+
+        from .api import turntable_frames
+        backend = backends[-1]
+        rays_total = args.animate * rays
+        with Phase(f"{backend} animate x{args.animate}",
+                   rays=rays_total) as ph:
+            frames = [np.asarray(f) for f in turntable_frames(
+                plan, tables, cfg, args.animate,
+                orbit=math.radians(args.orbit), backend=backend)]
+            ph.sync(frames[-1])
+        emit("animate", backend=backend, frames=args.animate,
+             seconds=round(ph.seconds, 6),
+             mrays_per_s=round(rays_total / ph.seconds / 1e6, 4))
+        with Phase("save"):
+            if ext == ".gif":
+                from .io.gif import encode_gif
+                from .io.image import to_uint8
+                data = encode_gif(
+                    (to_uint8(f, cfg.gamma) for f in frames),
+                    delay_cs=max(1, min(args.delay_cs, 1000)))
+                with open(args.out, "wb") as fh:
+                    fh.write(data)
+                print(f"wrote {args.out} ({args.animate} frames)")
+            else:
+                stem, fext = os.path.splitext(args.out)
+                for i, f in enumerate(frames):
+                    save_image(f"{stem}_{i:03d}{fext or '.png'}", f,
+                               gamma=cfg.gamma)
+                print(f"wrote {stem}_000{fext or '.png'} .. "
+                      f"{stem}_{len(frames) - 1:03d}{fext or '.png'}")
+        emit("done", out=args.out)
+        return 0
 
     from .utils.timing import profiler_trace
     with profiler_trace(args.profile):

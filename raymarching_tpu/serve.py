@@ -200,64 +200,24 @@ def _make_handler(backend: str):
                                               f"format=zip"})
                     return
             orbit = math.radians(float(q.get("orbit", 360.0)))
+            center = None
             if "center" in q:
                 center = np.array([float(v) for v in
                                    q["center"].split(",")], np.float32)
                 if center.shape != (3,):
                     raise ValueError("center must be x,y,z")
-            else:
-                center = (np.asarray(tables.prim_pos, np.float32).mean(0)
-                          if tables.prim_pos.shape[0]
-                          else np.zeros(3, np.float32))
 
-            # Turntable path: fixed height, circle in xz about the centre,
-            # always looking at it.  Only the camera pytree changes per
-            # frame, so every frame after the first reuses the compiled
-            # executable (examples/turntable.py is the CLI twin).
-            p0 = np.asarray(tables.cam_position, np.float32) - center
-            radius = float(np.hypot(p0[0], p0[2]))
-            phi0 = math.atan2(float(p0[2]), float(p0[0]))
-
-            # Full loops exclude the endpoint (frame 0 == frame N would
-            # duplicate); PARTIAL sweeps must include it — the last frame
-            # sits at exactly ``orbit`` degrees, not orbit*(N-1)/N.
-            two_pi = 2.0 * math.pi
-            denom = (max(frames, 1) if abs(orbit) >= two_pi - 1e-9
-                     else max(frames - 1, 1))
-
-            def pose(i):
-                phi = phi0 + orbit * i / denom
-                pos = center + np.array(
-                    [radius * math.cos(phi), float(p0[1]),
-                     radius * math.sin(phi)], np.float32)
-                look = center - pos
-                nrm = float(np.linalg.norm(look))
-                return pos, ((look / nrm) if nrm > 1e-6
-                             else np.asarray(tables.cam_direction))
+            # Shared turntable path (api.turntable_frames): batched device
+            # streams on mega (FRAME_BATCH poses per render_frames call),
+            # one reused jitted executable per frame elsewhere.
+            from .api import turntable_frames
 
             def frames_iter():
-                if resolved == "mega":
-                    # batch-serving path: FRAME_BATCH poses per device
-                    # stream (render_frames) — dispatch/tail latency
-                    # amortizes across frames instead of per frame
-                    from .api import render_frames
-                    for b0 in range(0, frames, FRAME_BATCH):
-                        n = min(FRAME_BATCH, frames - b0)
-                        ps, ds = zip(*(pose(b0 + i) for i in range(n)))
-                        imgs = np.asarray(render_frames(
-                            plan, tables, cfg,
-                            np.stack(ps).astype(np.float32),
-                            np.stack(ds).astype(np.float32)))
-                        for img in imgs:
-                            yield to_uint8(img, cfg.gamma)
-                else:
-                    for i in range(frames):
-                        pos, d = pose(i)
-                        t = tables._replace(cam_position=pos,
-                                            cam_direction=d)
-                        img = np.asarray(render_tables_jit(
-                            plan, t, cfg, resolved))
-                        yield to_uint8(img, cfg.gamma)
+                for img in turntable_frames(plan, tables, cfg, frames,
+                                            orbit=orbit, center=center,
+                                            backend=resolved,
+                                            batch=FRAME_BATCH):
+                    yield to_uint8(img, cfg.gamma)
 
             if q.get("format", "zip") == "gif":
                 from .io.gif import encode_gif

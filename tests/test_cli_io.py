@@ -30,6 +30,28 @@ class TestCli:
         captured = capsys.readouterr().out
         assert "max |jnp - ref|" in captured
 
+    def test_animate_gif(self, tmp_path, scenes_dir):
+        out = str(tmp_path / "orbit.gif")
+        rc = main(["--scene", str(scenes_dir / "config1.txt"), "--out", out,
+                   "--width", "16", "--height", "8", "--ssaa", "1",
+                   "--iterations", "30", "--backend", "jnp",
+                   "--animate", "3", "--orbit", "90"])
+        assert rc == 0
+        data = open(out, "rb").read()
+        assert data[:6] in (b"GIF87a", b"GIF89a")
+
+    def test_animate_png_frames(self, tmp_path, scenes_dir):
+        out = str(tmp_path / "orbit.png")
+        rc = main(["--scene", str(scenes_dir / "config1.txt"), "--out", out,
+                   "--width", "16", "--height", "8", "--ssaa", "1",
+                   "--iterations", "30", "--backend", "jnp",
+                   "--animate", "3"])
+        assert rc == 0
+        frames = sorted(tmp_path.glob("orbit_*.png"))
+        assert len(frames) == 3
+        for f in frames:
+            assert f.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
     def test_missing_scene(self, tmp_path):
         rc = main(["--scene", "/definitely/not/here.txt",
                    "--out", str(tmp_path / "x.png")])
