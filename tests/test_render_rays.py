@@ -110,6 +110,41 @@ def test_per_ray_origin_gradients_match_broadcast(world):
                                    atol=1e-7, err_msg=f)
 
 
+def test_origin_and_dir_gradients_match_unrolled_oracle(world):
+    """The pose route: cotangents w.r.t. the ray ORIGINS and DIRECTIONS
+    themselves (what camera-pose fitting / bundle adjustment
+    differentiates) must agree with unrolled autodiff through the jnp
+    oracle.  Ground truth is core.render._shade_rays with
+    differentiable=True, which marches per-ray origins by unrolling."""
+    from raymarching_tpu.core.render import _shade_rays
+
+    plan, tables = world
+    cfg = CFG.replace(width=16, height=8, iterations=120)
+    o, flat = _camera_bundle(tables, cfg)
+    bundle_o = jnp.asarray(np.broadcast_to(o, flat.shape).copy())
+    dirs = jnp.asarray(flat)
+    w = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (flat.shape[0], 3)), jnp.float32)
+
+    def loss_mega(oo, dd):
+        return jnp.mean(w * render_rays(plan, tables, oo, dd, cfg))
+
+    def loss_ref(oo, dd):
+        return jnp.mean(w * _shade_rays(plan, tables, cfg, oo, dd,
+                                        differentiable=True))
+
+    go_m, gd_m = jax.grad(loss_mega, argnums=(0, 1))(bundle_o, dirs)
+    go_r, gd_r = jax.grad(loss_ref, argnums=(0, 1))(bundle_o, dirs)
+    for name, a, b in (("origins", go_r, go_m), ("dirs", gd_r, gd_m)):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        assert np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-12
+        # IFT vs unrolled: small per-element noise near silhouettes
+        assert np.abs(a - b).max() / scale < 0.08, name
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.995, (name, cos)
+
+
 def test_reflections_through_per_ray_origins(world):
     plan, tables = world
     cfg = CFG.replace(reflect_strength=0.4)
