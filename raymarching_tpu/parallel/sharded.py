@@ -140,6 +140,47 @@ def render_sharded(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     return sharded(tables, dirs)
 
 
+def render_rays_sharded(plan: ScenePlan, tables: SceneTables,
+                        origins: jnp.ndarray, dirs: jnp.ndarray,
+                        cfg: RenderConfig, mesh: Mesh, *,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Arbitrary ray bundles sharded over the mesh -> [R, 3] colors.
+
+    The multi-chip twin of ``api.render_rays`` (the camera-grid-free entry
+    point): F posed views' rays concatenated into one bundle and spread
+    over devices — multiview fitting / camera localization at scale.
+    ``origins`` [R, 3] shards with its rays; a shared [3] origin is
+    replicated.  The bundle is padded to a multiple of the mesh size (the
+    pad repeats the last ray and is sliced off the result).
+
+    Runs the production mega kernel per device; differentiating through
+    it transposes the shard_map — tables cotangents psum over the mesh,
+    per-ray origin/direction cotangents stay with their shard."""
+    dirs = jnp.asarray(dirs, jnp.float32)
+    origins = jnp.asarray(origins, jnp.float32)
+    n = mesh.devices.size
+    R = dirs.shape[0]
+    pad = (-R) % n
+    if pad:
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(dirs[-1:], (pad, 3))])
+    per_ray = origins.ndim == 2
+    if per_ray and pad:
+        origins = jnp.concatenate(
+            [origins, jnp.broadcast_to(origins[-1:], (pad, 3))])
+    spec = _ray_spec(mesh)
+
+    def block(tables, o, d):
+        from ..ops.pallas_render import fused_render_op
+        return fused_render_op(plan, cfg, interpret, tables, o, d)
+
+    sharded = shard_map(block, mesh=mesh,
+                        in_specs=(P(), spec if per_ray else P(), spec),
+                        out_specs=spec, check_vma=False)
+    out = sharded(tables, origins, dirs)
+    return out[:R]
+
+
 def render_sharded_gspmd(plan: ScenePlan, tables: SceneTables,
                          cfg: RenderConfig, mesh: Mesh,
                          backend: str = "ref") -> jnp.ndarray:

@@ -160,6 +160,36 @@ def test_sharded_reflect_gradient_descends():
     assert loss1 < float(loss0)
 
 
+def test_render_rays_sharded_matches_single_device():
+    """Arbitrary bundles (per-ray origins, non-divisible R forcing the
+    internal pad) sharded over the mesh == api.render_rays single-device;
+    tables gradients agree after the psum."""
+    from raymarching_tpu.api import render_rays
+    from raymarching_tpu.parallel.sharded import render_rays_sharded
+
+    plan, tables = _world()
+    mesh = make_mesh(4)
+    cfg = CFG.replace(width=16, height=8)
+    from raymarching_tpu.core.camera import generate_rays
+    o, d = generate_rays(tables, cfg)
+    d = d.reshape(-1, 3)[:101]                  # 101 rays: not % 4
+    o = np.broadcast_to(np.asarray(o), d.shape).copy()
+    single = np.asarray(render_rays(plan, tables, o, d, cfg,
+                                    interpret=True))
+    shard = np.asarray(jax.jit(lambda t: render_rays_sharded(
+        plan, t, o, d, cfg, mesh, interpret=True))(tables))
+    np.testing.assert_allclose(shard, single, atol=2e-5)
+
+    g1 = jax.grad(lambda t: jnp.mean(render_rays(
+        plan, t, o, d, cfg, interpret=True)))(tables)
+    g2 = jax.jit(jax.grad(lambda t: jnp.mean(render_rays_sharded(
+        plan, t, o, d, cfg, mesh, interpret=True))))(tables)
+    for f in ("prim_pos", "prim_color", "light_pos"):
+        np.testing.assert_allclose(np.asarray(getattr(g2, f)),
+                                   np.asarray(getattr(g1, f)),
+                                   rtol=1e-4, atol=1e-6, err_msg=f)
+
+
 def test_hlo_single_tail_allreduce():
     """Compiled-HLO contract (docs/collectives.md): the production
     train_step has ZERO forward collectives, and XLA's combiner fuses every
