@@ -45,6 +45,13 @@ GOLDENS = [
     ("demo.txt", "demo_128x96_ssaa2",
      RenderConfig(width=128, height=96, ssaa=2, iterations=1000,
                   ray_chunk=65536)),
+    # the full extension stack in one frame: named materials, colored
+    # lights, tinted-mirror bounces, soft shadows, ambient occlusion —
+    # pins cross-version drift of every opt-in mode on the oracle path
+    ("mirror.txt", "mirror_96x72_ssaa2_fx",
+     RenderConfig(width=96, height=72, ssaa=2, iterations=1000,
+                  reflect_strength=0.5, reflect_bounces=2,
+                  soft_shadow_k=8.0, ao_strength=0.6, ray_chunk=65536)),
 ]
 
 

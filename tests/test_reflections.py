@@ -168,6 +168,27 @@ def test_gradients_ref_vs_mega(world, bounces):
         assert cos > 0.995, (f, cos)
 
 
+@pytest.mark.slow
+def test_mega_full_extension_stack_gradients(scenes_dir):
+    """Every opt-in mode at once — named materials, colored lights,
+    mirror bounce, soft shadows, AO — through the mega kernel and its
+    anchored-replay backward: gradients finite and nonzero, including to
+    light_color (the colored-light route through the bounce replay)."""
+    from raymarching_tpu import load_scene
+    from raymarching_tpu.scene.compile import compile_scene as cs
+
+    plan, tables = cs(load_scene(str(scenes_dir / "mirror.txt")))
+    cfg = RenderConfig(width=24, height=16, ssaa=1, iterations=120,
+                       reflect_strength=0.4, reflect_bounces=1,
+                       soft_shadow_k=8.0, ao_strength=0.5)
+    g = jax.grad(lambda t: jnp.mean(render_tables(
+        plan, t, cfg, backend="mega", interpret=True)))(tables)
+    for f in ("prim_pos", "prim_color", "light_pos", "light_color"):
+        arr = np.asarray(getattr(g, f))
+        assert np.isfinite(arr).all(), f
+        assert np.abs(arr).max() > 0.0, f
+
+
 def test_mega_reflect_grad_analytic_normals(world):
     """Analytic normal mode routes the replay through jax.grad of the
     field (second-order under vjp) — must stay finite and nonzero."""
