@@ -264,6 +264,175 @@ bool parseScene(const char *text, ParsedScene &out) {
     return true;
 }
 
+// ---------------------------------------------------------------------------
+// Baseline JPEG encoder (JFIF, 4:4:4) — the native twin of io/jpeg.py,
+// standing in for the reference's vendored stb_image_write JPEG path
+// (main.cpp:80).  Standard Annex-K quantization + Huffman tables, libjpeg
+// quality curve, 8x8 float DCT, interleaved 1x1-sampling MCUs.
+// ---------------------------------------------------------------------------
+namespace jpegenc {
+
+const int kQLuma[64] = {
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99};
+const int kQChroma[64] = {
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99};
+const int kZigzag[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+const uint8_t kDcLumaBits[16] = {0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0,
+                                 0, 0};
+const uint8_t kDcChromaBits[16] = {0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0,
+                                   0, 0, 0};
+const uint8_t kDcVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+const uint8_t kAcLumaBits[16] = {0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0,
+                                 1, 0x7D};
+const uint8_t kAcLumaVals[162] = {
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA};
+const uint8_t kAcChromaBits[16] = {0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0,
+                                   1, 2, 0x77};
+const uint8_t kAcChromaVals[162] = {
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA};
+
+struct Huff {
+    uint16_t code[256];
+    uint8_t len[256];
+};
+
+void buildHuff(const uint8_t bits[16], const uint8_t *vals, Huff &h) {
+    std::memset(h.len, 0, sizeof h.len);
+    int code = 0, k = 0;
+    for (int length = 1; length <= 16; ++length) {
+        for (int i = 0; i < bits[length - 1]; ++i) {
+            h.code[vals[k]] = static_cast<uint16_t>(code);
+            h.len[vals[k]] = static_cast<uint8_t>(length);
+            ++code;
+            ++k;
+        }
+        code <<= 1;
+    }
+}
+
+struct BitWriter {
+    std::vector<uint8_t> buf;
+    uint32_t acc = 0;
+    int nbits = 0;
+
+    void put(uint32_t code, int length) {
+        acc = (acc << length) | (code & ((1u << length) - 1));
+        nbits += length;
+        while (nbits >= 8) {
+            nbits -= 8;
+            uint8_t byte = static_cast<uint8_t>((acc >> nbits) & 0xFF);
+            buf.push_back(byte);
+            if (byte == 0xFF) buf.push_back(0x00);  // byte stuffing
+        }
+    }
+    void flush() {
+        if (nbits) put(0x7F, 8 - nbits);            // pad with 1s
+    }
+};
+
+// category size + offset-coded value bits (JPEG magnitude coding)
+inline void magnitude(int v, int &size, int &bits) {
+    if (v == 0) { size = 0; bits = 0; return; }
+    int a = v < 0 ? -v : v;
+    size = 0;
+    while (a >> size) ++size;
+    bits = v > 0 ? v : v + (1 << size) - 1;
+}
+
+void fdct8x8(const double in[64], double out[64]) {
+    static double D[8][8];
+    static bool init = false;
+    if (!init) {
+        for (int k = 0; k < 8; ++k)
+            for (int n = 0; n < 8; ++n)
+                D[k][n] = (k == 0 ? std::sqrt(0.125) : 0.5) *
+                          std::cos((2 * n + 1) * k * M_PI / 16.0);
+        init = true;
+    }
+    double tmp[64];
+    for (int k = 0; k < 8; ++k)              // rows: D * in
+        for (int j = 0; j < 8; ++j) {
+            double s = 0;
+            for (int n = 0; n < 8; ++n) s += D[k][n] * in[n * 8 + j];
+            tmp[k * 8 + j] = s;
+        }
+    for (int i = 0; i < 8; ++i)              // cols: tmp * D^T
+        for (int l = 0; l < 8; ++l) {
+            double s = 0;
+            for (int n = 0; n < 8; ++n) s += tmp[i * 8 + n] * D[l][n];
+            out[i * 8 + l] = s;
+        }
+}
+
+void encodeBlock(BitWriter &bw, const int zz[64], const Huff &dc,
+                 const Huff &ac, int &pred) {
+    int size, bits;
+    int diff = zz[0] - pred;
+    pred = zz[0];
+    magnitude(diff, size, bits);
+    bw.put(dc.code[size], dc.len[size]);
+    if (size) bw.put(static_cast<uint32_t>(bits), size);
+
+    int end = 1;
+    for (int k = 63; k >= 1; --k)
+        if (zz[k] != 0) { end = k + 1; break; }
+    int run = 0;
+    for (int k = 1; k < end; ++k) {
+        if (zz[k] == 0) { ++run; continue; }
+        while (run > 15) {
+            bw.put(ac.code[0xF0], ac.len[0xF0]);   // ZRL
+            run -= 16;
+        }
+        magnitude(zz[k], size, bits);
+        int sym = (run << 4) | size;
+        bw.put(ac.code[sym], ac.len[sym]);
+        bw.put(static_cast<uint32_t>(bits), size);
+        run = 0;
+    }
+    if (end < 64) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
+}
+
+}  // namespace jpegenc
+
 }  // namespace
 
 extern "C" {
@@ -356,6 +525,118 @@ int rm_write_png(const char *path, int width, int height, int channels,
     writeChunk("IHDR", ihdr, 13);
     writeChunk("IDAT", idat.data(), static_cast<uint32_t>(idat.size()));
     writeChunk("IEND", nullptr, 0);
+    std::fclose(f);
+    return 0;
+}
+
+// Baseline JFIF writer (4:4:4, quality per the libjpeg curve) — see the
+// jpegenc namespace above; io/jpeg.py is the Python twin.
+int rm_write_jpeg(const char *path, int width, int height,
+                  const uint8_t *rgb, int quality) {
+    using namespace jpegenc;
+    if (width <= 0 || height <= 0) return 2;
+    if (quality < 1) quality = 1;
+    if (quality > 100) quality = 100;
+    const int scale = quality < 50 ? 5000 / quality : 200 - quality * 2;
+    int ql[64], qc[64];
+    for (int i = 0; i < 64; ++i) {
+        int l = (kQLuma[i] * scale + 50) / 100;
+        int c = (kQChroma[i] * scale + 50) / 100;
+        ql[i] = l < 1 ? 1 : (l > 255 ? 255 : l);
+        qc[i] = c < 1 ? 1 : (c > 255 ? 255 : c);
+    }
+
+    Huff dcL, dcC, acL, acC;
+    buildHuff(kDcLumaBits, kDcVals, dcL);
+    buildHuff(kDcChromaBits, kDcVals, dcC);
+    buildHuff(kAcLumaBits, kAcLumaVals, acL);
+    buildHuff(kAcChromaBits, kAcChromaVals, acC);
+
+    std::vector<uint8_t> out;
+    auto byte = [&](uint8_t b) { out.push_back(b); };
+    auto be16 = [&](uint16_t v) { byte(v >> 8); byte(v & 0xFF); };
+    auto marker = [&](uint16_t tag, const std::vector<uint8_t> &payload) {
+        be16(tag);
+        be16(static_cast<uint16_t>(payload.size() + 2));
+        out.insert(out.end(), payload.begin(), payload.end());
+    };
+
+    byte(0xFF); byte(0xD8);                                   // SOI
+    marker(0xFFE0, {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0});
+    std::vector<uint8_t> dqt;                                 // DQT
+    dqt.push_back(0);
+    for (int i = 0; i < 64; ++i)
+        dqt.push_back(static_cast<uint8_t>(ql[kZigzag[i]]));
+    dqt.push_back(1);
+    for (int i = 0; i < 64; ++i)
+        dqt.push_back(static_cast<uint8_t>(qc[kZigzag[i]]));
+    marker(0xFFDB, dqt);
+    std::vector<uint8_t> sof = {                              // SOF0
+        8,
+        static_cast<uint8_t>(height >> 8), static_cast<uint8_t>(height),
+        static_cast<uint8_t>(width >> 8), static_cast<uint8_t>(width),
+        3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1};
+    marker(0xFFC0, sof);
+    const struct { int cls, id; const uint8_t *bits, *vals; int n; } hts[4] =
+        {{0, 0, kDcLumaBits, kDcVals, 12},
+         {1, 0, kAcLumaBits, kAcLumaVals, 162},
+         {0, 1, kDcChromaBits, kDcVals, 12},
+         {1, 1, kAcChromaBits, kAcChromaVals, 162}};
+    for (const auto &t : hts) {                               // DHT x4
+        std::vector<uint8_t> dht;
+        dht.push_back(static_cast<uint8_t>((t.cls << 4) | t.id));
+        dht.insert(dht.end(), t.bits, t.bits + 16);
+        dht.insert(dht.end(), t.vals, t.vals + t.n);
+        marker(0xFFC4, dht);
+    }
+    marker(0xFFDA, {3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0});  // SOS
+
+    // Interleaved MCUs, 1x1 sampling: Y, Cb, Cr block per 8x8 tile,
+    // edge-replicated at the right/bottom borders.
+    BitWriter bw;
+    int preds[3] = {0, 0, 0};
+    const int bh = (height + 7) / 8, bwid = (width + 7) / 8;
+    for (int by = 0; by < bh; ++by) {
+        for (int bx = 0; bx < bwid; ++bx) {
+            double chan[3][64];
+            for (int yy = 0; yy < 8; ++yy) {
+                int sy = by * 8 + yy;
+                if (sy >= height) sy = height - 1;
+                for (int xx = 0; xx < 8; ++xx) {
+                    int sx = bx * 8 + xx;
+                    if (sx >= width) sx = width - 1;
+                    const uint8_t *p = rgb + 3 * (static_cast<size_t>(sy)
+                                                  * width + sx);
+                    double r = p[0], g = p[1], b = p[2];
+                    chan[0][yy * 8 + xx] =
+                        0.299 * r + 0.587 * g + 0.114 * b - 128.0;
+                    chan[1][yy * 8 + xx] =
+                        -0.168736 * r - 0.331264 * g + 0.5 * b;
+                    chan[2][yy * 8 + xx] =
+                        0.5 * r - 0.418688 * g - 0.081312 * b;
+                }
+            }
+            for (int c = 0; c < 3; ++c) {
+                double coef[64];
+                fdct8x8(chan[c], coef);
+                const int *q = c == 0 ? ql : qc;
+                int zz[64];
+                for (int i = 0; i < 64; ++i) {
+                    double v = coef[kZigzag[i]] / q[kZigzag[i]];
+                    zz[i] = static_cast<int>(std::lround(v));
+                }
+                encodeBlock(bw, zz, c == 0 ? dcL : dcC,
+                            c == 0 ? acL : acC, preds[c]);
+            }
+        }
+    }
+    bw.flush();
+    out.insert(out.end(), bw.buf.begin(), bw.buf.end());
+    byte(0xFF); byte(0xD9);                                   // EOI
+
+    FILE *f = std::fopen(path, "wb");
+    if (!f) return 4;
+    std::fwrite(out.data(), 1, out.size(), f);
     std::fclose(f);
     return 0;
 }

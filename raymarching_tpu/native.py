@@ -67,6 +67,11 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.rm_write_png.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                  ctypes.c_int, u8p]
 
+    if hasattr(lib, "rm_write_jpeg"):     # absent in pre-r2 builds
+        lib.rm_write_jpeg.restype = ctypes.c_int
+        lib.rm_write_jpeg.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int, u8p, ctypes.c_int]
+
 
 def available() -> bool:
     return load_library() is not None
@@ -82,6 +87,21 @@ def native_write_png(path: str, img: np.ndarray) -> bool:
     h, w, c = img.shape
     rc = lib.rm_write_png(path.encode(), w, h, c,
                           img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return rc == 0
+
+
+def native_write_jpeg(path: str, img: np.ndarray, quality: int = 100) -> bool:
+    """Write [H, W, 3] uint8 as baseline JPEG via the native library (the
+    stb_image_write twin, main.cpp:80).  Returns False if the library
+    isn't built; io/jpeg.py is the pure-Python fallback."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "rm_write_jpeg"):
+        return False
+    img = np.ascontiguousarray(img[..., :3])
+    h, w, _ = img.shape
+    rc = lib.rm_write_jpeg(path.encode(), w, h,
+                           img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           int(quality))
     return rc == 0
 
 

@@ -100,3 +100,32 @@ def test_python_png_roundtrip():
 def test_native_parser_rejects_malformed():
     with pytest.raises(ValueError):
         native_parse_scene("Sphere 1 2")
+
+
+def test_native_jpeg_decodes_close(tmp_path):
+    """The C++ baseline-JPEG twin (rm_write_jpeg) must decode back (via
+    Pillow, an independent decoder) close to the source at quality 100,
+    and within the same error envelope as the Python encoder
+    (io/jpeg.py) on the same image."""
+    PIL = pytest.importorskip("PIL.Image")
+    from raymarching_tpu.io.jpeg import write_jpeg
+    from raymarching_tpu.native import native_write_jpeg
+
+    rng = np.random.default_rng(5)
+    # smooth image (JPEG is lossy on noise): gradient + low-freq bumps
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack([
+        (xx * 255 / 55), (yy * 255 / 39),
+        127 + 120 * np.sin(xx / 9.0) * np.cos(yy / 7.0)], -1)
+    img = np.clip(img + rng.normal(0, 2, img.shape), 0, 255).astype(np.uint8)
+
+    npath, ppath = str(tmp_path / "n.jpg"), str(tmp_path / "p.jpg")
+    assert native_write_jpeg(npath, img, quality=100)
+    write_jpeg(ppath, img, quality=100)
+    dn = np.asarray(PIL.open(npath).convert("RGB"), np.int32)
+    dp = np.asarray(PIL.open(ppath).convert("RGB"), np.int32)
+    assert dn.shape == img.shape
+    err_n = np.abs(dn - img.astype(np.int32)).mean()
+    err_p = np.abs(dp - img.astype(np.int32)).mean()
+    assert err_n < 3.0, err_n                  # quality-100 is near-lossless
+    assert err_n < err_p + 0.5, (err_n, err_p)  # no worse than the twin
