@@ -379,15 +379,17 @@ inline void magnitude(int v, int &size, int &bits) {
 }
 
 void fdct8x8(const double in[64], double out[64]) {
-    static double D[8][8];
-    static bool init = false;
-    if (!init) {
+    // C++11 magic static: thread-safe one-time init (serve.py's threaded
+    // HTTP server can call rm_write_jpeg concurrently; ctypes drops the
+    // GIL during the call)
+    static const std::array<std::array<double, 8>, 8> D = [] {
+        std::array<std::array<double, 8>, 8> d{};
         for (int k = 0; k < 8; ++k)
             for (int n = 0; n < 8; ++n)
-                D[k][n] = (k == 0 ? std::sqrt(0.125) : 0.5) *
+                d[k][n] = (k == 0 ? std::sqrt(0.125) : 0.5) *
                           std::cos((2 * n + 1) * k * M_PI / 16.0);
-        init = true;
-    }
+        return d;
+    }();
     double tmp[64];
     for (int k = 0; k < 8; ++k)              // rows: D * in
         for (int j = 0; j < 8; ++j) {

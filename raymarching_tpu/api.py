@@ -416,11 +416,15 @@ def turntable_frames(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
             for img in imgs:
                 yield img
     else:
+        render = jax.jit(lambda t: render_tables(
+            plan, t, cfg, backend=resolved,
+            interpret=bool(interpret) if interpret is not None
+            else not _on_tpu()))
         for i in range(frames):
             pos, d = pose(i)
             t = tables._replace(cam_position=jnp.asarray(pos),
                                 cam_direction=jnp.asarray(d))
-            yield np.asarray(render_tables_jit(plan, t, cfg, resolved))
+            yield np.asarray(render(t))
 
 
 def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,

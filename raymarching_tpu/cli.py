@@ -146,14 +146,29 @@ def main(argv=None) -> int:
         import math
 
         from .api import turntable_frames
+        from .utils.timing import profiler_trace
+        if args.compare or len(backends) > 1:
+            print("error: --animate renders one backend; --compare / "
+                  "multi-backend lists apply to single-frame mode only",
+                  file=sys.stderr)
+            return 2
         backend = backends[-1]
+        if args.stats:
+            import json as _json
+
+            from .utils.timing import profile_march
+            stats_cfg = cfg.replace(width=min(cfg.width, 256),
+                                    height=min(cfg.height, 192), ssaa=1)
+            print("march stats (primary rays, reduced res):",
+                  _json.dumps(profile_march(plan, tables, stats_cfg)))
         rays_total = args.animate * rays
-        with Phase(f"{backend} animate x{args.animate}",
-                   rays=rays_total) as ph:
-            frames = [np.asarray(f) for f in turntable_frames(
-                plan, tables, cfg, args.animate,
-                orbit=math.radians(args.orbit), backend=backend)]
-            ph.sync(frames[-1])
+        with profiler_trace(args.profile):
+            with Phase(f"{backend} animate x{args.animate}",
+                       rays=rays_total) as ph:
+                frames = [np.asarray(f) for f in turntable_frames(
+                    plan, tables, cfg, args.animate,
+                    orbit=math.radians(args.orbit), backend=backend)]
+                ph.sync(frames[-1])
         emit("animate", backend=backend, frames=args.animate,
              seconds=round(ph.seconds, 6),
              mrays_per_s=round(rays_total / ph.seconds / 1e6, 4))

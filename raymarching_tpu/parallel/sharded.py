@@ -171,8 +171,12 @@ def render_rays_sharded(plan: ScenePlan, tables: SceneTables,
     spec = _ray_spec(mesh)
 
     def block(tables, o, d):
-        from ..ops.pallas_render import fused_render_op
-        return fused_render_op(plan, cfg, interpret, tables, o, d)
+        # api.render_rays does the per-device work: mega kernel launches
+        # honoring cfg.ray_chunk (chunked lax.map + remat keeps the
+        # backward's scatter-adds and peak memory bounded exactly like
+        # the single-device path).
+        from ..api import render_rays
+        return render_rays(plan, tables, o, d, cfg, interpret=interpret)
 
     sharded = shard_map(block, mesh=mesh,
                         in_specs=(P(), spec if per_ray else P(), spec),

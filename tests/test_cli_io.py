@@ -52,6 +52,14 @@ class TestCli:
         for f in frames:
             assert f.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
+    def test_animate_rejects_compare_and_multibackend(self, tmp_path,
+                                                      scenes_dir):
+        rc = main(["--scene", str(scenes_dir / "config1.txt"),
+                   "--out", str(tmp_path / "a.gif"),
+                   "--width", "16", "--height", "8", "--ssaa", "1",
+                   "--animate", "2", "--backend", "ref,jnp", "--compare"])
+        assert rc == 2
+
     def test_missing_scene(self, tmp_path):
         rc = main(["--scene", "/definitely/not/here.txt",
                    "--out", str(tmp_path / "x.png")])
