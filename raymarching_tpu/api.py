@@ -226,6 +226,9 @@ def render_tables(plan: ScenePlan, tables: SceneTables,
         # exists to avoid).  The mega kernel tracks the penumbra factor
         # in-kernel; route there (it is the auto choice on TPU anyway).
         backend = "mega"
+    if cfg.aperture > 0.0:
+        return _render_dof(plan, tables, cfg, backend, differentiable,
+                           interpret)
     if backend == "mega":
         return _render_mega(plan, tables, cfg, interpret)
     hooks = make_render_hooks(plan, tables, cfg, backend,
@@ -233,6 +236,54 @@ def render_tables(plan: ScenePlan, tables: SceneTables,
     return render_image(plan, tables, cfg,
                         differentiable=differentiable and backend == "ref",
                         **hooks)
+
+
+def _render_dof(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
+                backend: str, differentiable: bool,
+                interpret: bool) -> jnp.ndarray:
+    """Thin-lens depth of field (cfg.aperture > 0): the frame becomes one
+    per-ray-origin bundle — every SSAA sample carries its lens-disk origin
+    and focal-point direction (core.camera.generate_rays_dof) — and the
+    ordinary SSAA mean integrates over the lens.  Mega rides render_rays
+    (per-ray-origin VMEM streams, cfg.ray_chunk honored); ref/jnp/pallas
+    ride the hook layer, whose marches already accept [R, 3] origins
+    (the reflection recursion relies on it)."""
+    from .core import camera as cam
+    from .core.render import _shade_rays
+
+    o, d = cam.generate_rays_dof(tables, cfg)
+    S = cfg.samples_per_pixel
+    R = cfg.height * cfg.width * S
+    o, d = o.reshape(R, 3), d.reshape(R, 3)
+    if backend == "mega":
+        colors = render_rays(plan, tables, o, d, cfg, interpret=interpret)
+    else:
+        hooks = make_render_hooks(plan, tables, cfg, backend,
+                                  interpret=interpret)
+        diff = differentiable and backend == "ref"
+
+        def shade(oo, dd):
+            return _shade_rays(plan, tables, cfg, oo, dd,
+                               differentiable=diff, **hooks)
+
+        chunk = cfg.ray_chunk
+        if chunk and R > chunk:
+            pad = (-R) % chunk
+
+            def padto(x):
+                return (jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (pad, 3))]) if pad else x)
+
+            policy = jax.checkpoint_policies.save_only_these_names("march")
+            colors = lax.map(
+                jax.checkpoint(lambda od: shade(od[0], od[1]),
+                               policy=policy),
+                (padto(o).reshape(-1, chunk, 3),
+                 padto(d).reshape(-1, chunk, 3)))
+            colors = colors.reshape(-1, 3)[:R]
+        else:
+            colors = shade(o, d)
+    return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)
 
 
 def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,

@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mirror bounce count (with --reflect)")
     p.add_argument("--ao", type=float, default=0.0, metavar="STRENGTH",
                    help="SDF ambient-occlusion strength (extension; 0 = off)")
+    p.add_argument("--aperture", type=float, default=0.0, metavar="RADIUS",
+                   help="thin-lens aperture radius in world units "
+                        "(extension; 0 = pinhole; blur quality scales "
+                        "with --ssaa)")
+    p.add_argument("--focus", type=float, default=6.0, metavar="DIST",
+                   help="focus-plane distance along the view axis "
+                        "(with --aperture)")
     p.add_argument("--ray-chunk", type=int, default=0,
                    help="rays per chunk (bounds memory on the jnp path)")
     p.add_argument("--animate", type=int, default=0, metavar="N",
@@ -117,7 +124,8 @@ def main(argv=None) -> int:
         shadows=not args.no_shadows, normal_mode=args.normal_mode,
         ray_chunk=args.ray_chunk, soft_shadow_k=args.soft_shadow_k,
         ao_strength=args.ao, reflect_strength=args.reflect,
-        reflect_bounces=args.bounces)
+        reflect_bounces=args.bounces, aperture=args.aperture,
+        focus_dist=args.focus)
 
     backends = [resolve_backend(b.strip())
                 for b in args.backend.split(",") if b.strip()]

@@ -129,10 +129,25 @@ class RenderConfig:
     # colored surfaces tint what they mirror, so no miss masking is needed.
     # The bounce origin is pushed off the surface by
     # (surface_precision + offset_precision) along the normal, exactly like
-    # shadow rays.  Supported on ref/jnp (differentiable via autodiff) and
-    # the mega kernel (forward; the fused backward rejects it loudly).
+    # shadow rays.  Differentiable on every backend: autodiff on ref/jnp,
+    # per-ray IFT recursion on pallas, and the mega kernel's anchored-
+    # replay chain backward (ops.pallas_render._reflect_bwd).
     reflect_strength: float = 0.0
     reflect_bounces: int = 1
+
+    # Thin-lens depth of field (opt-in, 0.0 = reference-parity pinhole):
+    # each SSAA sample's origin moves to a point on a lens disk of radius
+    # ``aperture`` (world units) in the camera's right/up plane — a
+    # deterministic sunflower pattern over the ssaa^2 samples — and its
+    # direction is re-aimed at that sample's focal point (the pinhole
+    # ray's intersection with the focus plane ``focus_dist`` along the
+    # view axis).  Geometry on the focus plane stays sharp; everything
+    # else defocuses with circle of confusion ~ aperture * |t - F| / t.
+    # The existing SSAA average IS the lens integral, so blur quality
+    # scales with ssaa.  Rides the per-ray-origin bundle machinery
+    # (api.render_rays / core.camera.generate_rays_dof) on every backend.
+    aperture: float = 0.0
+    focus_dist: float = 6.0
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

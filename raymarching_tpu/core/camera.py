@@ -83,3 +83,48 @@ def generate_rays(tables: SceneTables, cfg: RenderConfig,
     d = d @ R.T                                         # rotate into world
     d = d.reshape(rows, cfg.width, k * k, 3)
     return tables.cam_position, d
+
+
+# pi * (3 - sqrt(5)): successive lens samples land evenly over the disk
+# (sunflower / Vogel spiral), so the ssaa^2-sample average converges to the
+# lens integral without any RNG — deterministic, jit-friendly, regenerable.
+GOLDEN_ANGLE = 2.3999632297286533
+
+
+def lens_offsets(cfg: RenderConfig) -> jnp.ndarray:
+    """[S, 2] deterministic sunflower-disk lens sample offsets, radius
+    ``cfg.aperture`` (world units), for thin-lens depth of field."""
+    S = cfg.samples_per_pixel
+    s = jnp.arange(S, dtype=jnp.float32)
+    r = cfg.aperture * jnp.sqrt((s + 0.5) / S)
+    th = s * GOLDEN_ANGLE
+    return jnp.stack([r * jnp.cos(th), r * jnp.sin(th)], axis=-1)
+
+
+def generate_rays_dof(tables: SceneTables, cfg: RenderConfig,
+                      row_range=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Thin-lens rays -> (origins [rows, W, S, 3], dirs [rows, W, S, 3]).
+
+    Each SSAA sample's origin moves to its lens-disk point (sample index ->
+    sunflower offset in the camera's right/up plane) and its direction is
+    re-aimed at the pinhole ray's focal point — the intersection with the
+    focus plane ``cfg.focus_dist`` along the view axis — so geometry on
+    that plane stays sharp and everything else defocuses with circle of
+    confusion ~ aperture * |t - F| / t.  The ordinary SSAA average over the
+    S samples IS the lens integral (no extra machinery); blur quality
+    scales with ``cfg.ssaa``.  Differentiable like generate_rays (pose
+    cotangents flow through the lens basis and focal reprojection).
+
+    No reference equivalent (its camera is an ideal pinhole,
+    render.cpp:92-101); opt-in via ``cfg.aperture > 0``."""
+    o, d = generate_rays(tables, cfg, row_range)        # [3], [r, W, S, 3]
+    R = camera_rotation(tables.cam_direction, tables.cam_up)
+    right, up2, fwd = R[:, 0], R[:, 1], -R[:, 2]
+    off = lens_offsets(cfg)                             # [S, 2]
+    off_w = off[:, 0:1] * right + off[:, 1:2] * up2     # [S, 3]
+    tf = cfg.focus_dist / jnp.einsum("...k,k->...", d, fwd)
+    pf = o + tf[..., None] * d                          # focal points
+    origins = jnp.broadcast_to(o, d.shape) + off_w      # [r, W, S, 3]
+    dirs = pf - origins
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return origins, dirs

@@ -16,7 +16,9 @@ API:
                      soft_shadow_k (penumbra sharpness, 0 = hard),
                      ao (ambient-occlusion strength, 0 = off),
                      reflect (mirror strength in [0, 1), 0 = off),
-                     bounces (mirror bounce count, default 1, max 3)
+                     bounces (mirror bounce count, default 1, max 3),
+                     aperture (thin-lens radius, 0 = pinhole),
+                     focus (focus-plane distance, with aperture)
   POST /aovs                     -> ZIP of AOV planes from ONE render:
        color.png (beauty), normal.png ([-1,1] mapped to [0,255]),
        hit.png (coverage), depth.npy (float32, +inf = miss),
@@ -127,6 +129,8 @@ def _make_handler(backend: str):
                 reflect_strength=min(max(0.0, float(q.get("reflect", 0.0))),
                                      0.99),
                 reflect_bounces=min(max(int(q.get("bounces", 1)), 1), 3),
+                aperture=min(max(0.0, float(q.get("aperture", 0.0))), 10.0),
+                focus_dist=min(max(float(q.get("focus", 6.0)), 1e-3), 1e4),
                 normal_mode="fd", ray_chunk=DEFAULT_RAY_CHUNK)
             return cfg, plan, tables, limits[4][1]
 
