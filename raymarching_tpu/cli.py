@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native differentiable sphere-tracing renderer")
     p.add_argument("--scene", required=True, help="scene text file "
                    "(reference objects.txt grammar)")
-    p.add_argument("--out", default="out.png", help="output image (.png/.ppm)")
+    p.add_argument("--out", default=None,
+                   help="output image (.png/.ppm/.jpg/.pfm; default out.png;"
+                   " with --mesh and no --out the render is skipped)")
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--ssaa", type=int, default=3, help="SSAA kernel size")
@@ -71,6 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="turntable sweep in degrees (with --animate)")
     p.add_argument("--delay-cs", type=int, default=4,
                    help="GIF frame delay in centiseconds (with --animate)")
+    p.add_argument("--mesh", default=None, metavar="PATH",
+                   help="also extract the scene's zero isosurface as a "
+                   "triangle mesh (.obj/.ply; marching tetrahedra over a "
+                   "device-sampled SDF grid)")
+    p.add_argument("--mesh-res", type=int, default=128,
+                   help="mesh grid samples per axis (with --mesh)")
+    p.add_argument("--mesh-bounds", type=float, nargs=6, default=None,
+                   metavar=("X0", "Y0", "Z0", "X1", "Y1", "Z1"),
+                   help="mesh grid world bounds (default: the scene's "
+                   "solid-geometry bounding box)")
     p.add_argument("--compare", action="store_true",
                    help="report max abs difference between backends")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -90,12 +102,20 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import os
-    ext = os.path.splitext(args.out)[1].lower()
+    render_wanted = args.out is not None or args.mesh is None
+    out = args.out if args.out is not None else "out.png"
+    ext = os.path.splitext(out)[1].lower()
     if args.animate > 0 and ext == ".gif":
         pass
-    elif ext not in (".png", ".ppm", ".jpg", ".jpeg", ""):
+    elif render_wanted and ext not in (".png", ".ppm", ".jpg", ".jpeg",
+                                       ".pfm", ""):
         print(f"error: unsupported output format {ext!r} "
-              "(png, ppm, jpg are supported)", file=sys.stderr)
+              "(png, ppm, jpg, pfm are supported)", file=sys.stderr)
+        return 2
+    if args.mesh is not None and not args.mesh.lower().endswith(
+            (".obj", ".ply")):
+        print(f"error: unsupported mesh format {args.mesh!r} "
+              "(obj, ply are supported)", file=sys.stderr)
         return 2
     if not os.path.exists(args.scene):
         print(f"error: scene file not found: {args.scene}", file=sys.stderr)
@@ -150,6 +170,26 @@ def main(argv=None) -> int:
         print(f"selfcheck ok (rerun x{report['rerun']['repeats']} bitwise, "
               f"oracle bad-frac {report['oracle']['bad_pixel_frac']:.4f})")
 
+    if args.mesh is not None:
+        from .io.mesh import extract_mesh, save_mesh
+        bounds = None
+        if args.mesh_bounds is not None:
+            b = args.mesh_bounds
+            bounds = (b[:3], b[3:])
+        with Phase("mesh extract"):
+            verts, faces = extract_mesh(
+                plan, tables, resolution=max(2, args.mesh_res),
+                bounds=bounds, backend=backends[-1])
+        with Phase("mesh save"):
+            save_mesh(args.mesh, verts, faces)
+        print(f"wrote {args.mesh} ({len(verts)} vertices, "
+              f"{len(faces)} triangles)")
+        emit("mesh", out=args.mesh, vertices=int(len(verts)),
+             triangles=int(len(faces)))
+        if not render_wanted:
+            emit("done", out=args.mesh)
+            return 0
+
     if args.animate > 0:
         import math
 
@@ -187,17 +227,17 @@ def main(argv=None) -> int:
                 data = encode_gif(
                     (to_uint8(f, cfg.gamma) for f in frames),
                     delay_cs=max(1, min(args.delay_cs, 1000)))
-                with open(args.out, "wb") as fh:
+                with open(out, "wb") as fh:
                     fh.write(data)
-                print(f"wrote {args.out} ({args.animate} frames)")
+                print(f"wrote {out} ({args.animate} frames)")
             else:
-                stem, fext = os.path.splitext(args.out)
+                stem, fext = os.path.splitext(out)
                 for i, f in enumerate(frames):
                     save_image(f"{stem}_{i:03d}{fext or '.png'}", f,
                                gamma=cfg.gamma)
                 print(f"wrote {stem}_000{fext or '.png'} .. "
                       f"{stem}_{len(frames) - 1:03d}{fext or '.png'}")
-        emit("done", out=args.out)
+        emit("done", out=out)
         return 0
 
     from .utils.timing import profiler_trace
@@ -229,9 +269,9 @@ def main(argv=None) -> int:
 
     final = images[backends[-1]]
     with Phase("save"):
-        save_image(args.out, final, gamma=cfg.gamma)
-    print(f"wrote {args.out}")
-    emit("done", out=args.out)
+        save_image(out, final, gamma=cfg.gamma)
+    print(f"wrote {out}")
+    emit("done", out=out)
     return 0
 
 
