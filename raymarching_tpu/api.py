@@ -288,7 +288,8 @@ def _render_dof(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
 
 def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                  *, row_block: int = 128, backend: Optional[str] = None,
-                 interpret: bool = False):
+                 interpret: bool = False, row_start: int = 0,
+                 num_rows: Optional[int] = None):
     """Stream a frame through the device in row blocks -> host [H, W, 3].
 
     For frames whose full ray set exceeds device HBM (a 16k x 16k SSAA 3x3
@@ -297,8 +298,10 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     RAM as they finish.  The block row start is a traced scalar, so every
     full block shares one compiled executable (plus at most one more for
     the remainder block).  Complements parallel.sharded (which shards rows
-    ACROSS devices); this streams rows THROUGH one device — on a mesh,
-    combine both by calling this per host with its row slice.
+    ACROSS devices); this streams rows THROUGH one device.
+    ``row_start``/``num_rows`` restrict the streamed span to a slice of
+    the frame — ``render_tiled_multihost`` gives every host its own
+    contiguous band this way.
     """
     import numpy as np
 
@@ -325,13 +328,58 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                                  differentiable=False, **hooks)
         return jnp.mean(colors.reshape(n, cfg.width, S, 3), axis=2)
 
-    out = np.empty((cfg.height, cfg.width, 3), np.float32)
-    r = 0
-    while r < cfg.height:
-        n = min(row_block, cfg.height - r)
-        out[r:r + n] = np.asarray(block(tables, jnp.int32(r), n))
+    r = row_start
+    end = row_start + (cfg.height if num_rows is None else num_rows)
+    out = np.empty((end - row_start, cfg.width, 3), np.float32)
+    while r < end:
+        n = min(row_block, end - r)
+        out[r - row_start:r - row_start + n] = np.asarray(
+            block(tables, jnp.int32(r), n))
         r += n
     return out
+
+
+def render_tiled_multihost(plan: ScenePlan, tables: SceneTables,
+                           cfg: RenderConfig, *, row_block: int = 128,
+                           backend: Optional[str] = None,
+                           interpret: bool = False):
+    """Host-sharded tiled rendering: every process streams its OWN
+    contiguous row slice through its local device via ``render_tiled``,
+    then ONE save-time DCN allgather assembles the full frame on every
+    host -> [H, W, 3] numpy.
+
+    This composes the two big-frame strategies: ``parallel.sharded``
+    shards rows across the chips of one jit, ``render_tiled`` streams
+    rows through bounded HBM — here each host gets height/P rows and
+    streams them in ``row_block`` chunks, so a frame larger than the
+    whole slice's combined HBM still renders.  Cross-host traffic is the
+    single gather (the analogue of the reference's glGetTexImage
+    readback, render.cpp:474); the hot loop never leaves the host.
+    Single-process: identical to ``render_tiled``."""
+    import numpy as np
+
+    P = jax.process_count()
+    if P == 1:
+        return render_tiled(plan, tables, cfg, row_block=row_block,
+                            backend=backend, interpret=interpret)
+    p = jax.process_index()
+    base, rem = divmod(cfg.height, P)
+    n = base + (1 if p < rem else 0)
+    r0 = p * base + min(p, rem)
+    mine = render_tiled(plan, tables, cfg, row_block=row_block,
+                        backend=backend, interpret=interpret,
+                        row_start=r0, num_rows=n)
+    # process_allgather needs uniform shapes: pad the short slices by one
+    # row, stack host-major, trim after the gather.
+    pad = base + (1 if rem else 0)
+    if n < pad:
+        mine = np.concatenate(
+            [mine, np.zeros((pad - n, cfg.width, 3), np.float32)], axis=0)
+    from jax.experimental import multihost_utils
+
+    stacked = np.asarray(multihost_utils.process_allgather(mine))
+    pieces = [stacked[q, :base + (1 if q < rem else 0)] for q in range(P)]
+    return np.concatenate(pieces, axis=0)
 
 
 def render_rays(plan: ScenePlan, tables: SceneTables,

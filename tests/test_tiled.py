@@ -54,6 +54,28 @@ def test_tiled_matches_whole_frame_mega_interpret(demo):
     np.testing.assert_allclose(whole, tiled, **TOL)
 
 
+def test_tiled_row_slice_matches_band(demo):
+    """row_start/num_rows stream exactly the requested band (the
+    multihost splitter's contract)."""
+    plan, tables = demo
+    whole = render_tiled(plan, tables, CFG, row_block=16, backend="jnp")
+    band = render_tiled(plan, tables, CFG, row_block=16, backend="jnp",
+                        row_start=11, num_rows=13)
+    assert band.shape == (13, CFG.width, 3)
+    np.testing.assert_allclose(whole[11:24], band, **TOL)
+
+
+def test_tiled_multihost_single_process_degrades(demo):
+    """With one process, render_tiled_multihost IS render_tiled."""
+    from raymarching_tpu.api import render_tiled_multihost
+
+    plan, tables = demo
+    a = render_tiled(plan, tables, CFG, row_block=16, backend="jnp")
+    b = render_tiled_multihost(plan, tables, CFG, row_block=16,
+                               backend="jnp")
+    np.testing.assert_allclose(a, b, **TOL)
+
+
 def test_tiled_output_is_host_memory(demo):
     plan, tables = demo
     tiled = render_tiled(plan, tables, CFG, row_block=18, backend="jnp")
