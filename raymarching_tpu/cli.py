@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(with --aperture)")
     p.add_argument("--ray-chunk", type=int, default=0,
                    help="rays per chunk (bounds memory on the jnp path)")
+    p.add_argument("--row-block", type=int, default=0, metavar="N",
+                   help="stream the frame through the device N rows at a "
+                   "time (api.render_tiled) — renders frames whose full "
+                   "ray set exceeds HBM; single-frame mode only")
     p.add_argument("--animate", type=int, default=0, metavar="N",
                    help="render an N-frame turntable orbit instead of one "
                    "image; --out .gif writes an animated GIF, otherwise "
@@ -195,10 +199,10 @@ def main(argv=None) -> int:
 
         from .api import turntable_frames
         from .utils.timing import profiler_trace
-        if args.compare or len(backends) > 1:
+        if args.compare or len(backends) > 1 or args.row_block > 0:
             print("error: --animate renders one backend; --compare / "
-                  "multi-backend lists apply to single-frame mode only",
-                  file=sys.stderr)
+                  "multi-backend lists / --row-block apply to "
+                  "single-frame mode only", file=sys.stderr)
             return 2
         backend = backends[-1]
         if args.stats:
@@ -243,10 +247,24 @@ def main(argv=None) -> int:
     from .utils.timing import profiler_trace
     with profiler_trace(args.profile):
         for backend in backends:
-            with Phase(f"{backend} compile+render", rays=rays) as ph:
-                img = ph.sync(render_tables_jit(plan, tables, cfg, backend))
-            with Phase(f"{backend} render", rays=rays) as ph:
-                img = ph.sync(render_tables_jit(plan, tables, cfg, backend))
+            if args.row_block > 0:
+                from .api import render_tiled
+                with Phase(f"{backend} compile+render (tiled)",
+                           rays=rays) as ph:
+                    img = ph.sync(render_tiled(plan, tables, cfg,
+                                               row_block=args.row_block,
+                                               backend=backend))
+                with Phase(f"{backend} render (tiled)", rays=rays) as ph:
+                    img = ph.sync(render_tiled(plan, tables, cfg,
+                                               row_block=args.row_block,
+                                               backend=backend))
+            else:
+                with Phase(f"{backend} compile+render", rays=rays) as ph:
+                    img = ph.sync(render_tables_jit(plan, tables, cfg,
+                                                    backend))
+                with Phase(f"{backend} render", rays=rays) as ph:
+                    img = ph.sync(render_tables_jit(plan, tables, cfg,
+                                                    backend))
             images[backend] = img
             emit("render", backend=backend, seconds=round(ph.seconds, 6),
                  mrays_per_s=round(rays / ph.seconds / 1e6, 4))

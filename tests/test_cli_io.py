@@ -60,6 +60,22 @@ class TestCli:
                    "--animate", "2", "--backend", "ref,jnp", "--compare"])
         assert rc == 2
 
+    def test_row_block_streams_frame(self, tmp_path, scenes_dir):
+        out = str(tmp_path / "tiled.png")
+        rc = main(["--scene", str(scenes_dir / "config1.txt"), "--out", out,
+                   "--width", "16", "--height", "12", "--ssaa", "1",
+                   "--iterations", "30", "--backend", "jnp",
+                   "--normal-mode", "analytic", "--row-block", "5"])
+        assert rc == 0
+        assert open(out, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_row_block_rejected_in_animate(self, tmp_path, scenes_dir):
+        rc = main(["--scene", str(scenes_dir / "config1.txt"),
+                   "--out", str(tmp_path / "a.gif"),
+                   "--width", "16", "--height", "8", "--ssaa", "1",
+                   "--animate", "2", "--row-block", "4"])
+        assert rc == 2
+
     def test_missing_scene(self, tmp_path):
         rc = main(["--scene", "/definitely/not/here.txt",
                    "--out", str(tmp_path / "x.png")])
