@@ -312,10 +312,23 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     from .core import camera as cam
     from .core.render import _shade_rays
     S = cfg.samples_per_pixel
+    span = cfg.height if num_rows is None else num_rows
+    if not (0 <= row_start and row_start + span <= cfg.height):
+        raise ValueError(
+            f"row band [{row_start}, {row_start + span}) outside frame "
+            f"height {cfg.height}")
 
     @partial(jax.jit, static_argnames=("n",))
     def block(tables, r0, n):
-        origin, dirs = cam.generate_rays(tables, cfg, row_range=(r0, n))
+        if cfg.aperture > 0.0:
+            # Thin-lens band: per-sample lens origins + refocused dirs
+            # (generate_rays_dof row_range) — keeps --row-block consistent
+            # with the whole-frame DoF path instead of silently pinhole.
+            origin, dirs = cam.generate_rays_dof(tables, cfg,
+                                                 row_range=(r0, n))
+            origin = origin.reshape(-1, 3)
+        else:
+            origin, dirs = cam.generate_rays(tables, cfg, row_range=(r0, n))
         flat = dirs.reshape(-1, 3)
         if backend == "mega":
             from .ops.pallas_render import fused_render_op

@@ -248,13 +248,13 @@ def main(argv=None) -> int:
     with profiler_trace(args.profile):
         for backend in backends:
             if args.row_block > 0:
+                # One streamed pass only: --row-block targets frames whose
+                # wall-clock is already very long, so the usual warm re-run
+                # would double it.  The single timing therefore includes
+                # the (one-block) compile.
                 from .api import render_tiled
                 with Phase(f"{backend} compile+render (tiled)",
                            rays=rays) as ph:
-                    img = ph.sync(render_tiled(plan, tables, cfg,
-                                               row_block=args.row_block,
-                                               backend=backend))
-                with Phase(f"{backend} render (tiled)", rays=rays) as ph:
                     img = ph.sync(render_tiled(plan, tables, cfg,
                                                row_block=args.row_block,
                                                backend=backend))

@@ -19,8 +19,27 @@ from typing import Optional
 import numpy as np
 
 
+def _on_tunneled_platform() -> bool:
+    """True when the device is reached through a remote tunnel (the axon
+    PJRT plugin), where ``block_until_ready`` returns before device work
+    completes and only a host fetch is a truthful sync."""
+    try:
+        import jax
+        if "axon" in (jax.config.jax_platforms or ""):
+            d = jax.devices()[0]
+            return "axon" in getattr(d.client, "platform_version", "")
+    except Exception:
+        pass
+    return False
+
+
 class Phase:
-    """Wall-clock span: ``with Phase("render") as ph: ... ph.sync(x)``."""
+    """Wall-clock span: ``with Phase("render") as ph: ... ph.sync(x)``.
+
+    A throughput-reporting phase (``rays`` given) REQUIRES ``sync``: on a
+    tunneled platform an un-synced exit raises rather than print a rate
+    computed from a timestamp the device never confirmed (the
+    block_until_ready footgun)."""
 
     def __init__(self, name: str, rays: Optional[int] = None,
                  verbose: bool = True):
@@ -28,6 +47,7 @@ class Phase:
         self.rays = rays
         self.verbose = verbose
         self.seconds = None
+        self._synced = False
 
     def __enter__(self):
         self._t0 = time.perf_counter()
@@ -35,17 +55,33 @@ class Phase:
 
     def sync(self, value):
         """Force the value to host (true device sync) and return it."""
-        out = np.asarray(value)
+        out = jax_tree_fetch(value)
+        self._synced = True
         return out
 
     def __exit__(self, *exc):
         self.seconds = time.perf_counter() - self._t0
+        if (exc[0] is None and self.rays and not self._synced
+                and _on_tunneled_platform()):
+            raise RuntimeError(
+                f"Phase({self.name!r}) reports a throughput but never "
+                "called .sync(result): on this tunneled platform the "
+                "timing is not trustworthy without a host fetch")
         if self.verbose and exc[0] is None:
             msg = f"[{self.name}] {self.seconds:.3f} s"
             if self.rays:
                 msg += f"  ({self.rays / self.seconds / 1e6:.3f} Mrays/s)"
             print(msg)
         return False
+
+
+def jax_tree_fetch(value):
+    """Fetch every array leaf of ``value`` to host memory (numpy) — the
+    only device synchronization that is truthful on every platform."""
+    if isinstance(value, (list, tuple, dict)):
+        import jax
+        return jax.tree_util.tree_map(np.asarray, value)
+    return np.asarray(value)
 
 
 @contextlib.contextmanager

@@ -132,6 +132,45 @@ class TestSelfcheck:
         assert report["ok"]
 
 
+class TestPhaseTruthfulTiming:
+    """utils.timing.Phase: on a tunneled platform a throughput phase that
+    never host-fetched its result must raise, not print a fake rate."""
+
+    def test_unsync_throughput_phase_raises_on_tunnel(self, monkeypatch):
+        from raymarching_tpu.utils import timing
+        monkeypatch.setattr(timing, "_on_tunneled_platform", lambda: True)
+        with pytest.raises(RuntimeError, match="never"):
+            with timing.Phase("render", rays=1000, verbose=False):
+                pass
+
+    def test_synced_phase_passes_on_tunnel(self, monkeypatch):
+        from raymarching_tpu.utils import timing
+        monkeypatch.setattr(timing, "_on_tunneled_platform", lambda: True)
+        with timing.Phase("render", rays=1000, verbose=False) as ph:
+            out = ph.sync(np.zeros(3))
+        assert isinstance(out, np.ndarray)
+        assert ph.seconds >= 0
+
+    def test_no_rays_phase_needs_no_sync(self, monkeypatch):
+        from raymarching_tpu.utils import timing
+        monkeypatch.setattr(timing, "_on_tunneled_platform", lambda: True)
+        with timing.Phase("scene load", verbose=False):
+            pass
+
+    def test_exception_propagates_unmasked(self, monkeypatch):
+        from raymarching_tpu.utils import timing
+        monkeypatch.setattr(timing, "_on_tunneled_platform", lambda: True)
+        with pytest.raises(ValueError):
+            with timing.Phase("render", rays=1000, verbose=False):
+                raise ValueError("original error")
+
+    def test_untunneled_platform_is_lenient(self, monkeypatch):
+        from raymarching_tpu.utils import timing
+        monkeypatch.setattr(timing, "_on_tunneled_platform", lambda: False)
+        with timing.Phase("render", rays=1000, verbose=False):
+            pass
+
+
 class TestCLIIntegration:
     @pytest.mark.slow
     def test_log_json_and_selfcheck_flags(self, tmp_path):

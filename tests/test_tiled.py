@@ -76,6 +76,29 @@ def test_tiled_multihost_single_process_degrades(demo):
     np.testing.assert_allclose(a, b, **TOL)
 
 
+def test_tiled_rejects_out_of_range_band(demo):
+    plan, tables = demo
+    with pytest.raises(ValueError, match="outside frame"):
+        render_tiled(plan, tables, CFG, row_block=16, backend="jnp",
+                     row_start=30, num_rows=10)
+    with pytest.raises(ValueError, match="outside frame"):
+        render_tiled(plan, tables, CFG, row_block=16, backend="jnp",
+                     row_start=-1, num_rows=4)
+
+
+def test_tiled_dof_matches_whole_frame(demo):
+    """--row-block with aperture > 0 must render the SAME thin-lens image
+    as the whole-frame DoF path (was: silent pinhole fallback)."""
+    plan, tables = demo
+    cfg = CFG.replace(aperture=0.05, focus_dist=6.0)
+    whole = np.asarray(render_tables(plan, tables, cfg, backend="jnp"))
+    tiled = render_tiled(plan, tables, cfg, row_block=16, backend="jnp")
+    np.testing.assert_allclose(whole, tiled, **TOL)
+    # and it actually differs from the pinhole frame (DoF engaged)
+    pin = np.asarray(render_tables(plan, tables, CFG, backend="jnp"))
+    assert np.abs(whole - pin).max() > 1e-3
+
+
 def test_tiled_output_is_host_memory(demo):
     plan, tables = demo
     tiled = render_tiled(plan, tables, CFG, row_block=18, backend="jnp")
