@@ -33,7 +33,35 @@ import numpy as np
 BASELINE_MRAYS = 7.0778880e6 / 185.161 / 1e6  # 0.03822 Mrays/s (GTX 1060)
 
 
-def _measure(plan, tables, cfg, backend, reps=3):
+def _roundtrip_floor(reps=10) -> float:
+    """Median dispatch+fetch round trip of a trivial kernel — ~30 ms over
+    the axon tunnel, i.e. a fixed tax on every fetch-per-rep timing."""
+    f = jax.jit(lambda x: jnp.sum(x * jnp.float32(1.0000001)))
+    x = jnp.ones((8, 128), jnp.float32)
+    float(f(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _measure(plan, tables, cfg, backend, reps=5, pipeline=8):
+    """Throughput stats under TWO protocols:
+
+    * ``pipelined`` (the headline): ``pipeline`` back-to-back dispatches
+      of the fwd+bwd step with ONE host fetch of the last loss.  The
+      device stream is FIFO, so the fetch proves all executed; the ~30 ms
+      tunnel round trip amortizes away.  This is what a production host
+      (PCIe-attached, not fetching scalars over HTTP per step) sees.
+    * ``per_dispatch``: one fetch per rep — comparable to the r1/r2
+      records, which unknowingly included the round trip (~26% at these
+      frame times).
+
+    Every rep is timed individually IN THIS PROCESS and min/median/max
+    reported: a regression is only credible when it exceeds the spread
+    (same-commit cross-process swings of ~9% are documented)."""
     from raymarching_tpu.api import render_tables
 
     def loss_fn(t):
@@ -42,21 +70,45 @@ def _measure(plan, tables, cfg, backend, reps=3):
 
     step = jax.jit(jax.value_and_grad(loss_fn))
 
-    def run_once():
-        loss, grads = step(tables)
-        # Force real host transfers: block_until_ready is unreliable on
-        # tunneled platforms — fetching the values is the ground truth.
-        return float(loss), np.asarray(grads.prim_pos)
-
-    loss, g = run_once()          # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        loss, g = run_once()
-    dt = (time.perf_counter() - t0) / reps
-
+    # compile + warm + correctness gate (fetch everything once)
+    loss, grads = step(tables)
+    loss = float(loss)
+    g = np.asarray(grads.prim_pos)
     assert np.all(np.isfinite(g)), "non-finite gradients"
     assert loss > 0, "degenerate render"
-    return cfg.rays_per_image / dt / 1e6
+
+    def stats(rates):
+        rates = np.asarray(rates)
+        return {
+            "median": float(np.median(rates)),
+            "min": float(rates.min()),
+            "max": float(rates.max()),
+            "spread_pct": float(100.0 * (rates.max() - rates.min())
+                                / np.median(rates)),
+            "reps": int(len(rates)),
+        }
+
+    per_dispatch = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = step(tables)
+        float(out[0]), np.asarray(out[1].prim_pos)
+        per_dispatch.append(
+            cfg.rays_per_image / (time.perf_counter() - t0) / 1e6)
+
+    pipelined = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _i in range(pipeline):
+            out = step(tables)
+        float(out[0])        # one fetch syncs the whole FIFO queue
+        pipelined.append(pipeline * cfg.rays_per_image
+                         / (time.perf_counter() - t0) / 1e6)
+
+    rec = stats(pipelined)
+    rec["per_dispatch"] = stats(per_dispatch)
+    rec["pipeline_depth"] = int(pipeline)
+    return rec
 
 
 def _device_watchdog(timeout_s: float = 240.0) -> str:
@@ -102,12 +154,12 @@ def main():
     plan, tables = compile_scene(scene)
     backend = resolve_backend("auto")
 
-    exact_mrays = _measure(plan, tables, cfg, backend)
+    exact = _measure(plan, tables, cfg, backend)
 
     # Fused-generator fast mode (space-folded Menger, validated identical
     # zero set): eligible for the headline only if its image passes an
     # allclose gate against the exact-table path on this hardware.
-    fused_mrays = None
+    fused = None
     fused_ok = False
     if backend in ("pallas", "mega") and any(
             g.fused for g in (plan.kernel.groups if plan.kernel else ())):
@@ -119,22 +171,35 @@ def main():
             backend=backend))
         diff = np.abs(a - b).max(axis=-1)
         fused_ok = bool((diff < 5e-3).mean() > 0.995)
-        fused_mrays = _measure(plan, tables,
-                               cfg.replace(fused_generators=True), backend)
+        fused = _measure(plan, tables,
+                         cfg.replace(fused_generators=True), backend)
 
-    headline = fused_mrays if (fused_ok and fused_mrays) else exact_mrays
-    tag = f"{backend}_fused" if (fused_ok and fused_mrays) else backend
+    headline = fused["median"] if (fused_ok and fused) else exact["median"]
+    tag = f"{backend}_fused" if (fused_ok and fused) else backend
+
+    def rounded(d):
+        return {k: (round(v, 4) if isinstance(v, float) else
+                    ({kk: round(vv, 4) for kk, vv in v.items()}
+                     if isinstance(v, dict) else v))
+                for k, v in d.items()}
+
     record = {
         "metric": f"mrays_per_s_fwd_bwd_menger512_ssaa2_{tag}",
         "value": round(headline, 4),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(headline / BASELINE_MRAYS, 2),
-        "exact_mrays": round(exact_mrays, 4),
-        "exact_vs_baseline": round(exact_mrays / BASELINE_MRAYS, 2),
+        "timing_protocol": "pipelined x8 dispatches, one sync fetch "
+                           "(per_dispatch = r1/r2-comparable, includes "
+                           "the tunnel round trip)",
+        "roundtrip_floor_s": round(_roundtrip_floor(), 4),
+        "exact_mrays": round(exact["median"], 4),
+        "exact_vs_baseline": round(exact["median"] / BASELINE_MRAYS, 2),
+        "exact_stats": rounded(exact),
     }
-    if fused_mrays is not None:
-        record["fused_mrays"] = round(fused_mrays, 4)
+    if fused is not None:
+        record["fused_mrays"] = round(fused["median"], 4)
         record["fused_gate_ok"] = fused_ok
+        record["fused_stats"] = rounded(fused)
     print(json.dumps(record))
 
 

@@ -5,10 +5,17 @@ multi-chip/multi-host slice this measures the ray-sharded training step at
 every mesh width; on a CPU host it runs against the 8-virtual-device fake
 mesh (same code path, demonstrates the harness).
 
-    python benchmarks/scaling.py [--devices 1 2 4 8] [--fake]
+    python benchmarks/scaling.py [--devices 1 2 4 8] [--fake] \
+        [--json SCALING_r3.json]
+
+The JSON record is machine-readable for the BASELINE gate; when measured
+on virtual CPU devices it carries ``"fake_mesh": true`` — those numbers
+validate the code path only (virtual devices share the host's cores).
+The real-slice procedure is docs/SCALING_RUNBOOK.md.
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -21,8 +28,10 @@ def main():
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     ap.add_argument("--fake", action="store_true",
                     help="force an 8-virtual-device CPU mesh")
+    ap.add_argument("--json", default=None, help="write the record here")
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     if args.fake:
@@ -40,16 +49,28 @@ def main():
 
     distributed.initialize()
 
-    if jax.devices()[0].platform == "cpu":
+    fake = jax.devices()[0].platform == "cpu"
+    if fake:
         print("NOTE: virtual CPU devices share the same host cores — "
               "efficiency numbers here only validate the code path, not "
-              "scaling; run on a real slice for the BASELINE metric.")
+              "scaling; run on a real slice for the BASELINE metric "
+              "(docs/SCALING_RUNBOOK.md).")
     n_avail = len(jax.devices())
     sizes = args.devices or [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
     scene = load_scene(os.path.join(os.path.dirname(__file__), "..",
                                     "scenes", "config3.txt"))
     plan, tables = compile_scene(scene)
 
+    record = {
+        "metric": "ray_sharded_train_step_scaling",
+        "fake_mesh": bool(fake),
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "processes": int(jax.process_count()),
+        "scene": "config3.txt",
+        "image": [args.width, args.height],
+        "widths": [],
+    }
     base_rate = None
     for n in sizes:
         cfg = RenderConfig(width=args.width,
@@ -61,16 +82,35 @@ def main():
                                             lr=0.0))
         loss, _ = step(tables)
         float(loss)                         # compile + sync
-        t0 = time.perf_counter()
-        loss, _ = step(tables)
-        float(loss)
-        dt = time.perf_counter() - t0
+        ts = []
+        for _ in range(max(args.reps, 1)):
+            t0 = time.perf_counter()
+            loss, _ = step(tables)
+            float(loss)
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
         rate = cfg.rays_per_image / dt / 1e6
         if base_rate is None:
             base_rate = rate / n
         eff = rate / (base_rate * n) * 100.0
+        record["widths"].append({
+            "devices": int(n), "seconds": dt,
+            "mrays_per_s": round(rate, 4),
+            "efficiency_pct": round(eff, 1),
+        })
         print(f"devices={n:3d}: {dt:7.3f}s  {rate:8.3f} Mrays/s "
               f"efficiency={eff:6.1f}%")
+
+    two = next((w for w in record["widths"] if w["devices"] == 2), None)
+    if two is not None:
+        record["efficiency_at_2_pct"] = two["efficiency_pct"]
+        record["baseline_target_pct"] = 85.0
+        record["meets_target"] = (bool(two["efficiency_pct"] >= 85.0)
+                                  if not fake else None)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

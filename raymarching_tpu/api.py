@@ -185,12 +185,22 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     mapped chunk does many small color scatter-adds instead of one giant
     one, which benchmarks several times faster on TPU."""
     from .core import camera as cam
+    from .core.order import block_permutation, resolve_ray_order
     from .ops.pallas_render import fused_render_op
 
     origin, dirs = cam.generate_rays(tables, cfg)
     S = cfg.samples_per_pixel
     R = cfg.height * cfg.width * S
     flat = dirs.reshape(R, 3)
+
+    # Block ray order (bit-exact, see core.order): tiles cover compact
+    # pixel blocks instead of full image rows, so a tile's slowest lane
+    # is a near neighbour, not a fractal pixel half a frame away.
+    perm = (block_permutation(cfg.height, cfg.width, S,
+                              cfg.tile_sublanes * 128)
+            if resolve_ray_order(cfg, "mega") else None)
+    if perm is not None:
+        flat = flat[jnp.asarray(perm[0])]
 
     chunk = cfg.ray_chunk
     if chunk and R > chunk:
@@ -204,6 +214,8 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         colors = colors.reshape(-1, 3)[:R]
     else:
         colors = fused_render_op(plan, cfg, interpret, tables, origin, flat)
+    if perm is not None:
+        colors = colors[jnp.asarray(perm[1])]
     return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)
 
 
@@ -249,12 +261,19 @@ def _render_dof(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     ride the hook layer, whose marches already accept [R, 3] origins
     (the reflection recursion relies on it)."""
     from .core import camera as cam
+    from .core.order import block_permutation, resolve_ray_order
     from .core.render import _shade_rays
 
     o, d = cam.generate_rays_dof(tables, cfg)
     S = cfg.samples_per_pixel
     R = cfg.height * cfg.width * S
     o, d = o.reshape(R, 3), d.reshape(R, 3)
+    perm = (block_permutation(cfg.height, cfg.width, S,
+                              cfg.tile_sublanes * 128)
+            if resolve_ray_order(cfg, backend) else None)
+    if perm is not None:
+        pidx = jnp.asarray(perm[0])
+        o, d = o[pidx], d[pidx]
     if backend == "mega":
         colors = render_rays(plan, tables, o, d, cfg, interpret=interpret)
     else:
@@ -283,6 +302,8 @@ def _render_dof(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
             colors = colors.reshape(-1, 3)[:R]
         else:
             colors = shade(o, d)
+    if perm is not None:
+        colors = colors[jnp.asarray(perm[1])]
     return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)
 
 
@@ -318,6 +339,8 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
             f"row band [{row_start}, {row_start + span}) outside frame "
             f"height {cfg.height}")
 
+    from .core.order import block_permutation, resolve_ray_order
+
     @partial(jax.jit, static_argnames=("n",))
     def block(tables, r0, n):
         if cfg.aperture > 0.0:
@@ -330,6 +353,12 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         else:
             origin, dirs = cam.generate_rays(tables, cfg, row_range=(r0, n))
         flat = dirs.reshape(-1, 3)
+        perm = (block_permutation(n, cfg.width, S, cfg.tile_sublanes * 128)
+                if resolve_ray_order(cfg, backend) else None)
+        if perm is not None:
+            flat = flat[jnp.asarray(perm[0])]
+            if jnp.ndim(origin) == 2:
+                origin = origin[jnp.asarray(perm[0])]
         if backend == "mega":
             from .ops.pallas_render import fused_render_op
             colors = fused_render_op(plan, cfg, interpret, tables, origin,
@@ -339,6 +368,8 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                                       interpret=interpret)
             colors = _shade_rays(plan, tables, cfg, origin, flat,
                                  differentiable=False, **hooks)
+        if perm is not None:
+            colors = colors[jnp.asarray(perm[1])]
         return jnp.mean(colors.reshape(n, cfg.width, S, 3), axis=2)
 
     r = row_start

@@ -55,6 +55,18 @@ class RenderConfig:
     # elsewhere; "jnp" / "pallas" force a path.
     backend: str = "auto"
 
+    # Ray-to-tile assignment for the camera-grid kernel paths ("auto" |
+    # "block" | "scan").  In scan order one (tile_sublanes, 128) hardware
+    # tile at the bench config is one full image ROW — background and
+    # fractal lanes share a tile, and the tile marches until its SLOWEST
+    # lane converges (measured straggler lane-bound 4.1x).  "block"
+    # reorders samples so a tile covers a compact ~square pixel block
+    # (measured 2.3x on the same profile).  BIT-EXACT: per-ray arithmetic
+    # is order-independent and the output is inverse-permuted; only the
+    # tile composition (performance) changes.  "auto" = block on the mega
+    # kernel path, scan elsewhere.
+    ray_order: str = "auto"
+
     # Rays per Pallas program instance: (tile_sublanes, 128) grid tiles.
     # Swept on the demo scene: fused mode prefers 32 (+3% over 16), but
     # the exact-table path prefers 16 strongly (bigger tiles blunt the
