@@ -174,8 +174,13 @@ def main():
         fused = _measure(plan, tables,
                          cfg.replace(fused_generators=True), backend)
 
-    headline = fused["median"] if (fused_ok and fused) else exact["median"]
-    tag = f"{backend}_fused" if (fused_ok and fused) else backend
+    # Headline: the faster of the two regimes (fused only when its image
+    # passed the gate).  Since block ray ordering the EXACT path often
+    # wins — it is field-eval-bound and benefits most from shorter tiles.
+    use_fused = (fused_ok and fused
+                 and fused["median"] > exact["median"])
+    headline = fused["median"] if use_fused else exact["median"]
+    tag = f"{backend}_fused" if use_fused else backend
 
     def rounded(d):
         return {k: (round(v, 4) if isinstance(v, float) else

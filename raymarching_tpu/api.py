@@ -185,7 +185,8 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     mapped chunk does many small color scatter-adds instead of one giant
     one, which benchmarks several times faster on TPU."""
     from .core import camera as cam
-    from .core.order import block_permutation, resolve_ray_order
+    from .core.order import (block_dims, from_blocked, resolve_ray_order,
+                             to_blocked)
     from .ops.pallas_render import fused_render_op
 
     origin, dirs = cam.generate_rays(tables, cfg)
@@ -196,11 +197,10 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     # Block ray order (bit-exact, see core.order): tiles cover compact
     # pixel blocks instead of full image rows, so a tile's slowest lane
     # is a near neighbour, not a fractal pixel half a frame away.
-    perm = (block_permutation(cfg.height, cfg.width, S,
-                              cfg.tile_sublanes * 128)
-            if resolve_ray_order(cfg, "mega") else None)
-    if perm is not None:
-        flat = flat[jnp.asarray(perm[0])]
+    bdims = (block_dims(cfg.height, cfg.width, S, cfg.tile_sublanes * 128)
+             if resolve_ray_order(cfg, "mega") else None)
+    if bdims is not None:
+        flat = to_blocked(flat, cfg.height, cfg.width, S, *bdims)
 
     chunk = cfg.ray_chunk
     if chunk and R > chunk:
@@ -214,8 +214,8 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         colors = colors.reshape(-1, 3)[:R]
     else:
         colors = fused_render_op(plan, cfg, interpret, tables, origin, flat)
-    if perm is not None:
-        colors = colors[jnp.asarray(perm[1])]
+    if bdims is not None:
+        colors = from_blocked(colors, cfg.height, cfg.width, S, *bdims)
     return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)
 
 
@@ -261,19 +261,19 @@ def _render_dof(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     ride the hook layer, whose marches already accept [R, 3] origins
     (the reflection recursion relies on it)."""
     from .core import camera as cam
-    from .core.order import block_permutation, resolve_ray_order
+    from .core.order import (block_dims, from_blocked, resolve_ray_order,
+                             to_blocked)
     from .core.render import _shade_rays
 
     o, d = cam.generate_rays_dof(tables, cfg)
     S = cfg.samples_per_pixel
     R = cfg.height * cfg.width * S
     o, d = o.reshape(R, 3), d.reshape(R, 3)
-    perm = (block_permutation(cfg.height, cfg.width, S,
-                              cfg.tile_sublanes * 128)
-            if resolve_ray_order(cfg, backend) else None)
-    if perm is not None:
-        pidx = jnp.asarray(perm[0])
-        o, d = o[pidx], d[pidx]
+    bdims = (block_dims(cfg.height, cfg.width, S, cfg.tile_sublanes * 128)
+             if resolve_ray_order(cfg, backend) else None)
+    if bdims is not None:
+        o = to_blocked(o, cfg.height, cfg.width, S, *bdims)
+        d = to_blocked(d, cfg.height, cfg.width, S, *bdims)
     if backend == "mega":
         colors = render_rays(plan, tables, o, d, cfg, interpret=interpret)
     else:
@@ -302,8 +302,8 @@ def _render_dof(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
             colors = colors.reshape(-1, 3)[:R]
         else:
             colors = shade(o, d)
-    if perm is not None:
-        colors = colors[jnp.asarray(perm[1])]
+    if bdims is not None:
+        colors = from_blocked(colors, cfg.height, cfg.width, S, *bdims)
     return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)
 
 
@@ -339,7 +339,8 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
             f"row band [{row_start}, {row_start + span}) outside frame "
             f"height {cfg.height}")
 
-    from .core.order import block_permutation, resolve_ray_order
+    from .core.order import (block_dims, from_blocked, resolve_ray_order,
+                             to_blocked)
 
     @partial(jax.jit, static_argnames=("n",))
     def block(tables, r0, n):
@@ -353,12 +354,12 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         else:
             origin, dirs = cam.generate_rays(tables, cfg, row_range=(r0, n))
         flat = dirs.reshape(-1, 3)
-        perm = (block_permutation(n, cfg.width, S, cfg.tile_sublanes * 128)
-                if resolve_ray_order(cfg, backend) else None)
-        if perm is not None:
-            flat = flat[jnp.asarray(perm[0])]
+        bdims = (block_dims(n, cfg.width, S, cfg.tile_sublanes * 128)
+                 if resolve_ray_order(cfg, backend) else None)
+        if bdims is not None:
+            flat = to_blocked(flat, n, cfg.width, S, *bdims)
             if jnp.ndim(origin) == 2:
-                origin = origin[jnp.asarray(perm[0])]
+                origin = to_blocked(origin, n, cfg.width, S, *bdims)
         if backend == "mega":
             from .ops.pallas_render import fused_render_op
             colors = fused_render_op(plan, cfg, interpret, tables, origin,
@@ -368,8 +369,8 @@ def render_tiled(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                                       interpret=interpret)
             colors = _shade_rays(plan, tables, cfg, origin, flat,
                                  differentiable=False, **hooks)
-        if perm is not None:
-            colors = colors[jnp.asarray(perm[1])]
+        if bdims is not None:
+            colors = from_blocked(colors, n, cfg.width, S, *bdims)
         return jnp.mean(colors.reshape(n, cfg.width, S, 3), axis=2)
 
     r = row_start

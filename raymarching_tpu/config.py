@@ -147,6 +147,20 @@ class RenderConfig:
     reflect_strength: float = 0.0
     reflect_bounces: int = 1
 
+    # Black-lane shadow skip (mega kernel): a lane whose color winner is a
+    # compile-time-black primitive (or a miss) produces a provably black
+    # pixel — color * clamp(light) == 0 whatever the light term is — so
+    # its per-light shadow marches start pre-converged (zero field evals;
+    # the tile's while-loop no longer waits on them).  EXACT for the
+    # rendered image; gated at RUNTIME on the live color table still
+    # having those rows black, so fitting a black primitive's color
+    # re-enables full shading automatically.  Backward semantics: black
+    # lanes are GRADIENT-DEAD — in particular d loss / d prim_color of a
+    # black primitive is 0 instead of its Lambert light term (the shadow
+    # state that term needs was never computed).  Disable for fits that
+    # must lift colors out of exact black.
+    shade_skip_black: bool = True
+
     # Thin-lens depth of field (opt-in, 0.0 = reference-parity pinhole):
     # each SSAA sample's origin moves to a point on a lens disk of radius
     # ``aperture`` (world units) in the camera's right/up plane — a

@@ -38,14 +38,20 @@ from .pallas_march import (LANES, _build_table, _scene_sd_idx_tile,
 
 
 def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
-                  tmax=None, soft_k=None):
+                  tmax=None, soft_k=None, init_done=None):
     """March a tile; state lives in scoped VMEM scratch (Mosaic cannot yet
     relayout splat-initialized vectors through while-loop carries), the
     loop carry is scalars only.  Returns (px, py, pz, sd, done-mask)
     — plus the penumbra tracker min clamp(soft_k * sd / t, 0, 1) when
     ``soft_k`` is set (shadow rays with cfg.soft_shadow_k > 0; same
     formula as core.shading._soft_step, t from the position projection
-    the tmax check already computes)."""
+    the tmax check already computes).
+
+    ``init_done``: optional boolean tile of lanes whose result is not
+    needed (e.g. shadow rays of provably-black pixels) — they start
+    pre-converged: zero field evals, never a straggler, and an all-skipped
+    tile does not enter the loop at all.  Skipped lanes return p = origin,
+    sd = +inf, done = 1."""
     dtype = dx.dtype
     shape = dx.shape
     soft = soft_k is not None
@@ -58,7 +64,9 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
         py_s[...] = oy + 0.0 * dy
         pz_s[...] = oz + 0.0 * dz
         sd_s[...] = jnp.full(shape, jnp.inf, dtype)
-        done_s[...] = jnp.zeros(shape, dtype)
+        done0 = (jnp.zeros(shape, dtype) if init_done is None
+                 else jnp.where(init_done, 1.0, 0.0).astype(dtype))
+        done_s[...] = done0
         if soft:
             pen_s[...] = jnp.ones(shape, dtype)
 
@@ -105,7 +113,8 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
                 done = one_step(None)
             return it + K, jnp.min(done) > 0.5
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
+        jax.lax.while_loop(cond, body,
+                           (jnp.int32(0), jnp.min(done0) > 0.5))
         for _ in range(iterations - main):
             one_step(None)
         out = (px_s[...], py_s[...], pz_s[...], sd_s[...], done_s[...])
@@ -142,8 +151,11 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    num_lights: int, shadows: bool, fused: bool,
                    analytic: bool, colored: bool, soft_k: float,
                    ao_strength: float, ao_samples: int, ao_delta: float,
-                   bounces: int, per_ray_org: bool,
+                   bounces: int, per_ray_org: bool, black_ids,
                    tbl_ref, lights_ref, *in_refs):
+    gate_ref = None
+    if black_ids:
+        gate_ref, in_refs = in_refs[0], in_refs[1:]
     if per_ray_org:
         # arbitrary ray bundles (api.render_rays / batched animation
         # frames): each lane carries its own origin in VMEM
@@ -191,7 +203,8 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                       num_lights, shadows, fused, analytic, colored, soft_k,
                       ao_strength, ao_samples, ao_delta,
                       tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
-                      *shade_sets[0])
+                      *shade_sets[0], black_ids=black_ids,
+                      gate_ref=gate_ref)
 
     # 2. mirror bounces (RenderConfig.reflect_*): reflect off the shaded
     # hit, push the origin off the surface exactly like a shadow ray, and
@@ -226,7 +239,8 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
                 analytic: bool, colored: bool, soft_k: float,
                 ao_strength: float, ao_samples: int, ao_delta: float,
                 tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
-                cidx_ref, light_refs, smask_ref, sfac_refs=(), ao_ref=None):
+                cidx_ref, light_refs, smask_ref, sfac_refs=(), ao_ref=None,
+                black_ids=(), gate_ref=None):
     """Steps 2-4 of the per-ray pipeline given marched hit points: color
     index at the pre-step point, normal, shadow marches, Lambert clamp.
     Shared by the single mega kernel and the two-phase shade kernel.
@@ -236,13 +250,27 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
     scales the Lambert term by it (per-light factors go out via
     ``sfac_refs`` for the backward replay); ``ao_strength > 0`` computes
     the SDF ambient-occlusion factor and scales the final clamped light
-    (factor out via ``ao_ref``)."""
+    (factor out via ``ao_ref``).
+
+    ``black_ids``/``gate_ref`` (RenderConfig.shade_skip_black): lanes whose
+    color winner is a compile-time-black primitive (or a miss) start their
+    shadow marches pre-converged — their pixel is color * light == 0
+    whatever light is, so the marches' only effect was wall-clock.  The
+    SMEM gate scalar is the runtime proof that those table rows are still
+    black (computed outside the kernel); 0 disables the skip bitwise."""
     dtype = dx.dtype
     # 2. color index at the pre-step point (scene.cpp:34-42 semantics)
     step = jnp.minimum(sd, MAX_STEP)
     _, cidx = _scene_sd_idx_tile(kp, tbl_ref, px - step * dx, py - step * dy,
                                  pz - step * dz, dtype, fused=fused)
     cidx_ref[...] = cidx
+
+    skip = None
+    if black_ids and gate_ref is not None and shadows:
+        isb = cidx < 0                      # miss lanes shade to black too
+        for k in black_ids:
+            isb = jnp.logical_or(isb, cidx == k)
+        skip = jnp.logical_and(isb, gate_ref[0] > 0.5)
 
     # 3. normal at the hit point: FD (reference parity, scene.cpp:70-89)
     # or the hand-derived analytic winner gradient (one eval vs six)
@@ -286,7 +314,8 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
             tmax = jnp.sqrt(t2x * t2x + t2y * t2y + t2z * t2z)
             res = _march_values(
                 kp, tbl_ref, sx, sy, sz, rx, ry, rz, iterations, eps,
-                fused, tmax=tmax, soft_k=soft_k if soft else None)
+                fused, tmax=tmax, soft_k=soft_k if soft else None,
+                init_done=skip)
             qx, qy, qz = res[0], res[1], res[2]
             passed = ((lx - qx) * rx + (ly - qy) * ry + (lz - qz) * rz) <= 0
             smask = jnp.where(passed, smask,
@@ -326,10 +355,14 @@ def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
                   num_lights: int, shadows: bool, fused: bool,
                   analytic: bool, colored: bool, soft_k: float,
                   ao_strength: float, ao_samples: int, ao_delta: float,
-                  tbl_ref, lights_ref, px_ref, py_ref, pz_ref, sd_ref,
-                  dx_ref, dy_ref, dz_ref, *out_refs):
+                  black_ids, tbl_ref, lights_ref, *refs):
     """Shade-only kernel for the two-phase path: hit points come from the
     (compacted) march kernels instead of an in-kernel march."""
+    gate_ref = None
+    if black_ids:
+        gate_ref, refs = refs[0], refs[1:]
+    (px_ref, py_ref, pz_ref, sd_ref, dx_ref, dy_ref, dz_ref) = refs[:7]
+    out_refs = refs[7:]
     shade_refs = _split_shade_refs(out_refs, num_lights, colored,
                                    shadows and soft_k > 0.0,
                                    ao_strength > 0.0)
@@ -339,7 +372,7 @@ def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
                 ao_strength, ao_samples, ao_delta,
                 tbl, lights_ref, px_ref[...], py_ref[...], pz_ref[...],
                 sd_ref[...], dx_ref[...], dy_ref[...], dz_ref[...],
-                *shade_refs)
+                *shade_refs, black_ids=black_ids, gate_ref=gate_ref)
 
 
 def _shade_out_shapes(f32, i32, num_lights: int, colored: bool,
@@ -357,7 +390,7 @@ def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
                          num_lights: int, shadows: bool, fused: bool,
                          analytic: bool, colored: bool, soft_k: float,
                          ao_strength: float, ao_samples: int,
-                         ao_delta: float, tile_sublanes: int,
+                         ao_delta: float, black_ids, tile_sublanes: int,
                          num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -372,12 +405,13 @@ def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
     kernel = functools.partial(_shade_kernel, kp, iterations, eps,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
-                               ao_strength, ao_samples, ao_delta)
+                               ao_strength, ao_samples, ao_delta, black_ids)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    gate_specs = [smem] if black_ids else []
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[_tbl_spec(num_prims), smem] + [ray_spec] * 7,
+        in_specs=[_tbl_spec(num_prims), smem] + gate_specs + [ray_spec] * 7,
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,
@@ -391,7 +425,7 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           analytic: bool, colored: bool, soft_k: float,
                           ao_strength: float, ao_samples: int,
                           ao_delta: float, bounces: int,
-                          per_ray_org: bool, tile_sublanes: int,
+                          per_ray_org: bool, black_ids, tile_sublanes: int,
                           num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -404,16 +438,18 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
                                ao_strength, ao_samples, ao_delta, bounces,
-                               per_ray_org)
+                               per_ray_org, black_ids)
     out_shape = (f32, f32, f32, f32, f32) + (1 + bounces) * _shade_out_shapes(
         f32, i32, num_lights, colored, shadows and soft_k > 0.0,
         ao_strength > 0.0) + bounces * (f32, f32, f32, f32, f32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    gate_specs = [smem] if black_ids else []
     org_specs = [ray_spec] * 3 if per_ray_org else [smem]
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
-        in_specs=[_tbl_spec(num_prims), smem] + org_specs + [ray_spec] * 3,
+        in_specs=([_tbl_spec(num_prims), smem] + gate_specs + org_specs
+                  + [ray_spec] * 3),
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,
@@ -438,6 +474,32 @@ def _unpack_shade_outs(outs, unprep, num_lights: int, colored: bool,
     aofac = unprep(outs.pop(0)) if ao else None
     assert not outs
     return cidx, light, smask, sfac, aofac
+
+
+def black_skip_ids(plan: ScenePlan, cfg: RenderConfig):
+    """Static black-primitive leaf ids when the shadow skip is engaged
+    (RenderConfig.shade_skip_black), else ().  Requires shadows (there is
+    nothing to skip otherwise) and the two-level kernel plan (the generic
+    ScenePlan carries no black_prims provenance)."""
+    ids = tuple(getattr(kernel_key(plan), "black_prims", ()))
+    if ids and cfg.shade_skip_black and cfg.shadows:
+        return ids
+    return ()
+
+
+def black_dead_mask(plan: ScenePlan, cfg: RenderConfig, tables, cidx):
+    """[R] bool — lanes the forward skipped shadow work for (black winner
+    or miss, with the runtime still-black gate), whose cotangents the
+    backward must treat as gradient-dead; None when the skip is off.
+    Mirrors the kernel's in-tile test exactly."""
+    ids = black_skip_ids(plan, cfg)
+    if not ids or cfg.reflect_strength > 0.0:
+        return None
+    isb = cidx < 0
+    for k in ids:
+        isb = jnp.logical_or(isb, cidx == k)
+    rows = jnp.asarray(tables.prim_color)[jnp.asarray(ids)]
+    return jnp.logical_and(isb, jnp.all(rows == 0.0))
 
 
 def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
@@ -481,6 +543,17 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     else:
         org_args = [jnp.asarray(origin, jnp.float32).reshape(3)]
 
+    # Black-lane shadow skip (RenderConfig.shade_skip_black): static ids
+    # from compile-time colors + a runtime SMEM gate proving the live
+    # table rows are STILL black (fitting a color flips the gate to 0 and
+    # the kernel behaves bitwise as if the feature were off).
+    black_ids = black_skip_ids(plan, cfg) if bounces == 0 else ()
+    gate_args = []
+    if black_ids:
+        rows = jnp.asarray(tables.prim_color)[jnp.asarray(black_ids)]
+        gate_args = [jnp.where(jnp.all(rows == 0.0), 1.0, 0.0)
+                     .astype(jnp.float32).reshape(1)]
+
     if 0 < cfg.two_phase_k1 < cfg.iterations and bounces == 0:
         p, sd, conv = _two_phase_march(plan, cfg,
                                        jnp.asarray(origin, jnp.float32),
@@ -490,11 +563,11 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
             cfg.offset_precision, cfg.saturation, cfg.fd_h,
             L, cfg.shadows, cfg.fused_generators,
             cfg.normal_mode == "analytic", colored, cfg.soft_shadow_k,
-            cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
+            cfg.ao_strength, cfg.ao_samples, cfg.ao_delta, black_ids,
             cfg.tile_sublanes, num_tiles, int(tables.prim_pos.shape[0]),
             interpret)
         pc = [prep(p[:, a]) for a in range(3)]
-        outs = shade(tbl, lights, *pc, prep(sd), *comps)
+        outs = shade(tbl, lights, *gate_args, *pc, prep(sd), *comps)
         cidx, light, smask, sfac, aofac = _unpack_shade_outs(
             outs, unprep, L, colored, soft, ao)
         return p, sd, conv, cidx, light, smask, sfac, aofac
@@ -504,9 +577,9 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         cfg.saturation, cfg.fd_h, L, cfg.shadows,
         cfg.fused_generators, cfg.normal_mode == "analytic", colored,
         cfg.soft_shadow_k, cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
-        bounces, per_ray_org, cfg.tile_sublanes, num_tiles,
+        bounces, per_ray_org, black_ids, cfg.tile_sublanes, num_tiles,
         int(tables.prim_pos.shape[0]), interpret)
-    outs = call(tbl, lights, *org_args, *comps)
+    outs = call(tbl, lights, *gate_args, *org_args, *comps)
     px, py, pz, sd, done = outs[:5]
     n_per = _num_shade_refs(L, colored, soft, ao)
     rest = outs[5:]
@@ -894,6 +967,17 @@ def _reflect_bwd(plan, cfg, interpret, residuals, g_out):
 def _fused_bwd(plan, cfg, interpret, residuals, g_out):
     if cfg.reflect_strength > 0.0:
         return _reflect_bwd(plan, cfg, interpret, residuals, g_out)
+
+    # Black-lane shadow skip: the forward never computed those lanes'
+    # shadow state (their pixel is exactly 0 either way), so the replay's
+    # smask rows are placeholders — declare the lanes gradient-dead
+    # instead of transposing a branch that never ran (the only gradient
+    # this zeroes is d loss / d prim_color of a black primitive, see
+    # RenderConfig.shade_skip_black).
+    dead = black_dead_mask(plan, cfg, residuals[0], residuals[6])
+    if dead is not None:
+        g_out = jnp.where(dead[..., None], 0.0, g_out)
+
     if not cfg.fused_generators and cfg.normal_mode == "fd":
         return _exact_fd_bwd(plan, cfg, residuals, g_out, interpret)
 

@@ -137,11 +137,21 @@ class KernelPlan:
     param, iterations)``, kind "mb" (Mandelbox, param = fold scale) or
     "bulb" (Mandelbulb, param = power) — the fractal iteration is unrolled
     at trace time, so these are plan statics, not table entries (only
-    position/size are differentiable table columns)."""
+    position/size are differentiable table columns).
+
+    ``black_prims``: leaf indices whose COMPILE-TIME color is exactly
+    (0, 0, 0) — e.g. the demo's Bounds backdrop.  The mega kernel may
+    skip shadow marches for lanes whose color winner is one of these
+    (their pixel is provably black: color * light == 0), gated at RUNTIME
+    on the live table still having those rows black, so fitting a color
+    re-enables full shading automatically (see
+    RenderConfig.shade_skip_black).  () when the scene has none or too
+    many for cheap per-lane tests."""
 
     root_op: int                     # MIN | MAX
     groups: Tuple[GroupPlan, ...]
     proc: Tuple[Tuple[int, str, float, int], ...] = ()
+    black_prims: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -371,6 +381,12 @@ def compile_tree(root: ListNode, lights: Sequence[Light], camera: Camera
                  ) -> Tuple[ScenePlan, SceneTables]:
     prims, prim_type, lists, provenance, proc = _compile_tree(root)
     kernel = _kernel_normal_form(lists, prim_type, provenance, proc)
+    if kernel is not None:
+        blacks = tuple(i for i, p in enumerate(prims)
+                       if tuple(np.float32(c) for c in p.color)
+                       == (0.0, 0.0, 0.0))
+        if 0 < len(blacks) <= 8:    # per-lane test is len(blacks) compares
+            kernel = dataclasses.replace(kernel, black_prims=blacks)
     colored = any(tuple(l.color) != (1.0, 1.0, 1.0) for l in lights)
     plan = ScenePlan(prim_type=prim_type, lists=lists, kernel=kernel,
                      num_lights=len(lights), colored_lights=colored,

@@ -1,8 +1,8 @@
 """Block ray ordering (core.order): tiles cover compact pixel blocks.
 
-Contract: BIT-EXACT output vs scan order — the permutation only changes
-which rays share a hardware tile (performance), never any ray's math, and
-the output is inverse-permuted back to scan order.
+Contract: BIT-EXACT output vs scan order — the reorder only changes which
+rays share a hardware tile (performance), never any ray's math, and the
+output is inverse-permuted back to scan order.
 """
 
 import jax
@@ -12,41 +12,53 @@ import pytest
 
 import raymarching_tpu as rt
 from raymarching_tpu.api import render_tables
-from raymarching_tpu.core.order import block_permutation, resolve_ray_order
+from raymarching_tpu.core.order import (block_dims, from_blocked,
+                                        resolve_ray_order, to_blocked)
 
 
-class TestPermutation:
+class TestBlockReorder:
     @pytest.mark.parametrize("H,W,S,tile", [
         (512, 512, 4, 2048),     # bench config: 16x32-pixel blocks
-        (768, 1024, 9, 2048),    # reference config: ragged blocks
+        (768, 1024, 9, 2048),    # reference config
         (36, 64, 1, 1024),
-        (50, 60, 9, 2048),       # nothing divides anything
+        (50, 60, 9, 2048),       # awkward divisors
     ])
-    def test_perm_inv_are_inverse(self, H, W, S, tile):
-        out = block_permutation(H, W, S, tile)
-        assert out is not None
-        perm, inv = out
+    def test_roundtrip_is_identity(self, H, W, S, tile):
+        dims = block_dims(H, W, S, tile)
+        assert dims is not None
+        bh, bw = dims
+        assert H % bh == 0 and W % bw == 0
         R = H * W * S
-        assert perm.shape == inv.shape == (R,)
-        assert perm.dtype == np.int32
-        np.testing.assert_array_equal(perm[inv], np.arange(R))
-        np.testing.assert_array_equal(np.sort(perm), np.arange(R))
+        x = jnp.arange(R * 2, dtype=jnp.float32).reshape(R, 2)
+        y = from_blocked(to_blocked(x, H, W, S, bh, bw), H, W, S, bh, bw)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # and the forward map is a real permutation, not identity
+        assert not np.array_equal(
+            np.asarray(x), np.asarray(to_blocked(x, H, W, S, bh, bw)))
 
     def test_tiny_frame_declines(self):
-        assert block_permutation(8, 8, 1, 2048) is None
+        assert block_dims(8, 8, 1, 2048) is None
 
     def test_blocks_are_compact(self):
         """Consecutive tile_rays samples must span a small bounding box,
         not a full image row."""
         H = W = 512
         S, tile = 4, 2048
-        perm, _ = block_permutation(H, W, S, tile)
-        first = perm[:tile]
+        bh, bw = block_dims(H, W, S, tile)
+        idx = jnp.arange(H * W * S, dtype=jnp.int32).reshape(-1, 1)
+        first = np.asarray(to_blocked(idx, H, W, S, bh, bw))[:tile, 0]
         ys = (first // S) // W
         xs = (first // S) % W
         # scan order would span the full 512-wide row; blocks stay local
         assert (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1) \
             <= 2 * tile // S
+
+    def test_scalar_rows_roundtrip(self):
+        H, W, S = 36, 64, 1
+        bh, bw = block_dims(H, W, S, 1024)
+        x = jnp.arange(H * W * S, dtype=jnp.float32)
+        y = from_blocked(to_blocked(x, H, W, S, bh, bw), H, W, S, bh, bw)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
     def test_resolve_modes(self):
         cfg = rt.RenderConfig()
@@ -104,7 +116,7 @@ class TestBitExactness:
         ga = jax.grad(loss)(tables, "scan")
         gb = jax.grad(loss)(tables, "block")
         # NOT bit-exact: table cotangents reduce over rays, and the
-        # permutation changes the FP summation order — agreement to
+        # reorder changes the FP summation order — agreement to
         # reduction-order noise (measured ~4e-3 relative) is the contract.
         for a, b in zip(jax.tree_util.tree_leaves(ga),
                         jax.tree_util.tree_leaves(gb)):
