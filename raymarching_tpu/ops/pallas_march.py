@@ -1204,12 +1204,94 @@ def _menger_carve_grad(tbl, box_idx: int, iters: int, px, py, pz, dtype):
     return carve, gx, gy, gz
 
 
+def _med3_grad_axes(a, b, c):
+    """One-hot median-axis masks for ``_med3(a, b, c)`` — (med_a, med_b,
+    med_c): the median is not the argmax and not the argmin, ties broken
+    toward earlier arguments (same chain as _prim_sd_grad's cross case)."""
+    max_a = a >= jnp.maximum(b, c)
+    max_b = jnp.logical_and(jnp.logical_not(max_a), b >= c)
+    min_a = a <= jnp.minimum(b, c)
+    min_b = jnp.logical_and(jnp.logical_not(min_a), b <= c)
+    med_a = jnp.logical_not(jnp.logical_or(max_a, min_a))
+    med_b = jnp.logical_not(jnp.logical_or(
+        jnp.logical_or(max_b, min_b), med_a))
+    med_c = jnp.logical_not(jnp.logical_or(med_a, med_b))
+    return med_a, med_b, med_c
+
+
+def _menger_carve_lattice_grad(tbl, g, px, py, pz):
+    """(carve, winner dsd/dp) for the collapsed-lattice Menger carve —
+    the gradient twin of _menger_carve_lattice.  Values follow the exact
+    same min/med3 op order (bitwise-identical carve); gradients ride the
+    fold as one-hot axis signs selected by the same comparisons: each
+    per-axis excess ``b = |p - c| - h`` contributes ``sign(p - c)`` on its
+    own axis, column mins and the cross-median pick a winner, levels fold
+    by running min.  ~3x the value collapse's ops — still ~6x cheaper
+    than the 20^k-cross full gradient fold it replaces."""
+    best = bgx = bgy = bgz = None
+    for level in g.lattice:
+        if len(level) == 1:             # level-0: a single cross
+            sd, gx, gy, gz = _prim_sd_grad(int(PrimType.CROSS), tbl,
+                                           level[0], px, py, pz)
+        else:
+            xs_reps, ys_reps, zs_reps, size_rep, columns, _members = level
+            hx = tbl[size_rep, 3] * 0.5
+            hy = tbl[size_rep, 4] * 0.5
+            hz = tbl[size_rep, 5] * 0.5
+            dxs = [px - tbl[r, 0] for r in xs_reps]
+            dys = [py - tbl[r, 1] for r in ys_reps]
+            dzs = [pz - tbl[r, 2] for r in zs_reps]
+            bx = [jnp.abs(d) - hx for d in dxs]
+            by = [jnp.abs(d) - hy for d in dys]
+            bz = [jnp.abs(d) - hz for d in dzs]
+            sx = [jnp.sign(d) for d in dxs]
+            sy = [jnp.sign(d) for d in dys]
+            sz = [jnp.sign(d) for d in dzs]
+            sd = gx = gy = gz = None
+            for (iy, iz, ixs) in columns:
+                a, ga = bx[ixs[0]], sx[ixs[0]]
+                for ix in ixs[1:]:
+                    take = bx[ix] < a
+                    ga = jnp.where(take, sx[ix], ga)
+                    a = jnp.minimum(a, bx[ix])
+                med = _med3(a, by[iy], bz[iz])
+                med_a, med_b, med_c = _med3_grad_axes(a, by[iy], bz[iz])
+                mgx = jnp.where(med_a, ga, 0.0)
+                mgy = jnp.where(med_b, sy[iy], 0.0)
+                mgz = jnp.where(med_c, sz[iz], 0.0)
+                if sd is None:
+                    sd, gx, gy, gz = med, mgx, mgy, mgz
+                else:
+                    take = med < sd
+                    gx = jnp.where(take, mgx, gx)
+                    gy = jnp.where(take, mgy, gy)
+                    gz = jnp.where(take, mgz, gz)
+                    sd = jnp.minimum(sd, med)
+        if best is None:
+            best, bgx, bgy, bgz = sd, gx, gy, gz
+        else:
+            take = sd < best
+            bgx = jnp.where(take, gx, bgx)
+            bgy = jnp.where(take, gy, bgy)
+            bgz = jnp.where(take, gz, bgz)
+            best = jnp.minimum(best, sd)
+    return best, bgx, bgy, bgz
+
+
 def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
                         fused=False):
     """(scene sd, analytic dsd/dp): the winner's gradient through every
     fold.  One evaluation instead of six FD evaluations — the 'analytic'
     normal mode of the fused render kernel (the jnp analogue is
-    core.shading.normal_analytic)."""
+    core.shading.normal_analytic).
+
+    Rides the same cost structure as the value fold (_scene_sd_tile):
+    lattice groups take the collapsed-lattice gradient when the flag row
+    proves the live tables still share coordinates (full gradient fold
+    otherwise), and large exact DIFFERENCE groups are skipped under the
+    identical per-tile base-bound proof — a culled group loses the
+    strict-< root fold, so neither the value nor the winner's gradient
+    can change."""
     if isinstance(kp, ScenePlan):
         return _scene_generic_tile(kp, tbl, px, py, pz, dtype,
                                    with_idx=False, with_grad=True)
@@ -1227,9 +1309,17 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
                 jnp.where(better, ggy, rgy),
                 jnp.where(better, ggz, rgz))
 
+    init4 = (inf, zero, zero, zero)
     state = (running, rgx, rgy, rgz)
     for g in kp.groups:
+        neg_runs = [r for r in g.runs if r[3] == -1]
+        pos_runs = [r for r in g.runs if r[3] == 1]
         use_fused = fused and g.fused is not None and g.fused[0] == "menger"
+        use_lattice = g.lattice is not None and not use_fused
+        diff_group = g.gsign == -1 and rsign == 1.0 and bool(neg_runs)
+        cullable = (diff_group and g.count >= _CULL_MIN_GROUP
+                    and not use_fused
+                    and (_CULL_LATTICE or not use_lattice))
         if use_fused:
             box_sd, bgx, bgy, bgz = _prim_sd_grad(
                 int(PrimType.BOX), tbl, g.start, px, py, pz)
@@ -1241,9 +1331,58 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
             ggy = jnp.where(better, bgy, -cgy)
             ggz = jnp.where(better, bgz, -cgz)
             state = root_update(state, gval, ggx, ggy, ggz)
+        elif diff_group and use_lattice:
+            bmin, bgx, bgy, bgz = _fold_runs_grad(
+                tbl, neg_runs, px, py, pz, init4)
+
+            def lattice_grad(_, _g=g, _runs=tuple(pos_runs)):
+                return jax.lax.cond(
+                    tbl[_flag_row(kp), 0] > 0.5,
+                    lambda __: _menger_carve_lattice_grad(tbl, _g,
+                                                          px, py, pz),
+                    lambda __: _fold_runs_grad(tbl, _runs, px, py, pz,
+                                               init4),
+                    0)
+
+            if cullable:
+                lb = -bmin           # = max over base sd <= group value
+
+                def with_rest(s, _b=(bmin, bgx, bgy, bgz),
+                              _lat=lattice_grad):
+                    carve, cgx, cgy, cgz = _lat(0)
+                    take_base = _b[0] <= carve   # gval = -min(base, carve)
+                    gval = -jnp.minimum(_b[0], carve)
+                    return root_update(
+                        s, gval,
+                        -jnp.where(take_base, _b[1], cgx),
+                        -jnp.where(take_base, _b[2], cgy),
+                        -jnp.where(take_base, _b[3], cgz))
+
+                skip = jnp.all(lb >= state[0])
+                state = jax.lax.cond(skip, lambda s: s, with_rest, state)
+            else:
+                carve, cgx, cgy, cgz = lattice_grad(0)
+                take_base = bmin <= carve
+                gval = -jnp.minimum(bmin, carve)
+                state = root_update(
+                    state, gval,
+                    -jnp.where(take_base, bgx, cgx),
+                    -jnp.where(take_base, bgy, cgy),
+                    -jnp.where(take_base, bgz, cgz))
+        elif cullable:
+            gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
+            lb = -gmin_base
+
+            def with_group(s, _runs=tuple(g.runs)):
+                gmin, ggx, ggy, ggz = _fold_runs_grad(
+                    tbl, _runs, px, py, pz, init4)
+                return root_update(s, -gmin, -ggx, -ggy, -ggz)
+
+            skip = jnp.all(lb >= state[0])
+            state = jax.lax.cond(skip, lambda s: s, with_group, state)
         else:
             gmin, ggx, ggy, ggz = _fold_runs_grad(
-                tbl, g.runs, px, py, pz, (inf, zero, zero, zero))
+                tbl, g.runs, px, py, pz, init4)
             gs = float(g.gsign)
             state = root_update(state, gs * gmin, gs * ggx, gs * ggy,
                                 gs * ggz)

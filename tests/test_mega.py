@@ -41,9 +41,13 @@ def test_mega_matches_multikernel_image():
 @pytest.mark.slow
 def test_mega_gradients_match_jnp():
     plan, tables = _world()
+    # shade_skip_black deliberately zeroes the black Bounds prim's color
+    # gradient on the mega path (documented deviation, tests/test_black_skip
+    # covers it); parity against the jnp oracle needs the skip off.
+    cfg = CFG.replace(shade_skip_black=False)
 
     def loss(t, backend, interpret=False):
-        img = render_tables(plan, t, CFG, backend=backend,
+        img = render_tables(plan, t, cfg, backend=backend,
                             interpret=interpret, differentiable=True)
         return jnp.mean(img * img)
 
@@ -229,3 +233,36 @@ def test_mega_analytic_normals_fused_menger():
     diff = np.abs(a - b).max(axis=-1)
     assert (diff < 1e-2).mean() > 0.95
     assert np.median(diff) < 1e-3
+
+
+def test_lattice_grad_matches_full_fold():
+    """The collapsed-lattice winner gradient (_menger_carve_lattice_grad,
+    exact analytic path) must agree with the full 20^k-cross gradient fold:
+    flipping the table's lattice-validity flag row switches between them,
+    the sd value is BITWISE identical (the collapse proof), and the winner
+    gradient matches at generic (non-tie) points."""
+    from raymarching_tpu.ops.pallas_march import (_build_table, _flag_row,
+                                                  _scene_sd_grad_tile)
+
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        menger_sponge((0.5, -0.25, -8.0), 6.0, 2, color=(0.9, 0.9, 0.8)),
+    ])
+    plan, tables = compile_tree(tree, [Light((6.0, 10.0, 4.0))],
+                                Camera(position=(0, 1, 4), fov=60.0))
+    kp = plan.kernel
+    tbl = _build_table(tables, kp)
+    assert float(tbl[_flag_row(kp), 0]) == 1.0
+    tbl_off = tbl.at[_flag_row(kp), 0].set(0.0)
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-5.0, 5.0, size=(3, 4096)).astype(np.float32)
+    pts[2] -= 8.0
+    px, py, pz = (jnp.asarray(p) for p in pts)
+    on = _scene_sd_grad_tile(kp, tbl, px, py, pz, jnp.float32)
+    off = _scene_sd_grad_tile(kp, tbl_off, px, py, pz, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(on[0]), np.asarray(off[0]),
+                                  err_msg="collapsed sd not bitwise")
+    for a, b, ax in zip(on[1:], off[1:], "xyz"):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"winner grad {ax}")
