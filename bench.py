@@ -11,8 +11,10 @@ BOTH execution regimes are measured and reported every run:
   * ``exact_mrays``  — exact reference-table semantics (the apples-to-apples
     number against the reference's own math);
   * ``fused_mrays``  — the opt-in space-folded Menger mode (same zero set,
-    conservative distances; enabled for the headline only if its image
-    passes an on-hardware allclose gate against the exact path).
+    conservative distances) with in-kernel analytic normals (the faster
+    gradient estimator on folded fields, ab_analytic_r3.json); enabled for
+    the headline only if its image passes an on-hardware allclose gate
+    against the exact path.
 
 The headline ``value`` is the fused number when the gate passes, else the
 exact number; the other regime always rides along in the same JSON object.
@@ -157,22 +159,30 @@ def main():
     exact = _measure(plan, tables, cfg, backend)
 
     # Fused-generator fast mode (space-folded Menger, validated identical
-    # zero set): eligible for the headline only if its image passes an
-    # allclose gate against the exact-table path on this hardware.
+    # zero set) with ANALYTIC normals — the r3 A/B (ab_analytic_r3.json)
+    # measured the in-kernel winner gradient 1.53x faster than the FD
+    # stencil on the folded field (its jnp backward transposes O(iters)
+    # folds, not 20^k crosses), while on exact tables FD stays the winner
+    # (the analytic backward replays the jnp field).  Eligible for the
+    # headline only if its image passes an allclose gate against the
+    # exact-table path on this hardware.
     fused = None
     fused_ok = False
     if backend in ("pallas", "mega") and any(
             g.fused for g in (plan.kernel.groups if plan.kernel else ())):
+        fused_cfg = cfg.replace(fused_generators=True,
+                                normal_mode="analytic")
         gate_cfg = cfg.replace(width=128, height=128, ray_chunk=0)
         a = np.asarray(render_tables(plan, tables, gate_cfg,
                                      backend=backend))
         b = np.asarray(render_tables(
-            plan, tables, gate_cfg.replace(fused_generators=True),
+            plan, tables,
+            gate_cfg.replace(fused_generators=True,
+                             normal_mode="analytic"),
             backend=backend))
         diff = np.abs(a - b).max(axis=-1)
         fused_ok = bool((diff < 5e-3).mean() > 0.995)
-        fused = _measure(plan, tables,
-                         cfg.replace(fused_generators=True), backend)
+        fused = _measure(plan, tables, fused_cfg, backend)
 
     # Headline: the faster of the two regimes (fused only when its image
     # passed the gate).  Since block ray ordering the EXACT path often
@@ -204,6 +214,7 @@ def main():
     if fused is not None:
         record["fused_mrays"] = round(fused["median"], 4)
         record["fused_gate_ok"] = fused_ok
+        record["fused_normal_mode"] = "analytic"
         record["fused_stats"] = rounded(fused)
     print(json.dumps(record))
 

@@ -43,7 +43,12 @@ class RenderConfig:
     # --- TPU-native extensions (no reference equivalent) ---
     # Normal estimation: "fd" = 6-eval central differences, h=1e-3, matching
     # the reference bit-for-bit (scene.cpp:70-89); "analytic" = one
-    # reverse-mode gradient of the scene SDF (faster, smoother).
+    # in-kernel winner-gradient evaluation.  Measured crossover
+    # (ab_analytic_r3.json, fwd+bwd): analytic is 1.53x FASTER with
+    # fused_generators (the backward transposes the cheap folded field) and
+    # 4.7x SLOWER on exact tables (its backward replays the jnp field;
+    # FD's rides the single-launch stencil kernel) — so bench.py pairs
+    # analytic with fused and keeps fd for exact.
     normal_mode: str = "fd"
     fd_h: float = 1e-3
 
