@@ -363,19 +363,38 @@ def _menger_carve_jnp(tables: SceneTables, box_idx: int, iters: int,
     return carve
 
 
+def _deathstar_carve_jnp(tables: SceneTables, base_idx: int,
+                         p: jnp.ndarray) -> jnp.ndarray:
+    """jnp mirror of ops.pallas_march._deathstar_carve: the subtracted
+    sphere derived from the base row (centre + 1.5 r in x, same radius,
+    body.cpp:159-169) — fused-mode gradients flow to the generator's own
+    (position, radius), not to an independent second sphere."""
+    c = jnp.asarray(tables.prim_pos)[base_idx]
+    r = jnp.asarray(tables.prim_aux)[base_idx, 0]
+    d = p - (c + jnp.stack([1.5 * r, jnp.zeros_like(r),
+                            jnp.zeros_like(r)]))
+    return jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24)) - r
+
+
 def scene_sd_fused(plan: ScenePlan, tables: SceneTables,
                    p: jnp.ndarray) -> jnp.ndarray:
     """Scene SDF with fused generator groups (RenderConfig.fused_generators
     semantics): Menger groups evaluate by space folding — O(iters) instead
     of O(20^k) — so reverse-mode through this function (the IFT backward's
-    f_theta route) never touches the 20^k cross table.  Non-generator
-    groups match the exact table evaluation."""
+    f_theta route) never touches the 20^k cross table; DeathStar groups
+    derive their carve sphere from the base row.  Non-generator groups
+    match the exact table evaluation."""
     kp = plan.kernel
     assert kp is not None, "fused evaluation requires kernel normal form"
     rsign = 1.0 if kp.root_op == MIN else -1.0
     running = jnp.full(p.shape[:-1], _INF, p.dtype)
     for g in kp.groups:
-        if g.fused is not None and g.fused[0] == "menger":
+        if g.fused is not None and g.fused[0] == "deathstar":
+            base = _run_sd(tables, int(PrimType.SPHERE), g.start, 1,
+                           p)[..., 0]
+            carve = _deathstar_carve_jnp(tables, g.start, p)
+            gval = jnp.maximum(base, -carve)
+        elif g.fused is not None and g.fused[0] == "menger":
             box_sd = _run_sd(tables, int(PrimType.BOX), g.start, 1, p)[..., 0]
             carve = _menger_carve_jnp(tables, g.start, g.fused[1], p)
             gval = jnp.maximum(box_sd, -carve)

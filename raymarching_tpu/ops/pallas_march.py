@@ -615,6 +615,52 @@ def _menger_carve(tbl, box_idx: int, iters: int, px, py, pz, dtype):
     return carve
 
 
+def _deathstar_carve(tbl, base_idx: int, px, py, pz):
+    """Fused DeathStar carve: the subtracted sphere DERIVED from the base
+    row — centre + 1.5 r in x, same radius (body.cpp:159-169).  Fused-mode
+    semantics: the group is a function of the generator's own parameters
+    (base position, radius); the carve's table row is never read, so
+    gradients flow to the generator, not to two independent spheres."""
+    r = tbl[base_idx, 3]
+    dx = px - (tbl[base_idx, 0] + 1.5 * r)
+    dy = py - tbl[base_idx, 1]
+    dz = pz - tbl[base_idx, 2]
+    return jnp.sqrt(dx * dx + dy * dy + dz * dz) - r
+
+
+def _deathstar_carve_grad(tbl, base_idx: int, px, py, pz):
+    """(carve, d carve/dp) twin of _deathstar_carve."""
+    r = tbl[base_idx, 3]
+    dx = px - (tbl[base_idx, 0] + 1.5 * r)
+    dy = py - tbl[base_idx, 1]
+    dz = pz - tbl[base_idx, 2]
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    inv = 1.0 / jnp.maximum(d, jnp.float32(1e-30))
+    return d - r, dx * inv, dy * inv, dz * inv
+
+
+# Base-primitive type per fused-generator kind (the leaf at group.start).
+_FUSED_BASE_TYPE = {"menger": int(PrimType.BOX),
+                    "deathstar": int(PrimType.SPHERE)}
+
+
+def _fused_carve(g, tbl, px, py, pz, dtype):
+    """Carve evaluation of a fused generator group, dispatched on the
+    provenance kind (GroupPlan.fused) — the group value is always
+    max(base_sd, -carve) = -min(-base_sd, carve)."""
+    if g.fused[0] == "menger":
+        return _menger_carve(tbl, g.start, g.fused[1], px, py, pz, dtype)
+    return _deathstar_carve(tbl, g.start, px, py, pz)
+
+
+def _fused_carve_grad(g, tbl, px, py, pz, dtype):
+    """(carve, d carve/dp) dispatch twin of _fused_carve."""
+    if g.fused[0] == "menger":
+        return _menger_carve_grad(tbl, g.start, g.fused[1], px, py, pz,
+                                  dtype)
+    return _deathstar_carve_grad(tbl, g.start, px, py, pz)
+
+
 class _TableView:
     """Table wrapper with pre-read scalars for statically-indexed
     primitives.  Constructed BEFORE a march loop, so the (loop-invariant)
@@ -676,7 +722,7 @@ def preload_table(kp, tbl, fused: bool):
 
     flag = _flag_row(kp)
     for g in kp.groups:
-        use_fused = fused and g.fused is not None and g.fused[0] == "menger"
+        use_fused = fused and g.fused is not None
         for (ptype, start, count, scale) in g.runs:
             if use_fused and scale == 1:
                 continue               # replaced by the folded carve
@@ -829,7 +875,7 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
     for g in kp.groups:
         neg_runs = [r for r in g.runs if r[3] == -1]
         pos_runs = [r for r in g.runs if r[3] == 1]
-        use_fused = fused and g.fused is not None and g.fused[0] == "menger"
+        use_fused = fused and g.fused is not None
         use_lattice = g.lattice is not None and not use_fused
         diff_group = g.gsign == -1 and rsign == 1.0 and bool(neg_runs)
         cullable = (diff_group
@@ -848,8 +894,7 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
 
         if diff_group and (use_fused or use_lattice) and not cullable:
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
-            carve = (_menger_carve(tbl, g.start, g.fused[1], px, py, pz,
-                                   dtype)
+            carve = (_fused_carve(g, tbl, px, py, pz, dtype)
                      if use_fused else lattice_carve())
             running = jnp.minimum(running,
                                   rsign * -jnp.minimum(gmin_base, carve))
@@ -859,8 +904,7 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
 
             if use_fused:
                 def with_rest(r, _base=gmin_base, _g=g):
-                    carve = _menger_carve(tbl, _g.start, _g.fused[1],
-                                          px, py, pz, dtype)
+                    carve = _fused_carve(_g, tbl, px, py, pz, dtype)
                     return jnp.minimum(r, -jnp.minimum(_base, carve))
             elif use_lattice:
                 def with_rest(r, _base=gmin_base):
@@ -1314,7 +1358,7 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
     for g in kp.groups:
         neg_runs = [r for r in g.runs if r[3] == -1]
         pos_runs = [r for r in g.runs if r[3] == 1]
-        use_fused = fused and g.fused is not None and g.fused[0] == "menger"
+        use_fused = fused and g.fused is not None
         use_lattice = g.lattice is not None and not use_fused
         diff_group = g.gsign == -1 and rsign == 1.0 and bool(neg_runs)
         cullable = (diff_group and g.count >= _CULL_MIN_GROUP
@@ -1322,10 +1366,10 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
                     and (_CULL_LATTICE or not use_lattice))
         if use_fused:
             box_sd, bgx, bgy, bgz = _prim_sd_grad(
-                int(PrimType.BOX), tbl, g.start, px, py, pz)
-            carve, cgx, cgy, cgz = _menger_carve_grad(
-                tbl, g.start, g.fused[1], px, py, pz, dtype)
-            better = box_sd >= -carve    # gval = max(box, -carve)
+                _FUSED_BASE_TYPE[g.fused[0]], tbl, g.start, px, py, pz)
+            carve, cgx, cgy, cgz = _fused_carve_grad(g, tbl, px, py, pz,
+                                                     dtype)
+            better = box_sd >= -carve    # gval = max(base, -carve)
             gval = jnp.maximum(box_sd, -carve)
             ggx = jnp.where(better, bgx, -cgx)
             ggy = jnp.where(better, bgy, -cgy)
@@ -1502,14 +1546,13 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
 
     for g in kp.groups:
         neg_runs = [r for r in g.runs if r[3] == -1]
-        use_fused = fused and g.fused is not None and g.fused[0] == "menger"
+        use_fused = fused and g.fused is not None
         cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
                     and (g.count >= _CULL_MIN_GROUP or use_fused)
                     and (_CULL_FUSED or not use_fused))
         if use_fused and not cullable:
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
-            carve = _menger_carve(tbl, g.start, g.fused[1], px, py, pz,
-                                  dtype)
+            carve = _fused_carve(g, tbl, px, py, pz, dtype)
             running, ridx = root_update(
                 running, ridx, -jnp.minimum(gmin_base, carve),
                 jnp.full(px.shape, g.start, jnp.int32))
@@ -1520,8 +1563,7 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
             if use_fused:
                 def with_group(carry, _base=gmin_base, _g=g):
                     r, ri = carry
-                    carve = _menger_carve(tbl, _g.start, _g.fused[1],
-                                          px, py, pz, dtype)
+                    carve = _fused_carve(_g, tbl, px, py, pz, dtype)
                     gval = -jnp.minimum(_base, carve)
                     gidx = jnp.full(px.shape, _g.start, jnp.int32)
                     return root_update(r, ri, gval, gidx)

@@ -97,11 +97,18 @@ class GroupPlan:
     ``runs`` splits the group's contiguous leaf range into maximal
     same-(type, scale) runs: (prim_type, start, count, scale).
 
-    ``fused``: optional fast-path descriptor from generator provenance,
-    e.g. ("menger", iterations) — the group's box lives at leaf ``start``
-    and the kernel may evaluate the carve by space folding instead of the
-    explicit 20^k cross table (opt-in via RenderConfig.fused_generators;
-    same zero set, conservative distances — see ops.pallas_march).
+    ``fused``: optional fast-path descriptor from generator provenance —
+    ("menger", iterations) or ("deathstar",).  The group's base primitive
+    lives at leaf ``start``; the kernel may evaluate the carve as a
+    function of the base row alone (Menger: space folding instead of the
+    explicit 20^k cross table — same zero set, conservative distances;
+    DeathStar: the carve sphere derived as centre + 1.5 r in x,
+    body.cpp:159-169).  Opt-in via RenderConfig.fused_generators and
+    allclose-gated; in fused mode gradients flow to the GENERATOR's
+    parameters (the base row) — carve rows are not read.  Recipe for a
+    new generator: tag its ListNode subclass in _compile_tree, validate
+    the lowered group shape here, add the carve (+ carve-grad) evaluator
+    pair in ops.pallas_march and the jnp twin in core.sdf.scene_sd_fused.
 
     ``lattice``: optional shared-coordinate structure of the group's carve
     crosses, for the EXACT column-collapsed fold
@@ -193,9 +200,11 @@ def _compile_tree(root: ListNode):
                 neg = neg_first if i == 0 else neg_rest
                 entries.append((kind, idx, neg))
             lists.append(ListPlan(op=op, entries=tuple(entries)))
-            from .generators import MengerNode
+            from .generators import DeathStarNode, MengerNode
             if isinstance(node, MengerNode):
                 provenance[len(lists) - 1] = ("menger", node.iterations)
+            elif isinstance(node, DeathStarNode):
+                provenance[len(lists) - 1] = ("deathstar",)
             return KIND_LIST, len(lists) - 1
         # Leaf primitive — assigned indices in depth-first (fold) order.
         prims.append(node)
@@ -218,6 +227,12 @@ def _compile_tree(root: ListNode):
     return prims, tuple(prim_types), tuple(lists), provenance, proc
 
 
+# Largest per-level column count the static lattice collapse may unroll
+# (see _menger_lattice docstring: iters=3 level 2 = 64, iters=4 level 3 =
+# 512 — the latter's trace/compile cost outweighs its runtime win).
+_LATTICE_MAX_COLS = 128
+
+
 def _menger_lattice(start: int, count: int, scales, iters: int):
     """Per-level lattice structure of a Menger group's carve crosses.
 
@@ -233,7 +248,18 @@ def _menger_lattice(start: int, count: int, scales, iters: int):
 
     Structure only (no float values): valid for any tables whose rows
     still satisfy the sharing, which pallas_march._lattice_ok re-checks
-    against the LIVE table at render time."""
+    against the LIVE table at render time.
+
+    Compile-size cap: the collapse is unrolled at trace time (one min per
+    column membership), so a level with C columns / M members adds ~M
+    vector ops to EVERY field evaluation's program.  iters=3's level 2 is
+    64 columns / 400 members (the win that matters); iters=4's level 3 is
+    512 columns / 8000 members — 11.7k traced ops whose Mosaic compile
+    takes minutes over the remote-compile tunnel.  Levels past
+    ``_LATTICE_MAX_COLS`` make the whole group fall back to the
+    ``lax.fori_loop`` run fold (291 ops regardless of size); deep sponges
+    stay benchable and the fused space-folded mode remains their fast
+    path."""
     if iters < 2:
         return None
     expected = 1
@@ -277,6 +303,8 @@ def _menger_lattice(start: int, count: int, scales, iters: int):
                 zs_reps[iz] = row
             columns.setdefault((iy, iz), []).append(ix)
             members.append((row, ix, iy, iz))
+        if len(columns) > _LATTICE_MAX_COLS:
+            return None
         levels.append((tuple(xs_reps), tuple(ys_reps), tuple(zs_reps),
                        cells[0][0],
                        tuple((iy, iz, tuple(ixs))
@@ -343,6 +371,16 @@ def _kernel_normal_form(lists: Sequence[ListPlan],
         if neg:
             gsign = -gsign
         fused = provenance.get(idx) if not neg else None
+        if fused is not None and fused[0] == "deathstar":
+            # Fused DeathStar derives its carve sphere from the base row
+            # (centre + 1.5 r in x, body.cpp:159-169); only attach when the
+            # lowered group has exactly that base-minus-carve shape.
+            from .csg import PrimType
+            if not (gsign == -1 and len(scales) == 2
+                    and tuple(scales) == (-1, 1)
+                    and prim_type[start] == int(PrimType.SPHERE)
+                    and prim_type[start + 1] == int(PrimType.SPHERE)):
+                fused = None
         lattice = None
         if fused is not None and fused[0] == "menger" and gsign == -1:
             lattice = _menger_lattice(start, len(scales), scales, fused[1])

@@ -102,6 +102,52 @@ def test_fuzz_all_layers_agree(seed, depth):
 
 
 @pytest.mark.parametrize("seed", range(6))
+def test_fuzz_fused_generators_match_exact(seed):
+    """Field-level fuzz for fused-generator provenance: random worlds with
+    EVERY generator kind (MengerSponge, DeathStar) plus distractor prims,
+    evaluated fused vs exact through the kernel path.  DeathStar fusion is
+    the same function (ulp tolerance); Menger fusion is conservative with
+    the same zero set, so the contract there is sign agreement + equality
+    near the surface (the test_fused_menger contracts, fuzzed)."""
+    from raymarching_tpu.scene.generators import death_star, menger_sponge
+
+    rng = np.random.default_rng(7000 + seed)
+    tree = ListNode(Mode.UNION)
+    tree.append(menger_sponge(tuple(rng.uniform(-4, 4, 3)),
+                              float(rng.uniform(3, 8)),
+                              int(rng.integers(2, 4))))
+    for _ in range(int(rng.integers(1, 3))):
+        tree.append(death_star(tuple(rng.uniform(-6, 6, 3)),
+                               float(rng.uniform(0.5, 3.0))))
+    for _ in range(int(rng.integers(0, 3))):
+        tree.append(_random_prim(rng))
+    plan, tables = compile_tree(tree, [], Camera())
+    kinds = sorted(g.fused[0] for g in plan.kernel.groups
+                   if g.fused is not None)
+    assert "menger" in kinds and "deathstar" in kinds
+    pts = rng.uniform(-9, 9, size=(512, 3)).astype(np.float32)
+
+    sd_e, _, _ = pallas_surface_eval(kernel_key(plan), 1e-3, 8, pts,
+                                     tables, with_color=False,
+                                     with_normal=False, interpret=True)
+    sd_f, _, _ = pallas_surface_eval(kernel_key(plan), 1e-3, 8, pts,
+                                     tables, with_color=False,
+                                     with_normal=False, fused=True,
+                                     interpret=True)
+    sd_e, sd_f = np.asarray(sd_e), np.asarray(sd_f)
+    off = np.abs(sd_e) > 1e-3
+    assert np.all(np.sign(sd_f[off]) == np.sign(sd_e[off]))
+    assert np.all(sd_f <= sd_e + 1e-4)        # conservative
+    near = np.abs(sd_e) < 0.02
+    np.testing.assert_allclose(sd_f[near], sd_e[near], atol=1e-4)
+
+    # the fused jnp twin (the backward's field) matches the fused kernel
+    from raymarching_tpu.core.sdf import scene_sd_fused
+    sd_twin = np.asarray(scene_sd_fused(plan, tables, pts))
+    np.testing.assert_allclose(sd_f, sd_twin, rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzz_reflections_mega_matches_jnp(seed):
     """Render-level fuzz for the mirror-bounce extension: random CSG
     worlds (wrapped in Bounds so bounce rays always terminate) rendered

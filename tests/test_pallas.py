@@ -178,6 +178,20 @@ class TestMengerLattice:
         from raymarching_tpu.ops.pallas_march import lattice_ok
         assert float(lattice_ok(plan.kernel, tables)) == 1.0
 
+    def test_iters4_lattice_capped_for_compile_size(self):
+        """iters=4's level 3 (512 columns / 8000 members) would unroll
+        ~11.7k vector ops into every field evaluation — minutes of Mosaic
+        compile over the tunnel.  _LATTICE_MAX_COLS drops the whole group
+        back to the fori-loop run fold (291 ops); iters=3 (64 columns)
+        keeps the collapse."""
+        plan3, _ = self._menger_plan(3)
+        g3 = next(g for g in plan3.kernel.groups if g.fused is not None)
+        assert g3.lattice is not None
+        plan4, _ = self._menger_plan(4)
+        g4 = next(g for g in plan4.kernel.groups if g.fused is not None)
+        assert g4.count == 8422          # box + 1 + 20 + 400 + 8000 crosses
+        assert g4.lattice is None
+
     def test_lattice_carve_matches_explicit_fold_bitwise(self):
         import jax.numpy as jnp
 
