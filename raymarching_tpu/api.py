@@ -76,6 +76,13 @@ def _normal_bwd(plan, cfg, interpret, residuals, g_bar):
         # (ops.scene_vjp) — no [rays, prims] matrix in the backward.
         from .ops.scene_vjp import fd_normal_bwd
         return fd_normal_bwd(plan, cfg, interpret, p, tables, g_bar)
+    if not cfg.fused_generators and not plan.proc:
+        # Exact-table analytic path (dense prim types): the winner
+        # gradient's derivative is local and closed-form (sphere Hessian,
+        # flat box/cross) — one winner pass + one segment-add; procedural
+        # leaves have no closed-form Hessian and take the replay below.
+        from .ops.scene_vjp import analytic_normal_bwd
+        return analytic_normal_bwd(plan, cfg, interpret, p, tables, g_bar)
     # Differentiate the SAME field the forward kernel evaluated: folded
     # generators when fused mode is on (also ~60x cheaper to transpose),
     # and the SAME estimator (the analytic winner gradient is reverse-mode

@@ -44,11 +44,13 @@ class RenderConfig:
     # Normal estimation: "fd" = 6-eval central differences, h=1e-3, matching
     # the reference bit-for-bit (scene.cpp:70-89); "analytic" = one
     # in-kernel winner-gradient evaluation.  Measured crossover
-    # (ab_analytic_r3.json, fwd+bwd): analytic is 1.53x FASTER with
-    # fused_generators (the backward transposes the cheap folded field) and
-    # 4.7x SLOWER on exact tables (its backward replays the jnp field;
-    # FD's rides the single-launch stencil kernel) — so bench.py pairs
-    # analytic with fused and keeps fd for exact.
+    # (ab_analytic_r3.json, fwd+bwd, exact gradients): analytic is 1.46x
+    # FASTER with fused_generators (the backward transposes the cheap
+    # folded field) and 1.45x slower on exact tables (even with the
+    # closed-form winner-Hessian backward, the analytic forward's
+    # gradient fold at shade time costs more than FD's 6 collapsed value
+    # evals) — so bench.py pairs analytic with fused and keeps fd for
+    # exact.
     normal_mode: str = "fd"
     fd_h: float = 1e-3
 
@@ -159,11 +161,12 @@ class RenderConfig:
     # the tile's while-loop no longer waits on them).  EXACT for the
     # rendered image; gated at RUNTIME on the live color table still
     # having those rows black, so fitting a black primitive's color
-    # re-enables full shading automatically.  Backward semantics: black
-    # lanes are GRADIENT-DEAD — in particular d loss / d prim_color of a
-    # black primitive is 0 instead of its Lambert light term (the shadow
-    # state that term needs was never computed).  Disable for fits that
-    # must lift colors out of exact black.
+    # re-enables full shading automatically.  FORWARD-ONLY: under
+    # differentiation the fwd rule forces the skip off (a skipped lane
+    # never computed its true shadow state, and d pixel / d prim_color of
+    # a black primitive = its light term — zeroing it would freeze
+    # black-initialized colors under fitting), so gradients are always
+    # exact and fwd+bwd workloads see no speedup from this flag.
     shade_skip_black: bool = True
 
     # Thin-lens depth of field (opt-in, 0.0 = reference-parity pinhole):

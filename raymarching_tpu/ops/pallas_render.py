@@ -487,21 +487,6 @@ def black_skip_ids(plan: ScenePlan, cfg: RenderConfig):
     return ()
 
 
-def black_dead_mask(plan: ScenePlan, cfg: RenderConfig, tables, cidx):
-    """[R] bool — lanes the forward skipped shadow work for (black winner
-    or miss, with the runtime still-black gate), whose cotangents the
-    backward must treat as gradient-dead; None when the skip is off.
-    Mirrors the kernel's in-tile test exactly."""
-    ids = black_skip_ids(plan, cfg)
-    if not ids or cfg.reflect_strength > 0.0:
-        return None
-    isb = cidx < 0
-    for k in ids:
-        isb = jnp.logical_or(isb, cidx == k)
-    rows = jnp.asarray(tables.prim_color)[jnp.asarray(ids)]
-    return jnp.logical_and(isb, jnp.all(rows == 0.0))
-
-
 def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
                        origin: jnp.ndarray, dirs: jnp.ndarray,
                        tables: SceneTables, *, interpret: bool = False):
@@ -781,6 +766,15 @@ def fused_render_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
 
 
 def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
+    # Under differentiation the black-lane shadow skip must be OFF: a
+    # black winner's pixel is color * light == 0, which kills every
+    # cotangent THROUGH light — but d pixel / d color = light itself, and
+    # a skipped lane never computed its true shadow state, so the replay
+    # could not reconstruct that gradient (a black-initialized primitive
+    # would be stuck black under fitting).  custom_vjp gives the exact
+    # hook: this fwd rule only ever runs when a vjp is being traced, so
+    # forward-only rendering (the primal fused_render_op) keeps the skip.
+    cfg = cfg.replace(shade_skip_black=False)
     outs = pallas_render_rays(plan, cfg, origin, dirs, tables,
                               interpret=interpret)
     p, sd, conv, cidx, light, smask, sfac, aofac = outs[:8]
@@ -860,6 +854,67 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
 
     # a [3] origin broadcast over rays sums its cotangent; a [R, 3]
     # per-ray origin keeps it per ray (api.render_rays bundles)
+    o_bar = (p_bar + gp_w if jnp.ndim(origin) == 2 else
+             jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1))))
+    d_bar = t[..., None] * (p_bar + gp_w)
+    tables_bar = jax.tree_util.tree_map(jnp.add, tables_bar, tables_bar2)
+    return tables_bar, o_bar, d_bar
+
+
+def _exact_analytic_bwd(plan, cfg, residuals, g_out, interpret):
+    """Backward for the exact-table ANALYTIC-normal path with ONE kernel
+    launch total (vs _exact_fd_bwd's 7-point stencil): the combined winner
+    evaluation at the hit supplies the analytic-normal primal g0, the IFT
+    gradient, and the winner rows; the normal's own VJP is the closed-form
+    winner-Hessian chain (scene_vjp.winner_hessian_chain — sphere
+    curvature, flat box/cross).  Dense prim types only; plans with
+    procedural leaves fall back to the jnp replay (dispatched in
+    _fused_bwd)."""
+    from ..core import shading as sh
+    from .scene_vjp import (_segment_add, theta_cotangents, winner_eval,
+                            winner_hessian_chain)
+
+    (tables, origin, dirs, p, sd, conv, cidx, smask, t,
+     sfac, aofac, _bounce_res) = residuals
+    sd0, widx0, g0 = winner_eval(plan, cfg, p, tables, interpret)
+
+    # 1. shading replay from the analytic-gradient primal (see
+    # _exact_fd_bwd step 1 — identical structure, g0 in place of gfd).
+    safe_cidx = jnp.clip(cidx, 0, None)
+    color_p = jnp.where((cidx >= 0)[..., None],
+                        jnp.asarray(tables.prim_color)[safe_cidx], 0.0)
+
+    def shade(tables_, p_, g_, color_):
+        n = sh.normalize(g_)
+        light = _lambert_replay(plan, cfg, tables_, p_, n, smask, sfac,
+                                aofac)
+        return light * color_
+
+    _, vjp_shade = jax.vjp(shade, tables, p, g0, color_p)
+    tables_bar, p_bar, g_bar, color_bar = vjp_shade(g_out)
+    pc_bar = _segment_add(cidx.reshape(-1), color_bar.reshape(-1, 3),
+                          int(tables.prim_color.shape[0]))
+    tables_bar = tables_bar._replace(
+        prim_color=tables_bar.prim_color + pc_bar)
+
+    # 2. analytic-normal chain: closed-form winner Hessian.
+    hess_p_bar, rows, hidx = winner_hessian_chain(plan, tables, p, widx0,
+                                                  g_bar)
+    p_bar = p_bar + hess_p_bar
+
+    # 3. IFT route at the hit point (same winner launch).
+    denom = jnp.sum(g0 * dirs, axis=-1)
+    t_bar = jnp.where(conv, jnp.sum(p_bar * dirs, axis=-1), 0.0)
+    w = ift_ray_weights(t_bar, denom, cfg.ift_damping)
+    gp_w = w[..., None] * g0
+
+    # 4. parameter scatters: IFT winner rows + the Hessian's center rows.
+    tables_bar2 = theta_cotangents(plan, tables, widx0, g0, w,
+                                   sd=sd0, p=p)
+    pos_hess = _segment_add(hidx, rows, int(tables.prim_pos.shape[0]))
+    tables_bar2 = tables_bar2._replace(
+        prim_pos=tables_bar2.prim_pos + pos_hess)
+
     o_bar = (p_bar + gp_w if jnp.ndim(origin) == 2 else
              jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1))))
     d_bar = t[..., None] * (p_bar + gp_w)
@@ -968,18 +1023,15 @@ def _fused_bwd(plan, cfg, interpret, residuals, g_out):
     if cfg.reflect_strength > 0.0:
         return _reflect_bwd(plan, cfg, interpret, residuals, g_out)
 
-    # Black-lane shadow skip: the forward never computed those lanes'
-    # shadow state (their pixel is exactly 0 either way), so the replay's
-    # smask rows are placeholders — declare the lanes gradient-dead
-    # instead of transposing a branch that never ran (the only gradient
-    # this zeroes is d loss / d prim_color of a black primitive, see
-    # RenderConfig.shade_skip_black).
-    dead = black_dead_mask(plan, cfg, residuals[0], residuals[6])
-    if dead is not None:
-        g_out = jnp.where(dead[..., None], 0.0, g_out)
-
+    # (No black-lane handling here: _fused_fwd disables the shadow skip
+    # under differentiation, so every residual row is real and gradients
+    # — including d loss / d prim_color of black primitives — are exact.)
     if not cfg.fused_generators and cfg.normal_mode == "fd":
         return _exact_fd_bwd(plan, cfg, residuals, g_out, interpret)
+    if not cfg.fused_generators and not plan.proc:
+        # analytic normals on dense exact tables: single-launch backward
+        # with the closed-form winner-Hessian normal chain.
+        return _exact_analytic_bwd(plan, cfg, residuals, g_out, interpret)
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
      sfac, aofac, _bounce_res) = residuals

@@ -310,6 +310,67 @@ def fd_stencil_cotangents(cfg: RenderConfig, nbar):
         [jnp.moveaxis(nbar, -1, 0) * inv, -jnp.moveaxis(nbar, -1, 0) * inv])
 
 
+def winner_hessian_chain(plan: ScenePlan, tables: SceneTables, p, widx,
+                         gbar):
+    """a.e. VJP of the winner-gradient FIELD g(p) itself (the analytic
+    normal primal): away from fold switches, g = sign_eff * grad sd_w, so
+
+        dg/dp = sign_eff * H_w,    dg/d center_w = -sign_eff * H_w
+
+    with the winner's Hessian H_w in closed form: sphere
+    H = (I - u u^T)/|p - c| (u = unit(p - c)); box/cross are FLAT — their
+    one-hot sign gradient is locally constant, H = 0 a.e. (this is why FD
+    and analytic normals shade identically off edges).  Radius/size carry
+    no gradient dependence, so prim_pos is the only parameter cotangent.
+    Procedural winners (Mandelbox/Mandelbulb/Julia) have no closed-form
+    Hessian here — callers gate on ``plan.proc`` and fall back to the jnp
+    replay.
+
+    Returns (p_bar [..., 3], rows [R, 3], idx [R]) where rows/idx feed one
+    ``_segment_add`` into the prim_pos cotangent (rows = -p_bar on sphere
+    winners; idx = -1 elsewhere drops out of the one-hot contraction)."""
+    P = int(np.shape(tables.prim_pos)[0])
+    sign_eff, is_sphere, _ = _leaf_statics(plan)
+    widx_f = widx.reshape(-1)
+    gbar_f = gbar.reshape(-1, 3)
+    p_f = p.reshape(-1, 3)
+    safe = jnp.clip(widx_f, 0, P - 1)
+    sph = jnp.logical_and(jnp.asarray(is_sphere[:P])[safe], widx_f >= 0)
+    se = jnp.asarray(sign_eff[:P])[safe]
+    c = jnp.asarray(tables.prim_pos)[safe]
+    d = p_f - c
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1, keepdims=True),
+                                1e-24))
+    u = d / dist
+    hg = (gbar_f - u * jnp.sum(u * gbar_f, axis=-1, keepdims=True)) / dist
+    p_bar = jnp.where(sph[:, None], se[:, None] * hg, 0.0)
+    return (p_bar.reshape(gbar.shape), -p_bar,
+            jnp.where(sph, widx_f, -1))
+
+
+def analytic_normal_bwd(plan: ScenePlan, cfg: RenderConfig,
+                        interpret: bool, p, tables, gbar):
+    """VJP of the analytic winner-gradient normal mode on exact tables:
+    ONE combined winner-kernel pass + the closed-form Hessian chain
+    (winner_hessian_chain) + one segment-add — no jnp scene_sd replay, no
+    [rays, prims] matrix.  The FD twin (fd_normal_bwd) needs a 6-point
+    stencil launch; the analytic field's derivative is local, so this is
+    the CHEAPER backward.  Returns (p_bar, tables_bar)."""
+    _sd, widx, _g = winner_eval(plan, cfg, p, tables, interpret)
+    p_bar, rows, idx = winner_hessian_chain(plan, tables, p, widx, gbar)
+    P = int(np.shape(tables.prim_pos)[0])
+    pos_bar = _segment_add(idx, rows, P)
+    z = lambda x: jnp.zeros_like(jnp.asarray(x))
+    tables_bar = SceneTables(
+        prim_pos=pos_bar, prim_aux=z(tables.prim_aux),
+        prim_color=z(tables.prim_color), light_pos=z(tables.light_pos),
+        light_color=z(tables.light_color),
+        cam_position=z(tables.cam_position),
+        cam_direction=z(tables.cam_direction),
+        cam_up=z(tables.cam_up), cam_fov=z(tables.cam_fov))
+    return p_bar, tables_bar
+
+
 def fd_normal_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                   p, tables, nbar):
     """VJP of the 6-eval FD normal stencil (shading.normal_fd semantics:

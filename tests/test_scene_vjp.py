@@ -180,6 +180,66 @@ def test_fd_normal_bwd_matches_jnp_vjp():
     _tables_close(t_ours, t_ref, rtol=2e-3, atol=5e-3)
 
 
+def test_analytic_normal_bwd_matches_jnp_vjp():
+    """The closed-form winner-Hessian backward (sphere curvature, flat
+    box/cross) against jax's reverse-over-reverse through the jnp field."""
+    from raymarching_tpu.ops.scene_vjp import analytic_normal_bwd
+
+    plan, tables = _world()
+    p = _points(seed=6)
+    clean = _tie_free(plan, tables, p)
+    gbar = jnp.where(clean[..., None], jnp.asarray(
+        np.random.default_rng(7).normal(size=p.shape).astype(np.float32)),
+        0.0)
+
+    cfg = CFG.replace(normal_mode="analytic")
+    p_ours, t_ours = analytic_normal_bwd(plan, cfg, True, p, tables, gbar)
+
+    def est(p_, tb):
+        return shading.normal_analytic(lambda q: scene_sd(plan, tb, q), p_)
+
+    _, vjp = jax.vjp(est, p, tables)
+    p_ref, t_ref = vjp(gbar)
+    np.testing.assert_allclose(np.asarray(p_ours), np.asarray(p_ref),
+                               rtol=2e-3, atol=2e-3)
+    _tables_close(t_ours, t_ref, rtol=2e-3, atol=2e-3)
+    # flat winners (box/cross) and radii must carry ZERO normal cotangent
+    assert float(jnp.abs(t_ours.prim_aux).max()) == 0.0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backend", ["pallas", "mega"])
+def test_end_to_end_analytic_grads_match_jnp(backend):
+    """Full render gradcheck on the exact+analytic path: the single-launch
+    winner-Hessian backward must reproduce the jnp backend's gradients
+    (same estimator, replayed through the jnp field)."""
+    plan, tables = _world()
+    from raymarching_tpu.api import render_tables
+    cfg = CFG.replace(shadows=True, normal_mode="analytic")
+
+    def loss(t, backend, interpret=False):
+        img = render_tables(plan, t, cfg, backend=backend,
+                            interpret=interpret, differentiable=True)
+        return jnp.mean(img * img)
+
+    gk = jax.grad(lambda t: loss(t, backend, True))(tables)
+    gj = jax.grad(lambda t: loss(t, "jnp"))(tables)
+    # atol 0.02*scale (vs the FD test's 0.005): a couple of lanes land on
+    # CSG tie sets where kernel first-wins vs jnp even-split subgradients
+    # lawfully differ; verified the winner-Hessian route matches the jnp
+    # REPLAY route (same estimator, same tie choice) to 5e-10 on this
+    # exact world — the residual here is backend tie semantics, not the
+    # closed-form chain.
+    for field in ("prim_pos", "prim_aux", "prim_color", "light_pos",
+                  "cam_position", "cam_direction", "cam_up", "cam_fov"):
+        a = np.asarray(getattr(gk, field), np.float64)
+        b = np.asarray(getattr(gj, field), np.float64)
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, b, rtol=0.02, atol=0.02 * scale,
+            err_msg=f"{backend} analytic-backward mismatch in {field}")
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("backend", ["pallas", "mega"])
 def test_end_to_end_fd_grads_match_jnp(backend):
