@@ -14,6 +14,11 @@ run:
 test:
 	$(PY) -m pytest tests/ -q
 
+# fast iteration loop: slow-tagged tests excluded, 4 xdist workers
+# (~9 min; cluster tests allocate ephemeral ports so workers never collide)
+test-fast:
+	$(PY) -m pytest tests/ -q -m 'not slow' -n 4
+
 bench:
 	$(PY) bench.py
 

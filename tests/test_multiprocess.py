@@ -4,11 +4,23 @@ process boundary, and gather it — exercising the exact code paths a TPU
 pod slice uses (distributed.initialize, cross-process mesh, DCN-path
 process_allgather at save time)."""
 
+import socket
 import subprocess
 import sys
 import textwrap
 
 import pytest
+
+
+def _free_port() -> str:
+    """An OS-assigned ephemeral port, so concurrent suites (or a second
+    checkout on the same box) never collide on a pinned coordinator port.
+    The bind-then-close handoff has a theoretical reuse race, but the
+    kernel cycles ephemeral ports, and jax.distributed's coordinator
+    raises loudly on bind failure rather than hanging."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
 
 _WORKER = textwrap.dedent('''
 import os, sys
@@ -75,7 +87,7 @@ def test_two_process_tiled_multihost(scenes_dir):
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     prog = _TILED_WORKER.format(repo=repo,
                                 scene=str(scenes_dir / "config1.txt"))
-    port = "9931"
+    port = _free_port()
     procs = [subprocess.Popen([sys.executable, "-c", prog, str(i), port],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
@@ -100,7 +112,7 @@ def test_two_process_cluster(scenes_dir, tmp_path):
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     prog = _WORKER.format(repo=repo,
                           scene=str(scenes_dir / "config1.txt"))
-    port = "9923"
+    port = _free_port()
     procs = [subprocess.Popen([sys.executable, "-c", prog, str(i), port],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)

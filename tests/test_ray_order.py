@@ -94,6 +94,7 @@ class TestBitExactness:
                                      backend="mega", interpret=True))
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.slow
     def test_mega_block_chunked_equals_scan(self, demo):
         plan, tables = demo
         a = np.asarray(render_tables(
@@ -124,6 +125,7 @@ class TestBitExactness:
             scale = max(float(np.abs(a).max()), 1e-12)
             np.testing.assert_allclose(a, b, atol=1e-2 * scale, rtol=0)
 
+    @pytest.mark.slow
     def test_jnp_dof_block_matches_scan(self, demo):
         plan, tables = demo
         cfg = CFG.replace(aperture=0.05, ssaa=2)

@@ -24,6 +24,7 @@ def demo():
     return rt.compile_scene(rt.load_scene("scenes/demo.txt"))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("row_block", [36, 16, 7])
 def test_tiled_matches_whole_frame_jnp(demo, row_block):
     plan, tables = demo
@@ -86,6 +87,7 @@ def test_tiled_rejects_out_of_range_band(demo):
                      row_start=-1, num_rows=4)
 
 
+@pytest.mark.slow
 def test_tiled_dof_matches_whole_frame(demo):
     """--row-block with aperture > 0 must render the SAME thin-lens image
     as the whole-frame DoF path (was: silent pinhole fallback)."""
