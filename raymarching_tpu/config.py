@@ -75,12 +75,13 @@ class RenderConfig:
     ray_order: str = "auto"
 
     # Rays per Pallas program instance: (tile_sublanes, 128) grid tiles.
-    # Swept on the demo scene: fused mode prefers 32 (+3% over 16), but
-    # the exact-table path prefers 16 strongly (bigger tiles blunt the
-    # early exit when every extra step folds 400+ primitives: config5
-    # 1.89s at 16 vs 2.46s at 32).  16 is the balanced default; override
-    # per workload if needed.
-    tile_sublanes: int = 16
+    # Re-swept r3 AFTER block ray ordering (which removed the original
+    # reason 16 won — in scan order a big tile spanned multiple image
+    # rows and its max-march exploded): 32 is now faster on BOTH regimes
+    # at the bench workload (exact +4%, fused +9%, one process,
+    # pipelined) and neutral on the 1024² ssaa3 forward (73.3 vs 72.5
+    # within tunnel noise).  Images are bit-exact across tile sizes.
+    tile_sublanes: int = 32
 
     # Process rays in chunks of this many (0 = whole frame at once) to bound
     # the [rays, primitives] working set in HBM on the jnp path.

@@ -1470,21 +1470,30 @@ def _fold_runs_idx_grad(tbl, runs, px, py, pz, carry):
     return carry
 
 
-def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
+def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
+                            fused=False):
     """Scene SDF + winning leaf index + the winner's dsd/dp in ONE fold
     pass, with the same exact per-tile base-bound cull as _scene_sd_tile.
 
     This is the backward-pass workhorse (ops.scene_vjp): given (idx, grad)
     per ray, cotangents to every primitive parameter are a per-lane
     formula + segment-sum OUTSIDE the kernel — the [rays, prims] leaf
-    matrix is never materialized anywhere in the backward.  Exact tables
-    only: fused generator groups take the (cheap) jnp backward instead."""
+    matrix is never materialized anywhere in the backward.
+
+    With ``fused`` on, generator groups evaluate base + derived carve
+    (same values as _scene_sd_tile fused mode); a carve win reports the
+    EXTENDED winner id ``_flag_row(kp) + ordinal`` (ordinal = position of
+    the group among fused groups, plan order) so the host backward can
+    apply the carve's own theta algebra (translation + homogeneity;
+    scene_vjp._fused_statics maps extended ids back to base rows)."""
     if isinstance(kp, ScenePlan):
         return _scene_generic_tile(kp, tbl, px, py, pz, dtype,
                                    with_idx=True, with_grad=True)
     inf = jnp.full(px.shape, jnp.inf, dtype)
     zero = jnp.zeros(px.shape, dtype)
     rsign = 1.0 if kp.root_op == MIN else -1.0
+    ext_base = _flag_row(kp)
+    fused_ordinal = 0
     state = (inf, jnp.full(px.shape, -1, jnp.int32), zero, zero, zero)
 
     def root_update(state, gsign, carry):
@@ -1504,9 +1513,30 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype):
     init = (inf, jnp.full(px.shape, -1, jnp.int32), zero, zero, zero)
     for g in kp.groups:
         neg_runs = [r for r in g.runs if r[3] == -1]
+        use_fused = fused and g.fused is not None
         cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
-                    and g.count >= _CULL_MIN_GROUP)
-        if cullable:
+                    and g.count >= _CULL_MIN_GROUP and not use_fused)
+        if use_fused:
+            ext_id = ext_base + fused_ordinal
+            fused_ordinal += 1
+            bt = _FUSED_BASE_TYPE[g.fused[0]]
+            base_sd, bgx, bgy, bgz = _prim_sd_grad(bt, tbl, g.start,
+                                                   px, py, pz)
+            carve, cgx, cgy, cgz = _fused_carve_grad(g, tbl, px, py, pz,
+                                                     dtype)
+            # group val = max(base, -carve); base (the earlier leaf) wins
+            # ties, matching the strict-< exact fold
+            take_base = base_sd >= -carve
+            gval = jnp.maximum(base_sd, -carve)
+            carry = (gval,
+                     jnp.where(take_base,
+                               jnp.full(px.shape, g.start, jnp.int32),
+                               jnp.full(px.shape, ext_id, jnp.int32)),
+                     jnp.where(take_base, bgx, -cgx),
+                     jnp.where(take_base, bgy, -cgy),
+                     jnp.where(take_base, bgz, -cgz))
+            state = root_update(state, 1, carry)
+        elif cullable:
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
             lb = -gmin_base
 
@@ -1599,12 +1629,14 @@ def _surface_kernel(kp: KernelPlan, fd_h: float, with_color: bool,
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     outs = list(out_refs)
     sd_ref = outs.pop(0)
-    if with_color and with_normal and analytic and not fused:
+    if with_color and with_normal and analytic:
         # Combined backward-pass mode: sd + winner index + winner gradient
         # in ONE fold pass (ops.scene_vjp builds all parameter cotangents
-        # from these outside the kernel).
+        # from these outside the kernel).  With ``fused`` the winner id
+        # may be an EXTENDED carve id — see _scene_sd_idx_grad_tile.
         sd, idx, gx, gy, gz = _scene_sd_idx_grad_tile(kp, tbl_ref,
-                                                      px, py, pz, dtype)
+                                                      px, py, pz, dtype,
+                                                      fused=fused)
         sd_ref[...] = sd
         outs.pop(0)[...] = idx
         outs.pop(0)[...] = gx

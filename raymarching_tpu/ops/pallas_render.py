@@ -898,8 +898,8 @@ def _exact_analytic_bwd(plan, cfg, residuals, g_out, interpret):
         prim_color=tables_bar.prim_color + pc_bar)
 
     # 2. analytic-normal chain: closed-form winner Hessian.
-    hess_p_bar, rows, hidx = winner_hessian_chain(plan, tables, p, widx0,
-                                                  g_bar)
+    hess_p_bar, rows, hidx = winner_hessian_chain(plan, tables, widx0, g0,
+                                                  g_bar, sd0)
     p_bar = p_bar + hess_p_bar
 
     # 3. IFT route at the hit point (same winner launch).
@@ -914,6 +914,67 @@ def _exact_analytic_bwd(plan, cfg, residuals, g_out, interpret):
     pos_hess = _segment_add(hidx, rows, int(tables.prim_pos.shape[0]))
     tables_bar2 = tables_bar2._replace(
         prim_pos=tables_bar2.prim_pos + pos_hess)
+
+    o_bar = (p_bar + gp_w if jnp.ndim(origin) == 2 else
+             jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1))))
+    d_bar = t[..., None] * (p_bar + gp_w)
+    tables_bar = jax.tree_util.tree_map(jnp.add, tables_bar, tables_bar2)
+    return tables_bar, o_bar, d_bar
+
+
+def _fused_analytic_bwd(plan, cfg, residuals, g_out, interpret):
+    """Backward for the FUSED-generator analytic-normal path (the bench
+    headline regime) with ONE kernel launch total, replacing the jnp
+    replay that re-evaluated the folded field several times per ray
+    (normal_analytic is reverse-over-reverse of scene_sd_fused; measured
+    ~56% of the fwd+bwd frame).  Identical structure to
+    _exact_analytic_bwd, with the fused twins: the combined winner kernel
+    runs on the FOLDED field and may report extended carve-winner ids;
+    theta algebra and the normal's Hessian chain dispatch on the winner
+    kind (scene_vjp._fused_statics).  Dense prim types only (plans with
+    procedural leaves keep the replay, dispatched in _fused_bwd)."""
+    from ..core import shading as sh
+    from .scene_vjp import (_segment_add, fused_theta_cotangents,
+                            fused_winner_eval, fused_winner_hessian_chain)
+
+    (tables, origin, dirs, p, sd, conv, cidx, smask, t,
+     sfac, aofac, _bounce_res) = residuals
+    sd0, widx0, g0 = fused_winner_eval(plan, cfg, p, tables, interpret)
+
+    safe_cidx = jnp.clip(cidx, 0, None)
+    color_p = jnp.where((cidx >= 0)[..., None],
+                        jnp.asarray(tables.prim_color)[safe_cidx], 0.0)
+
+    def shade(tables_, p_, g_, color_):
+        n = sh.normalize(g_)
+        light = _lambert_replay(plan, cfg, tables_, p_, n, smask, sfac,
+                                aofac)
+        return light * color_
+
+    _, vjp_shade = jax.vjp(shade, tables, p, g0, color_p)
+    tables_bar, p_bar, g_bar, color_bar = vjp_shade(g_out)
+    pc_bar = _segment_add(cidx.reshape(-1), color_bar.reshape(-1, 3),
+                          int(tables.prim_color.shape[0]))
+    tables_bar = tables_bar._replace(
+        prim_color=tables_bar.prim_color + pc_bar)
+
+    # analytic-normal chain: closed-form winner Hessian on the folded
+    # field (curved = spheres + the DeathStar's derived carve sphere).
+    hess_p_bar, hess_pos, hess_aux = fused_winner_hessian_chain(
+        plan, tables, widx0, g0, g_bar, sd0)
+    p_bar = p_bar + hess_p_bar
+
+    # IFT route at the hit point (same winner launch).
+    denom = jnp.sum(g0 * dirs, axis=-1)
+    t_bar = jnp.where(conv, jnp.sum(p_bar * dirs, axis=-1), 0.0)
+    w = ift_ray_weights(t_bar, denom, cfg.ift_damping)
+    gp_w = w[..., None] * g0
+
+    tables_bar2 = fused_theta_cotangents(plan, tables, widx0, g0, w,
+                                         sd=sd0, p=p)
+    tables_bar2 = tables_bar2._replace(
+        prim_pos=tables_bar2.prim_pos + hess_pos,
+        prim_aux=tables_bar2.prim_aux + hess_aux)
 
     o_bar = (p_bar + gp_w if jnp.ndim(origin) == 2 else
              jnp.sum(p_bar + gp_w, axis=tuple(range(p.ndim - 1))))
@@ -1032,6 +1093,11 @@ def _fused_bwd(plan, cfg, interpret, residuals, g_out):
         # analytic normals on dense exact tables: single-launch backward
         # with the closed-form winner-Hessian normal chain.
         return _exact_analytic_bwd(plan, cfg, residuals, g_out, interpret)
+    if (cfg.fused_generators and cfg.normal_mode == "analytic"
+            and not plan.proc and plan.kernel is not None):
+        # the headline regime: single-launch winner backward on the
+        # FOLDED field (extended carve-winner ids).
+        return _fused_analytic_bwd(plan, cfg, residuals, g_out, interpret)
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
      sfac, aofac, _bounce_res) = residuals

@@ -168,6 +168,32 @@ def stencil_theta_cotangents(plan: ScenePlan, tables: SceneTables,
 _ONEHOT_BLOCK = 8192
 
 
+def _gather_rows(idx, mat):
+    """rows mat[idx] for idx [R] into mat [P, C] via the same blocked
+    one-hot MXU contraction as _segment_add (transposed): XLA's TPU
+    lowering of a per-ray row gather is several times the cost of the
+    reduction it feeds (measured — see theta_cotangents' note), while
+    ``one_hot(idx_block) @ mat`` is a dense matmul.  Negative idx rows
+    return zeros."""
+    R = idx.shape[0]
+    P, C = mat.shape
+    block = max(256, min(_ONEHOT_BLOCK, (1 << 22) // max(P, 1)))
+    pad = (-R) % block
+    idx_p = (jnp.concatenate([idx, jnp.full((pad,), -1, idx.dtype)])
+             if pad else idx)
+    nb = (R + pad) // block
+    idx_b = idx_p.reshape(nb, block)
+
+    def body(_, i):
+        onehot = (i[:, None] == jnp.arange(P, dtype=i.dtype)[None, :])
+        return None, jnp.dot(onehot.astype(mat.dtype), mat,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    _, out = jax.lax.scan(body, None, idx_b)
+    out = out.reshape(nb * block, C)
+    return out[:R] if pad else out
+
+
 def _segment_add(idx, vals, P: int):
     """sum of vals rows per index in [0, P): MXU one-hot contraction.
 
@@ -310,8 +336,168 @@ def fd_stencil_cotangents(cfg: RenderConfig, nbar):
         [jnp.moveaxis(nbar, -1, 0) * inv, -jnp.moveaxis(nbar, -1, 0) * inv])
 
 
-def winner_hessian_chain(plan: ScenePlan, tables: SceneTables, p, widx,
-                         gbar):
+# Extended-winner kind codes (fused carve wins, _scene_sd_idx_grad_tile's
+# ext ids): dense rows < P use _leaf_statics; rows P+k use these.
+_K_FLAT, _K_SPHERE, _K_MENGER_CARVE, _K_DS_CARVE = 0, 1, 2, 3
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_statics(plan: ScenePlan):
+    """Per-row static arrays over P + F rows (F = fused groups in plan
+    order) for the fused winner backward:
+
+      kind:     _K_SPHERE for dense sphere leaves, _K_DS_CARVE /
+                _K_MENGER_CARVE for extended carve rows, else _K_FLAT;
+      sigma:    g = sigma * unit(p - c_eff) for curved rows (sphere:
+                sign_eff; DeathStar carve: -1 — gval = -carve);
+      base_row: the table row a row's cotangents scatter onto (identity
+                for dense rows; the group's base for carve rows)."""
+    P = plan.num_primitives
+    sign_eff, is_sphere, _ = _leaf_statics(plan)
+    fused_groups = [g for g in plan.kernel.groups
+                    if g.fused is not None] if plan.kernel else []
+    F = len(fused_groups)
+    kind = np.zeros(P + F, np.int32)
+    kind[:P][is_sphere[:P]] = _K_SPHERE
+    sigma = np.ones(P + F, np.float32)
+    sigma[:P] = sign_eff[:P]
+    base_row = np.arange(P + F, dtype=np.int32)
+    for k, g in enumerate(fused_groups):
+        base_row[P + k] = g.start
+        if g.fused[0] == "deathstar":
+            kind[P + k] = _K_DS_CARVE
+            sigma[P + k] = -1.0       # gval = -carve, carve grad = +u'
+        else:
+            kind[P + k] = _K_MENGER_CARVE   # flat folded cross + size alg
+    return kind, sigma, base_row, P, F
+
+
+def fused_winner_eval(plan: ScenePlan, cfg: RenderConfig, p, tables,
+                      interpret: bool):
+    """(sd, extended winner idx, d scene_sd_fused/dp) at p — the fused
+    twin of winner_eval (one combined fold pass over the FOLDED field)."""
+    from .pallas_march import kernel_key, pallas_surface_eval
+
+    flat = p.reshape(-1, 3)
+    sd, widx, g = pallas_surface_eval(
+        kernel_key(plan), cfg.fd_h, cfg.tile_sublanes, flat, tables,
+        with_color=True, with_normal=True, fused=True, analytic=True,
+        interpret=interpret)
+    batch = p.shape[:-1]
+    return (sd.reshape(batch), widx.reshape(batch),
+            g.reshape(batch + (3,)))
+
+
+def fused_theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g,
+                           u, sd, p) -> SceneTables:
+    """theta_cotangents for the FUSED field: dense winners use the exact
+    per-leaf formulas; extended carve winners scatter onto their group's
+    base row — position by translation invariance (d gval/dc = -g, the
+    same mu*g column every winner uses), size by degree-1 homogeneity
+    (Menger carve: gval = -carve((p-c)/s) * s, the proc formula on aux
+    column 0) or the derived-centre radius rule (DeathStar carve:
+    d gval/dr = 1 - 1.5 g_x, assembled from the mu and mu*g columns).
+    Callers gate on ``not plan.proc`` (procedural leaves keep the jnp
+    replay)."""
+    kind, sigma, base_row, P, F = _fused_statics(plan)
+    widx = widx.reshape(-1)
+    g = g.reshape(-1, 3)
+    u = u.reshape(-1)
+    mu = -u[:, None]
+    cols = [mu * g, mu, 0.5 * mu * jnp.abs(g),
+            mu * sd.reshape(-1, 1),
+            mu * jnp.sum(g * p.reshape(-1, 3), axis=1, keepdims=True)]
+    vals = jnp.concatenate(cols, axis=1)
+    red = _segment_add(widx, vals, P + F)               # [P+F, 9]
+
+    kindj = jnp.asarray(kind)
+    sigj = jnp.asarray(sigma)[:, None]
+    gpos_ext = red[:, :3]
+    # dense rows: sphere radius = se * sum(mu); box/cross = se*|g|/2 cols
+    aux_sphere = jnp.concatenate(
+        [red[:, 3:4], jnp.zeros((P + F, 2), red.dtype)], axis=1)
+    gaux = jnp.where((kindj == _K_SPHERE)[:, None],
+                     sigj * aux_sphere, sigj * red[:, 4:7])
+    # Menger carve rows: homogeneous size rule on aux column 0 (the carve
+    # reads the base row's size.x only) — same algebra as the proc path.
+    c_ext = jnp.asarray(tables.prim_pos)[jnp.asarray(base_row)]
+    s_ext = jnp.asarray(tables.prim_aux)[jnp.asarray(base_row), 0]
+    s_safe = jnp.where(s_ext != 0.0, s_ext, 1.0)
+    size_cot = (red[:, 8] - red[:, 7]
+                - jnp.sum(c_ext * gpos_ext, axis=1)) / s_safe
+    aux_menger = jnp.concatenate(
+        [size_cot[:, None], jnp.zeros((P + F, 2), red.dtype)], axis=1)
+    gaux = jnp.where((kindj == _K_MENGER_CARVE)[:, None], aux_menger, gaux)
+    # DeathStar carve rows: d gval/dr = 1 - 1.5 g_x per ray ->
+    # cot = sum u (1 - 1.5 g_x) = -red_mu + 1.5 * red_mug_x
+    ds_cot = -red[:, 3] + 1.5 * red[:, 0]
+    aux_ds = jnp.concatenate(
+        [ds_cot[:, None], jnp.zeros((P + F, 2), red.dtype)], axis=1)
+    gaux = jnp.where((kindj == _K_DS_CARVE)[:, None], aux_ds, gaux)
+
+    # fold extended rows onto their base table rows
+    br = jnp.asarray(base_row)
+    gpos = jnp.zeros((P, 3), red.dtype).at[br].add(gpos_ext)
+    gaux_f = jnp.zeros((P, 3), red.dtype).at[br].add(gaux)
+    z = lambda x: jnp.zeros_like(jnp.asarray(x))
+    return SceneTables(
+        prim_pos=gpos, prim_aux=gaux_f, prim_color=z(tables.prim_color),
+        light_pos=z(tables.light_pos), light_color=z(tables.light_color),
+        cam_position=z(tables.cam_position),
+        cam_direction=z(tables.cam_direction),
+        cam_up=z(tables.cam_up), cam_fov=z(tables.cam_fov))
+
+
+def fused_winner_hessian_chain(plan: ScenePlan, tables: SceneTables,
+                               widx, g, gbar, sd):
+    """winner_hessian_chain for the FUSED field: curved winners are dense
+    spheres AND the DeathStar's derived carve sphere (c_eff = c + 1.5 r
+    e_x); Menger carve winners are folded crosses — flat, zero a.e.
+
+    For every curved winner g = sigma * unit(p - c_eff), so with
+    H = (I - u u^T)/|p - c_eff|:  p_bar = sigma H gbar,
+    c_bar = -sigma H gbar, and the derived centre adds
+    r_bar = 1.5 * (c_eff_bar)_x for the carve row.
+
+    NO per-ray table gathers: u = sigma * g comes from the kernel, and
+    the winner identity gives |p - c_eff| = radius + sigma * scene_sd
+    exactly (sphere: sd = sigma (|p-c|-r); DS carve: sd = r - |p-c'|);
+    the per-ray statics (sigma, radius, kind masks) arrive through ONE
+    blocked one-hot matmul (_gather_rows).
+
+    Returns (p_bar, pos_bar [P, 3], aux_bar [P, 3]) — the parameter
+    cotangents already reduced onto base table rows."""
+    kind, sigma, base_row, P, F = _fused_statics(plan)
+    widx_f = widx.reshape(-1)
+    g_f = g.reshape(-1, 3)
+    gbar_f = gbar.reshape(-1, 3)
+    sd_f = sd.reshape(-1)
+    stats = jnp.concatenate([
+        jnp.asarray(sigma)[:, None],
+        jnp.asarray(tables.prim_aux)[jnp.asarray(base_row), 0][:, None],
+        jnp.asarray((kind == _K_SPHERE).astype(np.float32))[:, None],
+        jnp.asarray((kind == _K_DS_CARVE).astype(np.float32))[:, None],
+    ], axis=1)
+    st = _gather_rows(widx_f, stats)            # zeros on miss lanes
+    sg, r, sphm, dscm = (st[:, k] for k in range(4))
+    curved = (sphm + dscm) > 0.5
+    u = sg[:, None] * g_f
+    dist = jnp.maximum(r + sg * sd_f, 1e-12)[:, None]
+    hg = (gbar_f - u * jnp.sum(u * gbar_f, axis=-1, keepdims=True)) / dist
+    p_bar = jnp.where(curved[:, None], sg[:, None] * hg, 0.0)
+    pos_rows = -p_bar
+    aux0 = jnp.where(dscm > 0.5, 1.5 * pos_rows[:, 0], 0.0)
+    idx = jnp.where(curved, widx_f, -1)
+    red = _segment_add(idx, jnp.concatenate(
+        [pos_rows, aux0[:, None]], axis=1), P + F)       # [P+F, 4]
+    br = jnp.asarray(base_row)
+    pos_bar = jnp.zeros((P, 3), red.dtype).at[br].add(red[:, :3])
+    aux_bar = jnp.zeros((P, 3), red.dtype).at[br, 0].add(red[:, 3])
+    return p_bar.reshape(gbar.shape), pos_bar, aux_bar
+
+
+def winner_hessian_chain(plan: ScenePlan, tables: SceneTables, widx, g,
+                         gbar, sd):
     """a.e. VJP of the winner-gradient FIELD g(p) itself (the analytic
     normal primal): away from fold switches, g = sign_eff * grad sd_w, so
 
@@ -326,22 +512,31 @@ def winner_hessian_chain(plan: ScenePlan, tables: SceneTables, p, widx,
     Hessian here — callers gate on ``plan.proc`` and fall back to the jnp
     replay.
 
+    NO per-ray table gathers (measured several times the cost of the
+    whole reduction): u = sign_eff * g comes from the kernel, the winner
+    identity gives |p - c| = radius + sign_eff * scene_sd exactly, and
+    the per-ray statics arrive through one blocked one-hot matmul
+    (_gather_rows).
+
     Returns (p_bar [..., 3], rows [R, 3], idx [R]) where rows/idx feed one
     ``_segment_add`` into the prim_pos cotangent (rows = -p_bar on sphere
     winners; idx = -1 elsewhere drops out of the one-hot contraction)."""
     P = int(np.shape(tables.prim_pos)[0])
     sign_eff, is_sphere, _ = _leaf_statics(plan)
     widx_f = widx.reshape(-1)
+    g_f = g.reshape(-1, 3)
     gbar_f = gbar.reshape(-1, 3)
-    p_f = p.reshape(-1, 3)
-    safe = jnp.clip(widx_f, 0, P - 1)
-    sph = jnp.logical_and(jnp.asarray(is_sphere[:P])[safe], widx_f >= 0)
-    se = jnp.asarray(sign_eff[:P])[safe]
-    c = jnp.asarray(tables.prim_pos)[safe]
-    d = p_f - c
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1, keepdims=True),
-                                1e-24))
-    u = d / dist
+    sd_f = sd.reshape(-1)
+    stats = jnp.concatenate([
+        jnp.asarray(sign_eff[:P])[:, None],
+        jnp.asarray(tables.prim_aux)[:, 0][:, None],
+        jnp.asarray(is_sphere[:P].astype(np.float32))[:, None],
+    ], axis=1)
+    st = _gather_rows(widx_f, stats)            # zeros on miss lanes
+    se, r, sphm = st[:, 0], st[:, 1], st[:, 2]
+    sph = sphm > 0.5
+    u = se[:, None] * g_f
+    dist = jnp.maximum(r + se * sd_f, 1e-12)[:, None]
     hg = (gbar_f - u * jnp.sum(u * gbar_f, axis=-1, keepdims=True)) / dist
     p_bar = jnp.where(sph[:, None], se[:, None] * hg, 0.0)
     return (p_bar.reshape(gbar.shape), -p_bar,
@@ -356,8 +551,9 @@ def analytic_normal_bwd(plan: ScenePlan, cfg: RenderConfig,
     [rays, prims] matrix.  The FD twin (fd_normal_bwd) needs a 6-point
     stencil launch; the analytic field's derivative is local, so this is
     the CHEAPER backward.  Returns (p_bar, tables_bar)."""
-    _sd, widx, _g = winner_eval(plan, cfg, p, tables, interpret)
-    p_bar, rows, idx = winner_hessian_chain(plan, tables, p, widx, gbar)
+    sd, widx, g = winner_eval(plan, cfg, p, tables, interpret)
+    p_bar, rows, idx = winner_hessian_chain(plan, tables, widx, g, gbar,
+                                            sd)
     P = int(np.shape(tables.prim_pos)[0])
     pos_bar = _segment_add(idx, rows, P)
     z = lambda x: jnp.zeros_like(jnp.asarray(x))

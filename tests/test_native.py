@@ -81,6 +81,20 @@ def test_native_parser_matches_python(demo_scene_text):
                                   [g.count for g in kp.groups])
 
 
+def test_native_parser_menger4_matches_python(scenes_dir):
+    """The C++ twin's Menger DFS must generalize to iters=4 (8,422-prim
+    carve — the ladder's beyond-reference rung)."""
+    text = (scenes_dir / "menger4.txt").read_text()
+    res = native_parse_scene(text)
+    plan, tables = compile_scene(parse_scene(text))
+    assert res["prim_pos"].shape[0] == 8424
+    np.testing.assert_array_equal(res["prim_type"],
+                                  np.asarray(plan.prim_type, np.int32))
+    np.testing.assert_allclose(res["prim_pos"], tables.prim_pos, rtol=2e-6,
+                               atol=1e-5)
+    np.testing.assert_allclose(res["prim_aux"], tables.prim_aux, rtol=2e-6)
+
+
 def test_native_png_roundtrip(tmp_path):
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
