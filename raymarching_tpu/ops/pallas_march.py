@@ -543,6 +543,83 @@ def _menger_carve_lattice(tbl, g, px, py, pz):
     return best
 
 
+# Exact-table Menger carve folds at least this big take the per-subtree
+# hierarchical cull (deep sponges whose lattice collapse is column-capped).
+_SUBTREE_MIN_COUNT = 1024
+
+
+def _menger_subtrees(g):
+    """Static level-1 subtree layout of a Menger group's carve: 20 DFS
+    subtrees, each contiguous (generators._generate_menger recursion) —
+    (rows_per_subtree, ((offset, start), ...)).  None unless the group has
+    menger provenance with iters >= 2 and the expected 1 + 1 + 20*T rows."""
+    if g.fused is None or g.fused[0] != "menger" or g.fused[1] < 2:
+        return None
+    iters = g.fused[1]
+    T = sum(20 ** k for k in range(iters - 1))   # crosses per subtree
+    if g.count != 2 + 20 * T or any(s != 1 for s in g.scales[1:]):
+        return None
+    from ..scene.generators import _MENGER_OFFSETS
+    return T, tuple((off, g.start + 2 + j * T)
+                    for j, off in enumerate(_MENGER_OFFSETS))
+
+
+def _menger_subtree_fold(tbl, g, px, py, pz, carry, fold_fn, value_of):
+    """EXACT carve fold for big Menger groups with a per-tile, per-subtree
+    skip: every cross in level-1 subtree k is an infinite 3-rod plus whose
+    centre lies in cell k (cube side s/3 at c_k = c + o_k s/3; descendant
+    centres deviate < s/6) and whose half-width is <= s/18, and the cross
+    SDF med3(|p-c|-h) is monotone per axis — so
+
+        LB_k = med3(|p - c_k| - (s/6 + s/18))   (per axis)
+
+    lower-bounds every member.  When ALL lanes of the tile have
+    LB_k >= the running carve min, folding subtree k cannot change the
+    strict-< fold result (value, winner, or gradient) — one lax.cond
+    skips its ``T``-cross fori fold.  20 conds replace up to 20*T cross
+    evaluations; tiles are compact pixel blocks (core.order), so the
+    all-lanes test fires on real spatial structure.
+
+    Generic over the carried state: ``fold_fn(runs, carry)`` is any of
+    the _fold_runs* family closed over (tbl, p); ``value_of(carry)``
+    extracts the running min the skip test compares against."""
+    T, subs = _menger_subtrees(g)
+    carry = fold_fn(((int(PrimType.CROSS), g.start + 1, 1, 1),), carry)
+    cx, cy, cz = tbl[g.start, 0], tbl[g.start, 1], tbl[g.start, 2]
+    s = tbl[g.start, 3]
+    third = s * (1.0 / 3.0)
+    margin = s * (2.0 / 9.0)           # cell half s/6 + max cross half s/18
+    for (off, start) in subs:
+        bx = jnp.abs(px - (cx + float(off[0]) * third)) - margin
+        by = jnp.abs(py - (cy + float(off[1]) * third)) - margin
+        bz = jnp.abs(pz - (cz + float(off[2]) * third)) - margin
+        lb = _med3(bx, by, bz)
+
+        def with_subtree(c, _start=start):
+            return fold_fn(((int(PrimType.CROSS), _start, T, 1),), c)
+
+        skip = jnp.all(lb >= value_of(carry))
+        carry = jax.lax.cond(skip, lambda c: c, with_subtree, carry)
+    return carry
+
+
+def _menger_carve_subtree_culled(tbl, g, px, py, pz, init):
+    """Value-only subtree-culled carve (see _menger_subtree_fold)."""
+    return _menger_subtree_fold(
+        tbl, g, px, py, pz, init,
+        lambda runs, c: _fold_runs(tbl, runs, px, py, pz, c),
+        lambda c: c)
+
+
+def _use_subtree(g) -> bool:
+    """Should this group's carve fold take the per-subtree cull?  Deep
+    sponges whose lattice collapse was column-capped (scene/compile.py
+    _LATTICE_MAX_COLS) — the lattice stays the better exact fast path
+    when it exists."""
+    return (g.lattice is None and g.count >= _SUBTREE_MIN_COUNT
+            and _menger_subtrees(g) is not None)
+
+
 def lattice_ok(kp, tables) -> jnp.ndarray:
     """Scalar f32 flag (1.0/0.0): do the LIVE tables still satisfy every
     lattice group's shared-coordinate structure?  Computed with plain jnp
@@ -910,6 +987,12 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
                 def with_rest(r, _base=gmin_base):
                     return jnp.minimum(
                         r, -jnp.minimum(_base, lattice_carve()))
+            elif _use_subtree(g):
+                # column-capped deep sponge: per-subtree hierarchical cull
+                def with_rest(r, _base=gmin_base, _g=g):
+                    gmin = _menger_carve_subtree_culled(tbl, _g, px, py,
+                                                        pz, _base)
+                    return jnp.minimum(r, -gmin)
             else:
                 def with_rest(r, _base=gmin_base, _runs=tuple(pos_runs)):
                     gmin = _fold_runs(tbl, _runs, px, py, pz, _base)
@@ -1417,10 +1500,21 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
             lb = -gmin_base
 
-            def with_group(s, _runs=tuple(g.runs)):
-                gmin, ggx, ggy, ggz = _fold_runs_grad(
-                    tbl, _runs, px, py, pz, init4)
-                return root_update(s, -gmin, -ggx, -ggy, -ggz)
+            if _use_subtree(g):
+                def with_group(s, _g=g, _neg=tuple(neg_runs)):
+                    c = _fold_runs_grad(tbl, _neg, px, py, pz, init4)
+                    c = _menger_subtree_fold(
+                        tbl, _g, px, py, pz, c,
+                        lambda runs, cc: _fold_runs_grad(tbl, runs, px,
+                                                         py, pz, cc),
+                        lambda cc: cc[0])
+                    gmin, ggx, ggy, ggz = c
+                    return root_update(s, -gmin, -ggx, -ggy, -ggz)
+            else:
+                def with_group(s, _runs=tuple(g.runs)):
+                    gmin, ggx, ggy, ggz = _fold_runs_grad(
+                        tbl, _runs, px, py, pz, init4)
+                    return root_update(s, -gmin, -ggx, -ggy, -ggz)
 
             skip = jnp.all(lb >= state[0])
             state = jax.lax.cond(skip, lambda s: s, with_group, state)
@@ -1540,9 +1634,21 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
             gmin_base = _fold_runs(tbl, neg_runs, px, py, pz, inf)
             lb = -gmin_base
 
-            def with_group(s, _runs=g.runs):
-                carry = _fold_runs_idx_grad(tbl, _runs, px, py, pz, init)
-                return root_update(s, -1, carry)
+            if _use_subtree(g):
+                def with_group(s, _g=g, _neg=tuple(neg_runs)):
+                    carry = _fold_runs_idx_grad(tbl, _neg, px, py, pz,
+                                                init)
+                    carry = _menger_subtree_fold(
+                        tbl, _g, px, py, pz, carry,
+                        lambda runs, c: _fold_runs_idx_grad(
+                            tbl, runs, px, py, pz, c),
+                        lambda c: c[0])
+                    return root_update(s, -1, carry)
+            else:
+                def with_group(s, _runs=g.runs):
+                    carry = _fold_runs_idx_grad(tbl, _runs, px, py, pz,
+                                                init)
+                    return root_update(s, -1, carry)
 
             skip = jnp.all(lb >= state[0])
             state = jax.lax.cond(skip, lambda s: s, with_group, state)
@@ -1597,6 +1703,18 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
                     gval = -jnp.minimum(_base, carve)
                     gidx = jnp.full(px.shape, _g.start, jnp.int32)
                     return root_update(r, ri, gval, gidx)
+            elif _use_subtree(g):
+                def with_group(carry, _g=g, _neg=tuple(neg_runs)):
+                    r, ri = carry
+                    c = _fold_runs_idx(
+                        tbl, _neg, px, py, pz,
+                        (inf, jnp.full(px.shape, -1, jnp.int32)))
+                    c = _menger_subtree_fold(
+                        tbl, _g, px, py, pz, c,
+                        lambda runs, cc: _fold_runs_idx(tbl, runs, px, py,
+                                                        pz, cc),
+                        lambda cc: cc[0])
+                    return root_update(r, ri, float(-1) * c[0], c[1])
             else:
                 def with_group(carry, _runs=g.runs):
                     r, ri = carry

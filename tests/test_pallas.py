@@ -192,6 +192,59 @@ class TestMengerLattice:
         assert g4.count == 8422          # box + 1 + 20 + 400 + 8000 crosses
         assert g4.lattice is None
 
+    def test_subtree_culled_carve_matches_full_fold_bitwise(self):
+        """Deep sponges past the lattice column cap take the hierarchical
+        per-subtree cull (_menger_carve_subtree_culled): the skip bound is
+        a proof (every member >= med3 of the cell-margin excesses), so
+        the fold must equal the plain run fold BITWISE (min is exact
+        selection, order-free)."""
+        import jax.numpy as jnp
+
+        from raymarching_tpu.ops.pallas_march import (
+            _build_table, _fold_runs, _menger_carve_subtree_culled,
+            _menger_subtrees)
+
+        plan, tables = self._menger_plan(4)
+        g = next(g for g in plan.kernel.groups if g.fused is not None)
+        assert _menger_subtrees(g) is not None
+        tbl = _build_table(tables, plan.kernel)
+        rng = np.random.default_rng(7)
+        pts = rng.uniform(-25, 25, (2048, 3)).astype(np.float32)
+        pts[:, 2] -= 8.0
+        px, py, pz = (jnp.asarray(pts[:, a].reshape(16, 128))
+                      for a in range(3))
+        inf = jnp.full(px.shape, jnp.inf, jnp.float32)
+        base = _fold_runs(tbl, tuple(r for r in g.runs if r[3] == -1),
+                          px, py, pz, inf)
+        pos_runs = tuple(r for r in g.runs if r[3] == 1)
+        full = _fold_runs(tbl, pos_runs, px, py, pz, base)
+        fast = _menger_carve_subtree_culled(tbl, g, px, py, pz, base)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(fast))
+
+        # the idx / grad fold variants must be bitwise too (they back the
+        # color winner, analytic normals, and the FD-stencil backward)
+        import raymarching_tpu.ops.pallas_march as pm
+
+        def both(fn):
+            a = fn()
+            old = pm._SUBTREE_MIN_COUNT
+            pm._SUBTREE_MIN_COUNT = 10 ** 9
+            try:
+                b = fn()
+            finally:
+                pm._SUBTREE_MIN_COUNT = old
+            for x, y in zip(a if isinstance(a, tuple) else (a,),
+                            b if isinstance(b, tuple) else (b,)):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        f32 = jnp.float32
+        both(lambda: pm._scene_sd_idx_grad_tile(plan.kernel, tbl, px, py,
+                                                pz, f32))
+        both(lambda: pm._scene_sd_idx_tile(plan.kernel, tbl, px, py, pz,
+                                           f32))
+        both(lambda: pm._scene_sd_grad_tile(plan.kernel, tbl, px, py, pz,
+                                            f32))
+
     def test_lattice_carve_matches_explicit_fold_bitwise(self):
         import jax.numpy as jnp
 
