@@ -83,6 +83,13 @@ def _normal_bwd(plan, cfg, interpret, residuals, g_bar):
         # leaves have no closed-form Hessian and take the replay below.
         from .ops.scene_vjp import analytic_normal_bwd
         return analytic_normal_bwd(plan, cfg, interpret, p, tables, g_bar)
+    if (cfg.fused_generators and cfg.normal_mode == "analytic"
+            and not plan.proc and plan.kernel is not None):
+        # Fused-field analytic: same closed-form chain on the folded
+        # field (extended carve-winner ids — scene_vjp._fused_statics).
+        from .ops.scene_vjp import fused_analytic_normal_bwd
+        return fused_analytic_normal_bwd(plan, cfg, interpret, p, tables,
+                                         g_bar)
     # Differentiate the SAME field the forward kernel evaluated: folded
     # generators when fused mode is on (also ~60x cheaper to transpose),
     # and the SAME estimator (the analytic winner gradient is reverse-mode

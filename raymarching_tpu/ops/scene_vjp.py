@@ -567,6 +567,25 @@ def analytic_normal_bwd(plan: ScenePlan, cfg: RenderConfig,
     return p_bar, tables_bar
 
 
+def fused_analytic_normal_bwd(plan: ScenePlan, cfg: RenderConfig,
+                              interpret: bool, p, tables, gbar):
+    """analytic_normal_bwd for the FUSED field (the multi-kernel backend's
+    normal op under fused_generators + analytic): one fused winner pass +
+    the closed-form chain.  Returns (p_bar, tables_bar)."""
+    sd, widx, g = fused_winner_eval(plan, cfg, p, tables, interpret)
+    p_bar, pos_bar, aux_bar = fused_winner_hessian_chain(
+        plan, tables, widx, g, gbar, sd)
+    z = lambda x: jnp.zeros_like(jnp.asarray(x))
+    tables_bar = SceneTables(
+        prim_pos=pos_bar, prim_aux=aux_bar,
+        prim_color=z(tables.prim_color), light_pos=z(tables.light_pos),
+        light_color=z(tables.light_color),
+        cam_position=z(tables.cam_position),
+        cam_direction=z(tables.cam_direction),
+        cam_up=z(tables.cam_up), cam_fov=z(tables.cam_fov))
+    return p_bar, tables_bar
+
+
 def fd_normal_bwd(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                   p, tables, nbar):
     """VJP of the 6-eval FD normal stencil (shading.normal_fd semantics:

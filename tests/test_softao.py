@@ -103,6 +103,41 @@ def test_ao_darkens_contact_regions():
     assert (base - ao).max() > 5e-3
 
 
+def test_soft_ao_gradients_fused_analytic_winner_bwd():
+    """soft shadows + AO through the single-launch fused winner backward
+    (pallas_render._fused_analytic_bwd): the saved sfac/aofac factors must
+    replay as stop-gradient constants exactly as on the jnp route.  The
+    world needs a generator so the fused path is live."""
+    from raymarching_tpu.scene.generators import death_star
+
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        Sphere((0.0, 0.0, -6.0), 1.8, color=(0.9, 0.4, 0.2)),
+        death_star((2.8, 0.5, -5.0), 1.0, color=(0.3, 0.4, 0.9)),
+        Box((0.0, -3.0, -6.0), (10.0, 1.0, 10.0), color=(0.6, 0.6, 0.9)),
+    ])
+    plan, tables = compile_tree(tree, [Light((6.0, 8.0, 4.0))],
+                                Camera(position=(0, 2, 6), fov=55.0))
+    cfg = CFG.replace(soft_shadow_k=6.0, ao_strength=0.8,
+                      fused_generators=True, normal_mode="analytic")
+
+    def loss(t, backend, interpret=False):
+        img = render_tables(plan, t, cfg, backend=backend,
+                            interpret=interpret, differentiable=True)
+        return jnp.mean(img * img)
+
+    gm = jax.grad(lambda t: loss(t, "mega", True))(tables)
+    gj = jax.grad(lambda t: loss(t, "jnp"))(tables)
+    for field in ("prim_pos", "prim_aux", "light_pos"):
+        a = np.asarray(getattr(gm, field), np.float64)
+        b = np.asarray(getattr(gj, field), np.float64)
+        assert np.isfinite(a).all(), f"non-finite mega grad in {field}"
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(
+            a, b, rtol=0.02, atol=0.02 * scale,
+            err_msg=f"fused-analytic soft/AO mismatch in {field}")
+
+
 def test_soft_ao_gradients_mega_match_jnp():
     plan, tables = _world()
     cfg = CFG.replace(soft_shadow_k=6.0, ao_strength=0.8)
