@@ -27,9 +27,14 @@ scatter-added into the [P, 3] parameter tables with one ``segment-sum``
 scatter).  Gradcheck: tests/test_scene_vjp.py pins this against the jnp
 ``jax.vjp(scene_sd)`` route and the scan-oracle autodiff.
 
-Fused-generator groups keep the jnp backward (differentiating the folded
-field costs O(iters), not O(20^k) — already cheap); this module is the
-exact-table fast path.
+Fused-generator groups ride the same machinery through EXTENDED winner
+ids (a carve win reports ``P + ordinal``; _fused_statics maps it back to
+the group's base row, with carve theta algebra from translation
+invariance + degree-1 homogeneity) — fused_winner_eval /
+fused_theta_cotangents / fused_winner_hessian_chain are the folded-field
+twins of the exact-path functions.  Plans with procedural leaves
+(Mandelbox/Mandelbulb/Julia winners have no closed-form Hessian) keep
+the jnp replay backward.
 
 Tie semantics: axis-aligned CSG scenes tie over OPEN REGIONS, not just
 measure-zero sets (coincident faces — e.g. Menger cross arms along a cell
@@ -55,7 +60,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RenderConfig
-from ..scene.compile import MIN, ScenePlan, SceneTables
+from ..scene.compile import ScenePlan, SceneTables
 from ..scene.csg import PrimType
 
 from .march_op import ift_ray_weights
