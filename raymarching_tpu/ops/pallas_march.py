@@ -533,7 +533,7 @@ def _menger_carve_lattice(tbl, g, px, py, pz):
             by = [jnp.abs(py - tbl[r, 1]) - hy for r in ys_reps]
             bz = [jnp.abs(pz - tbl[r, 2]) - hz for r in zs_reps]
             sd = None
-            for (iy, iz, ixs) in columns:
+            for (iy, iz, ixs, _rows) in columns:
                 a = bx[ixs[0]]
                 for ix in ixs[1:]:
                     a = jnp.minimum(a, bx[ix])
@@ -1375,7 +1375,7 @@ def _menger_carve_lattice_grad(tbl, g, px, py, pz):
             sy = [jnp.sign(d) for d in dys]
             sz = [jnp.sign(d) for d in dzs]
             sd = gx = gy = gz = None
-            for (iy, iz, ixs) in columns:
+            for (iy, iz, ixs, _rows) in columns:
                 a, ga = bx[ixs[0]], sx[ixs[0]]
                 for ix in ixs[1:]:
                     take = bx[ix] < a
@@ -1403,6 +1403,78 @@ def _menger_carve_lattice_grad(tbl, g, px, py, pz):
             bgz = jnp.where(take, gz, bgz)
             best = jnp.minimum(best, sd)
     return best, bgx, bgy, bgz
+
+
+def _menger_carve_lattice_idx_grad(tbl, g, px, py, pz):
+    """(carve, winner row, winner dsd/dp) for the collapsed-lattice Menger
+    carve — _menger_carve_lattice_grad with the winning cross's TABLE ROW
+    carried through the fold (columns store member rows parallel to their
+    ix lists).  Values stay bitwise-identical to the full fold; the row
+    lets the single-launch backward's theta algebra run on lattice groups
+    instead of falling back to the 421-cross plain fold.
+
+    Tie note: within a column, the x-min fold keeps first-wins ties in
+    LEAF order (member order is DFS); ACROSS columns/levels the fold
+    visits sorted-column order, so on coincident-arm tie REGIONS the
+    reported winner may be a different member of the same tie class than
+    the plain fold's.  Tied leaves have identical fields and identical
+    per-parameter formulas, so every cotangent sum per tie class — and
+    the resulting optimizer step — is unchanged (ops/scene_vjp module
+    note); tests compare winners off the tie set only."""
+    best = bgx = bgy = bgz = bidx = None
+    for level in g.lattice:
+        if len(level) == 1:             # level-0: a single cross
+            sd, gx, gy, gz = _prim_sd_grad(int(PrimType.CROSS), tbl,
+                                           level[0], px, py, pz)
+            idx = jnp.full(px.shape, level[0], jnp.int32)
+        else:
+            xs_reps, ys_reps, zs_reps, size_rep, columns, _members = level
+            hx = tbl[size_rep, 3] * 0.5
+            hy = tbl[size_rep, 4] * 0.5
+            hz = tbl[size_rep, 5] * 0.5
+            dxs = [px - tbl[r, 0] for r in xs_reps]
+            dys = [py - tbl[r, 1] for r in ys_reps]
+            dzs = [pz - tbl[r, 2] for r in zs_reps]
+            bx = [jnp.abs(d) - hx for d in dxs]
+            by = [jnp.abs(d) - hy for d in dys]
+            bz = [jnp.abs(d) - hz for d in dzs]
+            sx = [jnp.sign(d) for d in dxs]
+            sy = [jnp.sign(d) for d in dys]
+            sz = [jnp.sign(d) for d in dzs]
+            sd = gx = gy = gz = idx = None
+            for (iy, iz, ixs, rows) in columns:
+                a, ga = bx[ixs[0]], sx[ixs[0]]
+                ra = jnp.full(px.shape, rows[0], jnp.int32)
+                for ix, row in zip(ixs[1:], rows[1:]):
+                    take = bx[ix] < a
+                    ga = jnp.where(take, sx[ix], ga)
+                    ra = jnp.where(take,
+                                   jnp.full(px.shape, row, jnp.int32), ra)
+                    a = jnp.minimum(a, bx[ix])
+                med = _med3(a, by[iy], bz[iz])
+                med_a, med_b, med_c = _med3_grad_axes(a, by[iy], bz[iz])
+                mgx = jnp.where(med_a, ga, 0.0)
+                mgy = jnp.where(med_b, sy[iy], 0.0)
+                mgz = jnp.where(med_c, sz[iz], 0.0)
+                if sd is None:
+                    sd, gx, gy, gz, idx = med, mgx, mgy, mgz, ra
+                else:
+                    take = med < sd
+                    gx = jnp.where(take, mgx, gx)
+                    gy = jnp.where(take, mgy, gy)
+                    gz = jnp.where(take, mgz, gz)
+                    idx = jnp.where(take, ra, idx)
+                    sd = jnp.minimum(sd, med)
+        if best is None:
+            best, bgx, bgy, bgz, bidx = sd, gx, gy, gz, idx
+        else:
+            take = sd < best
+            bgx = jnp.where(take, gx, bgx)
+            bgy = jnp.where(take, gy, bgy)
+            bgz = jnp.where(take, gz, bgz)
+            bidx = jnp.where(take, idx, bidx)
+            best = jnp.minimum(best, sd)
+    return best, bidx, bgx, bgy, bgz
 
 
 def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
@@ -1607,6 +1679,7 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
     init = (inf, jnp.full(px.shape, -1, jnp.int32), zero, zero, zero)
     for g in kp.groups:
         neg_runs = [r for r in g.runs if r[3] == -1]
+        pos_runs = [r for r in g.runs if r[3] == 1]
         use_fused = fused and g.fused is not None
         cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
                     and g.count >= _CULL_MIN_GROUP and not use_fused)
@@ -1643,6 +1716,30 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
                         lambda runs, c: _fold_runs_idx_grad(
                             tbl, runs, px, py, pz, c),
                         lambda c: c[0])
+                    return root_update(s, -1, carry)
+            elif g.lattice is not None:
+                # collapsed-lattice carve with winner rows — the backward
+                # stencil's dominant fold drops from 20^k cross
+                # evaluations to the column collapse (~3.5x fewer ops);
+                # flag-row-gated exactly like the value fold
+                def with_group(s, _g=g, _neg=tuple(neg_runs),
+                               _pos=tuple(pos_runs)):
+                    bmin, bidx, bgx, bgy, bgz = _fold_runs_idx_grad(
+                        tbl, _neg, px, py, pz, init)
+                    carve = jax.lax.cond(
+                        tbl[_flag_row(kp), 0] > 0.5,
+                        lambda _: _menger_carve_lattice_idx_grad(
+                            tbl, _g, px, py, pz),
+                        lambda _: _fold_runs_idx_grad(tbl, _pos, px, py,
+                                                      pz, init),
+                        0)
+                    cm, cidx, cgx, cgy, cgz = carve
+                    tb = bmin <= cm      # base leaf is earlier: wins ties
+                    carry = (jnp.minimum(bmin, cm),
+                             jnp.where(tb, bidx, cidx),
+                             jnp.where(tb, bgx, cgx),
+                             jnp.where(tb, bgy, cgy),
+                             jnp.where(tb, bgz, cgz))
                     return root_update(s, -1, carry)
             else:
                 def with_group(s, _runs=g.runs):

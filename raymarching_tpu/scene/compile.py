@@ -120,7 +120,9 @@ class GroupPlan:
     input exactly.  Levels are tuples: ``(leaf,)`` for the level-0 cross,
     else ``(xs_reps, ys_reps, zs_reps, size_rep, columns, members)`` where
     the *_reps are representative leaf rows per unique lattice coordinate,
-    ``columns`` is ``((iy, iz, (ix, ...)), ...)`` indexing the reps, and
+    ``columns`` is ``((iy, iz, (ix, ...), (row, ...)), ...)`` indexing the
+    reps (rows parallel to the ix list — the member leaf rows, so the
+    idx-carrying collapse can report winners), and
     ``members`` is ``((leaf, ix, iy, iz), ...)`` for the runtime validity
     check (pallas_march._lattice_ok): the collapse is only taken while the
     live table rows still share coordinates; otherwise the kernel falls
@@ -301,14 +303,18 @@ def _menger_lattice(start: int, count: int, scales, iters: int):
                 ys_reps[iy] = row
             if zs_reps[iz] is None:
                 zs_reps[iz] = row
-            columns.setdefault((iy, iz), []).append(ix)
+            # (ix, row) pairs in DFS member order: the column's x-min fold
+            # keeps first-wins ties in LEAF order, and ``row`` lets the
+            # idx-carrying collapse report the winning cross's table row
+            columns.setdefault((iy, iz), []).append((ix, row))
             members.append((row, ix, iy, iz))
         if len(columns) > _LATTICE_MAX_COLS:
             return None
         levels.append((tuple(xs_reps), tuple(ys_reps), tuple(zs_reps),
                        cells[0][0],
-                       tuple((iy, iz, tuple(ixs))
-                             for (iy, iz), ixs in sorted(columns.items())),
+                       tuple((iy, iz, tuple(ix for ix, _ in pairs),
+                              tuple(r for _, r in pairs))
+                             for (iy, iz), pairs in sorted(columns.items())),
                        tuple(members)))
     return tuple(levels)
 
