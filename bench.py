@@ -158,6 +158,14 @@ def main():
 
     exact = _measure(plan, tables, cfg, backend)
 
+    # Informational third regime: exact tables + analytic winner-gradient
+    # normals (same field, a.e.-equal estimator; ~25% faster than FD via
+    # the single-launch winner-Hessian backward) — the exact headline
+    # stays FD because its claim is bit-parity with the reference's own
+    # estimator (scene.cpp:70-89).
+    exact_analytic = _measure(plan, tables,
+                              cfg.replace(normal_mode="analytic"), backend)
+
     # Fused-generator fast mode (space-folded Menger, validated identical
     # zero set) with ANALYTIC normals — the r3 A/B (ab_analytic_r3.json)
     # measured the in-kernel winner gradient 1.53x faster than the FD
@@ -210,6 +218,8 @@ def main():
         "exact_mrays": round(exact["median"], 4),
         "exact_vs_baseline": round(exact["median"] / BASELINE_MRAYS, 2),
         "exact_stats": rounded(exact),
+        "exact_analytic_mrays": round(exact_analytic["median"], 4),
+        "exact_analytic_stats": rounded(exact_analytic),
     }
     if fused is not None:
         record["fused_mrays"] = round(fused["median"], 4)
