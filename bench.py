@@ -193,8 +193,8 @@ def main():
         fused = _measure(plan, tables, fused_cfg, backend)
 
     # Headline: the faster of the two regimes (fused only when its image
-    # passed the gate).  Since block ray ordering the EXACT path often
-    # wins — it is field-eval-bound and benefits most from shorter tiles.
+    # passed the gate) — fused+analytic since the single-launch winner
+    # backward; the exact regimes ride along in the JSON either way.
     use_fused = (fused_ok and fused
                  and fused["median"] > exact["median"])
     headline = fused["median"] if use_fused else exact["median"]
