@@ -159,21 +159,21 @@ def main():
     exact = _measure(plan, tables, cfg, backend)
 
     # Informational third regime: exact tables + analytic winner-gradient
-    # normals (same field, a.e.-equal estimator; ~25% faster than FD via
-    # the single-launch winner-Hessian backward) — the exact headline
-    # stays FD because its claim is bit-parity with the reference's own
-    # estimator (scene.cpp:70-89).
+    # normals (same field, a.e.-equal estimator; 1.18x faster than FD via
+    # the single-launch winner-Hessian backward, ab_analytic_r3.json) —
+    # the exact headline stays FD because its claim is bit-parity with the
+    # reference's own estimator (scene.cpp:70-89).
     exact_analytic = _measure(plan, tables,
                               cfg.replace(normal_mode="analytic"), backend)
 
     # Fused-generator fast mode (space-folded Menger, validated identical
     # zero set) with ANALYTIC normals — the r3 A/B (ab_analytic_r3.json)
-    # measured the in-kernel winner gradient 1.53x faster than the FD
-    # stencil on the folded field (its jnp backward transposes O(iters)
-    # folds, not 20^k crosses), while on exact tables FD stays the winner
-    # (the analytic backward replays the jnp field).  Eligible for the
-    # headline only if its image passes an allclose gate against the
-    # exact-table path on this hardware.
+    # measured the in-kernel winner gradient 2.2x faster than the FD
+    # stencil on the folded field (45.0 vs 20.8 Mrays/s via the
+    # single-launch winner-Hessian backward; analytic also wins on exact
+    # tables, 32.7 vs 28.0 — reported above as exact_analytic).  Eligible
+    # for the headline only if its image passes an allclose gate against
+    # the exact-table path on this hardware.
     fused = None
     fused_ok = False
     if backend in ("pallas", "mega") and any(

@@ -43,14 +43,13 @@ class RenderConfig:
     # --- TPU-native extensions (no reference equivalent) ---
     # Normal estimation: "fd" = 6-eval central differences, h=1e-3, matching
     # the reference bit-for-bit (scene.cpp:70-89); "analytic" = one
-    # in-kernel winner-gradient evaluation.  Measured crossover
-    # (ab_analytic_r3.json, fwd+bwd, exact gradients): analytic is 1.46x
-    # FASTER with fused_generators (the backward transposes the cheap
-    # folded field) and 1.45x slower on exact tables (even with the
-    # closed-form winner-Hessian backward, the analytic forward's
-    # gradient fold at shade time costs more than FD's 6 collapsed value
-    # evals) — so bench.py pairs analytic with fused and keeps fd for
-    # exact.
+    # in-kernel winner-gradient evaluation.  Measured (ab_analytic_r3.json,
+    # fwd+bwd, exact gradients, pipelined): analytic is FASTER in both
+    # regimes since the single-launch winner-Hessian backwards — 2.2x with
+    # fused_generators (45.0 vs 20.8 Mrays/s) and 1.18x on exact tables
+    # (32.7 vs 28.0).  The default stays "fd" only for bit-parity with the
+    # reference's own estimator (scene.cpp:70-89); bench.py reports the
+    # exact_analytic regime alongside.
     normal_mode: str = "fd"
     fd_h: float = 1e-3
 
