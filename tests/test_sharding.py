@@ -190,6 +190,62 @@ def test_render_rays_sharded_matches_single_device():
                                    rtol=1e-4, atol=1e-6, err_msg=f)
 
 
+def _fused_world():
+    """Demo-generator scene: MengerSponge + DeathStar — both fused
+    provenances the bench headline regime folds in-kernel."""
+    from raymarching_tpu.scene.generators import death_star, menger_sponge
+
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        menger_sponge((0.0, 0.0, -8.0), 6.0, 2, color=(0.9, 0.9, 0.8)),
+        death_star((4.0, 1.0, -6.0), 1.8, color=(0.2, 0.4, 0.9)),
+        Sphere((-3.0, -1.0, -5.0), 1.0, color=(0.2, 0.8, 0.3)),
+    ])
+    return compile_tree(tree, [Light((6.0, 10.0, 4.0)),
+                               Light((-6.0, 4.0, 2.0))],
+                        Camera(position=(0, 1, 5), fov=60.0))
+
+
+def test_sharded_fused_headline_regime_matches_single_device():
+    """The BENCH HEADLINE regime under shard_map: fused generators
+    (space-folded Menger + derived-carve DeathStar) + in-kernel analytic
+    winner-gradient normals on the mega kernel.  Sharded forward must be
+    bit-identical to single-device (per-ray arithmetic is shard-invariant
+    and the block reorder is inverse-permuted), and the sharded gradients
+    — the single-launch winner-Hessian backward with extended carve-winner
+    ids, transposed through the mesh into the tail psum — must match the
+    single-device gradients."""
+    plan, tables = _fused_world()
+    assert any(g.fused for g in plan.kernel.groups)
+    mesh = make_mesh(4)
+    cfg = CFG.replace(normal_mode="analytic", fused_generators=True)
+    img = np.asarray(jax.jit(lambda t: render_sharded(
+        plan, t, cfg, mesh, backend="mega", interpret=True))(tables))
+    single = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                      interpret=True))
+    np.testing.assert_array_equal(img, single)
+
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    g_sharded = jax.jit(jax.grad(lambda t: mse_loss(
+        plan, t, target, cfg, mesh, backend="mega",
+        interpret=True)))(tables)
+
+    def single_loss(t):
+        out = render_tables(plan, t, cfg, backend="mega", interpret=True)
+        return jnp.mean((out - target) ** 2)
+
+    g_single = jax.grad(single_loss)(tables)
+    for field in tables._fields:
+        a = np.asarray(getattr(g_sharded, field), np.float64)
+        b = np.asarray(getattr(g_single, field), np.float64)
+        scale = max(np.abs(b).max(), 1e-8)
+        # same per-ray terms, different reduction association (per-shard
+        # partials + psum vs one segment-add) — f32 reassociation only
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-5 * scale,
+            err_msg=f"sharded fused grad mismatch: {field}")
+
+
 def test_hlo_single_tail_allreduce():
     """Compiled-HLO contract (docs/collectives.md): the production
     train_step has ZERO forward collectives, and XLA's combiner fuses every
