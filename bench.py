@@ -6,22 +6,37 @@ DeathStar + 2 spheres + floor + bounds, 2 lights — 428 primitives) at
 fused with a full backward sweep (gradients to every scene parameter).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-BOTH execution regimes are measured and reported every run:
+The fwd+bwd regimes measured and reported every run:
 
   * ``exact_mrays``  — exact reference-table semantics (the apples-to-apples
     number against the reference's own math);
+  * ``exact_analytic_mrays`` — exact tables + analytic winner-gradient
+    normals (same field, a.e.-equal estimator; 1.18x faster than FD via
+    the single-launch winner-Hessian backward, ab_analytic_r3.json) —
+    the exact headline stays FD because its claim is bit-parity with the
+    reference's own estimator (scene.cpp:70-89);
   * ``fused_mrays``  — the opt-in space-folded Menger mode (same zero set,
-    conservative distances) with in-kernel analytic normals (the faster
-    gradient estimator on folded fields, ab_analytic_r3.json); enabled for
-    the headline only if its image passes an on-hardware allclose gate
-    against the exact path.
+    conservative distances) with in-kernel analytic normals (2.2x faster
+    than FD on the folded field via the single-launch winner-Hessian
+    backward; ab_analytic_r3.json); enabled for the headline only if its
+    image passes an on-hardware allclose gate against the exact path AT
+    THE HEADLINE FOOTPRINT (512² SSAA2 — gate stats ride in the JSON).
 
-The headline ``value`` is the fused number when the gate passes, else the
-exact number; the other regime always rides along in the same JSON object.
-``vs_baseline`` is against the reference's best published number: its GL
-compute shader renders 1024x768 SSAA 3x3 in 185.161 s on a GTX 1060
-(reference README.md:95) = 0.0382 Mrays/s — forward only; we charge
-ourselves forward+backward and still compare against it.
+Forward-only serving regimes (the reference's own protocol — its 0.038
+Mrays/s GTX 1060 baseline never computes a gradient, main.cpp:69-77):
+
+  * ``forward_exact_mrays`` — exact semantics, FD normals, black-lane
+    shadow skip engaged (bit-identical image; forward-only by design);
+  * ``forward_mrays`` — the fused+analytic serving fast path (gated by the
+    same headline-footprint gate).
+
+The headline ``value`` is the fused fwd+bwd number when the gate passes,
+else the exact number; every other regime rides along in the same JSON
+object.  ``vs_baseline`` is against the reference's best published number:
+its GL compute shader renders 1024x768 SSAA 3x3 in 185.161 s on a GTX 1060
+(reference README.md:95) = 0.0382 Mrays/s — forward only; we charge the
+headline forward+backward and still compare against it
+(``forward_vs_baseline`` is the apples-to-apples forward multiple).
 """
 
 import json
@@ -33,6 +48,13 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_MRAYS = 7.0778880e6 / 185.161 / 1e6  # 0.03822 Mrays/s (GTX 1060)
+
+# Pipelined reps are sized to this much wall-clock each (tunnel jitter of a
+# few ms then stays well under 1% of the measurement): r3's fixed depth 8
+# gave the fused regime 0.75% spread but the slower exact regime 5.5% —
+# too noisy to gate a 10% optimization (r3 verdict weak #5).
+_TARGET_REP_S = 1.2
+_MAX_PIPELINE = 64
 
 
 def _roundtrip_floor(reps=10) -> float:
@@ -49,17 +71,36 @@ def _roundtrip_floor(reps=10) -> float:
     return float(np.median(ts))
 
 
-def _measure(plan, tables, cfg, backend, reps=5, pipeline=8):
+def _stats(rates):
+    rates = np.asarray(rates)
+    return {
+        "median": float(np.median(rates)),
+        "min": float(rates.min()),
+        "max": float(rates.max()),
+        "spread_pct": float(100.0 * (rates.max() - rates.min())
+                            / np.median(rates)),
+        "reps": int(len(rates)),
+    }
+
+
+def _measure(plan, tables, cfg, backend, reps=5, forward_only=False):
     """Throughput stats under TWO protocols:
 
-    * ``pipelined`` (the headline): ``pipeline`` back-to-back dispatches
-      of the fwd+bwd step with ONE host fetch of the last loss.  The
-      device stream is FIFO, so the fetch proves all executed; the ~30 ms
-      tunnel round trip amortizes away.  This is what a production host
-      (PCIe-attached, not fetching scalars over HTTP per step) sees.
+    * ``pipelined`` (the headline): N back-to-back dispatches of the step
+      with ONE host fetch of the last scalar.  The device stream is FIFO,
+      so the fetch proves all executed; the ~30 ms tunnel round trip
+      amortizes away.  This is what a production host (PCIe-attached, not
+      fetching scalars over HTTP per step) sees.  N adapts per regime so
+      every rep runs ~_TARGET_REP_S of device time — a fixed depth left
+      the slow exact regime at 5.5% spread while fused sat at 0.75%.
     * ``per_dispatch``: one fetch per rep — comparable to the r1/r2
       records, which unknowingly included the round trip (~26% at these
       frame times).
+
+    ``forward_only`` measures the primal render (the serving protocol —
+    no gradient is traced, so the black-lane shadow skip stays engaged);
+    the frame reduces to one in-graph scalar so the timing fetch ships
+    4 bytes, not a 3 MB image.
 
     Every rep is timed individually IN THIS PROCESS and min/median/max
     reported: a regression is only credible when it exceeds the spread
@@ -70,47 +111,89 @@ def _measure(plan, tables, cfg, backend, reps=5, pipeline=8):
         img = render_tables(plan, t, cfg, backend=backend)
         return jnp.mean(img)
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
+    if forward_only:
+        step = jax.jit(lambda t: (loss_fn(t),))
+    else:
+        step = jax.jit(jax.value_and_grad(loss_fn))
 
     # compile + warm + correctness gate (fetch everything once)
-    loss, grads = step(tables)
-    loss = float(loss)
-    g = np.asarray(grads.prim_pos)
-    assert np.all(np.isfinite(g)), "non-finite gradients"
+    out = step(tables)
+    loss = float(out[0])
     assert loss > 0, "degenerate render"
-
-    def stats(rates):
-        rates = np.asarray(rates)
-        return {
-            "median": float(np.median(rates)),
-            "min": float(rates.min()),
-            "max": float(rates.max()),
-            "spread_pct": float(100.0 * (rates.max() - rates.min())
-                                / np.median(rates)),
-            "reps": int(len(rates)),
-        }
+    if not forward_only:
+        g = np.asarray(out[1].prim_pos)
+        assert np.all(np.isfinite(g)), "non-finite gradients"
 
     per_dispatch = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = step(tables)
-        float(out[0]), np.asarray(out[1].prim_pos)
+        float(out[0])
+        if not forward_only:
+            np.asarray(out[1].prim_pos)
         per_dispatch.append(
             cfg.rays_per_image / (time.perf_counter() - t0) / 1e6)
 
-    pipelined = []
-    for _ in range(reps):
+    # pilot pipelined rep at depth 8 sizes the real depth for this regime
+    def one_pipelined(depth):
         t0 = time.perf_counter()
-        for _i in range(pipeline):
+        for _i in range(depth):
             out = step(tables)
         float(out[0])        # one fetch syncs the whole FIFO queue
-        pipelined.append(pipeline * cfg.rays_per_image
-                         / (time.perf_counter() - t0) / 1e6)
+        return depth * cfg.rays_per_image / (time.perf_counter() - t0) / 1e6
 
-    rec = stats(pipelined)
-    rec["per_dispatch"] = stats(per_dispatch)
+    pilot = one_pipelined(8)
+    frame_s = cfg.rays_per_image / (pilot * 1e6)
+    pipeline = int(np.clip(round(_TARGET_REP_S / max(frame_s, 1e-6)),
+                           8, _MAX_PIPELINE))
+    pipelined = [one_pipelined(pipeline) for _ in range(reps)]
+
+    # The HTTP tunnel occasionally stalls a single fetch for seconds
+    # (observed: one rep at 0.32 Mrays/s amid four at 50.9 — a 160x
+    # outlier no device behavior can produce).  Re-run reps that deviate
+    # >20% from the median ONCE; if the deviation persists it is real and
+    # stays in the record.  ``reruns`` counts how many were re-measured.
+    med = float(np.median(pipelined))
+    reruns = 0
+    for i, r in enumerate(pipelined):
+        if abs(r - med) > 0.2 * med:
+            pipelined[i] = one_pipelined(pipeline)
+            reruns += 1
+
+    rec = _stats(pipelined)
+    rec["per_dispatch"] = _stats(per_dispatch)
     rec["pipeline_depth"] = int(pipeline)
+    if reruns:
+        rec["tunnel_outlier_reruns"] = reruns
     return rec
+
+
+def _fused_gate(plan, tables, cfg, backend):
+    """Allclose gate for the fused approximation AT THE HEADLINE FOOTPRINT
+    (512² SSAA2, same chunking as the measured workload — r3 gated at a
+    reduced 128² render the bench never measured): one full-frame render
+    per regime, full-image fetch (3 MB once, not per rep), worst pixel
+    recorded.  Returns (ok, stats)."""
+    from raymarching_tpu.api import render_tables
+
+    exact = jax.jit(lambda t: render_tables(plan, t, cfg, backend=backend))
+    fcfg = cfg.replace(fused_generators=True, normal_mode="analytic")
+    fused = jax.jit(lambda t: render_tables(plan, t, fcfg, backend=backend))
+    a = np.asarray(exact(tables))
+    b = np.asarray(fused(tables))
+    diff = np.abs(a - b).max(axis=-1)
+    thresh = 5e-3
+    frac = float((diff < thresh).mean())
+    wy, wx = np.unravel_index(int(diff.argmax()), diff.shape)
+    stats = {
+        "gate_resolution": f"{cfg.width}x{cfg.height}_ssaa{cfg.ssaa}",
+        "gate_threshold": thresh,
+        "gate_frac_within": round(frac, 6),
+        "gate_max_diff": round(float(diff.max()), 6),
+        "gate_worst_pixel_yx": [int(wy), int(wx)],
+        "gate_pixels_over": int((diff >= thresh).sum()),
+    }
+    return frac > 0.995, stats
 
 
 def _device_watchdog(timeout_s: float = 240.0) -> str:
@@ -143,7 +226,7 @@ def main():
         return 0
 
     from raymarching_tpu import RenderConfig, compile_scene, load_scene
-    from raymarching_tpu.api import render_tables, resolve_backend
+    from raymarching_tpu.api import resolve_backend
 
     width = height = 512
     ssaa = 2
@@ -156,45 +239,45 @@ def main():
     plan, tables = compile_scene(scene)
     backend = resolve_backend("auto")
 
+    has_fused = backend in ("pallas", "mega") and any(
+        g.fused for g in (plan.kernel.groups if plan.kernel else ()))
+
+    # Gate first (compiles + validates the two forward paths the serving
+    # regimes reuse), at the exact footprint the bench measures.
+    fused_ok, gate_stats = (False, {})
+    if has_fused:
+        fused_ok, gate_stats = _fused_gate(plan, tables, cfg, backend)
+
+    # Forward-only serving regimes (the reference's own protocol): exact
+    # semantics, and the gated fused fast path.  The black-lane shadow
+    # skip stays engaged here — it is forward-only by design (the
+    # custom-vjp fwd rule disables it whenever a gradient is traced).
+    fwd_exact = _measure(plan, tables, cfg, backend, forward_only=True)
+    fwd_fused = None
+    if has_fused:
+        fwd_fused = _measure(
+            plan, tables,
+            cfg.replace(fused_generators=True, normal_mode="analytic"),
+            backend, forward_only=True)
+
     exact = _measure(plan, tables, cfg, backend)
 
     # Informational third regime: exact tables + analytic winner-gradient
-    # normals (same field, a.e.-equal estimator; 1.18x faster than FD via
-    # the single-launch winner-Hessian backward, ab_analytic_r3.json) —
-    # the exact headline stays FD because its claim is bit-parity with the
-    # reference's own estimator (scene.cpp:70-89).
+    # normals (1.18x faster than FD, see module docstring).
     exact_analytic = _measure(plan, tables,
                               cfg.replace(normal_mode="analytic"), backend)
 
-    # Fused-generator fast mode (space-folded Menger, validated identical
-    # zero set) with ANALYTIC normals — the r3 A/B (ab_analytic_r3.json)
-    # measured the in-kernel winner gradient 2.2x faster than the FD
-    # stencil on the folded field (45.0 vs 20.8 Mrays/s via the
-    # single-launch winner-Hessian backward; analytic also wins on exact
-    # tables, 32.7 vs 28.0 — reported above as exact_analytic).  Eligible
-    # for the headline only if its image passes an allclose gate against
-    # the exact-table path on this hardware.
-    fused = None
-    fused_ok = False
-    if backend in ("pallas", "mega") and any(
-            g.fused for g in (plan.kernel.groups if plan.kernel else ())):
-        fused_cfg = cfg.replace(fused_generators=True,
-                                normal_mode="analytic")
-        gate_cfg = cfg.replace(width=128, height=128, ray_chunk=0)
-        a = np.asarray(render_tables(plan, tables, gate_cfg,
-                                     backend=backend))
-        b = np.asarray(render_tables(
-            plan, tables,
-            gate_cfg.replace(fused_generators=True,
-                             normal_mode="analytic"),
-            backend=backend))
-        diff = np.abs(a - b).max(axis=-1)
-        fused_ok = bool((diff < 5e-3).mean() > 0.995)
-        fused = _measure(plan, tables, fused_cfg, backend)
+    # Fused-generator fast mode with ANALYTIC normals (2.2x faster than FD
+    # on the folded field via the single-launch winner-Hessian backward;
+    # ab_analytic_r3.json).  Eligible for the headline only when the
+    # headline-footprint gate above passed.
+    fused = _measure(plan, tables,
+                     cfg.replace(fused_generators=True,
+                                 normal_mode="analytic"),
+                     backend) if has_fused else None
 
     # Headline: the faster of the two regimes (fused only when its image
-    # passed the gate) — fused+analytic since the single-launch winner
-    # backward; the exact regimes ride along in the JSON either way.
+    # passed the gate) — the exact regimes ride along in the JSON either way.
     use_fused = (fused_ok and fused
                  and fused["median"] > exact["median"])
     headline = fused["median"] if use_fused else exact["median"]
@@ -206,26 +289,41 @@ def main():
                      if isinstance(v, dict) else v))
                 for k, v in d.items()}
 
+    fwd_serving = (fwd_fused if (fused_ok and fwd_fused
+                                 and fwd_fused["median"]
+                                 > fwd_exact["median"])
+                   else fwd_exact)
     record = {
         "metric": f"mrays_per_s_fwd_bwd_menger512_ssaa2_{tag}",
         "value": round(headline, 4),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(headline / BASELINE_MRAYS, 2),
-        "timing_protocol": "pipelined x8 dispatches, one sync fetch "
-                           "(per_dispatch = r1/r2-comparable, includes "
-                           "the tunnel round trip)",
+        "timing_protocol": "pipelined (adaptive depth, ~1.2 s/rep), one "
+                           "sync fetch (per_dispatch = r1/r2-comparable, "
+                           "includes the tunnel round trip)",
         "roundtrip_floor_s": round(_roundtrip_floor(), 4),
         "exact_mrays": round(exact["median"], 4),
         "exact_vs_baseline": round(exact["median"] / BASELINE_MRAYS, 2),
         "exact_stats": rounded(exact),
         "exact_analytic_mrays": round(exact_analytic["median"], 4),
         "exact_analytic_stats": rounded(exact_analytic),
+        "forward_mrays": round(fwd_serving["median"], 4),
+        "forward_vs_baseline": round(fwd_serving["median"] / BASELINE_MRAYS,
+                                     2),
+        "forward_regime": ("fused_analytic" if fwd_serving is fwd_fused
+                           else "exact_fd"),
+        "forward_stats": rounded(fwd_serving),
+        "forward_exact_mrays": round(fwd_exact["median"], 4),
+        "forward_exact_stats": rounded(fwd_exact),
     }
     if fused is not None:
         record["fused_mrays"] = round(fused["median"], 4)
         record["fused_gate_ok"] = fused_ok
         record["fused_normal_mode"] = "analytic"
         record["fused_stats"] = rounded(fused)
+        record.update(gate_stats)
+        if fwd_fused is not None:
+            record["forward_fused_mrays"] = round(fwd_fused["median"], 4)
     print(json.dumps(record))
 
 

@@ -126,24 +126,26 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
 
 
 def _split_shade_refs(out_refs, num_lights: int, colored: bool,
-                      soft: bool, ao: bool):
+                      soft: bool, ao: bool, winner: bool = False):
     """Split the variable tail of a shade output list:
-    (cidx, light[3 if colored], smask[, sfac x num_lights][, ao])."""
+    (cidx, light[3 if colored], smask[, sfac x num_lights][, ao]
+    [, sd/widx/gx/gy/gz winner residuals])."""
     outs = list(out_refs)
     cidx_ref = outs.pop(0)
     light_refs = tuple(outs.pop(0) for _ in range(3 if colored else 1))
     smask_ref = outs.pop(0)
     sfac_refs = tuple(outs.pop(0) for _ in range(num_lights)) if soft else ()
     ao_ref = outs.pop(0) if ao else None
+    winner_refs = tuple(outs.pop(0) for _ in range(5)) if winner else None
     assert not outs
-    return cidx_ref, light_refs, smask_ref, sfac_refs, ao_ref
+    return cidx_ref, light_refs, smask_ref, sfac_refs, ao_ref, winner_refs
 
 
 def _num_shade_refs(num_lights: int, colored: bool, soft: bool,
-                    ao: bool) -> int:
+                    ao: bool, winner: bool = False) -> int:
     """Flat ref count of one _split_shade_refs set."""
     return (1 + (3 if colored else 1) + 1 + (num_lights if soft else 0)
-            + (1 if ao else 0))
+            + (1 if ao else 0) + (5 if winner else 0))
 
 
 def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
@@ -152,6 +154,7 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    analytic: bool, colored: bool, soft_k: float,
                    ao_strength: float, ao_samples: int, ao_delta: float,
                    bounces: int, per_ray_org: bool, black_ids,
+                   save_winner: bool,
                    tbl_ref, lights_ref, *in_refs):
     gate_ref = None
     if black_ids:
@@ -167,13 +170,16 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
     (px_ref, py_ref, pz_ref, sd_ref, done_ref) = out_refs[:5]
     soft = shadows and soft_k > 0.0
     ao = ao_strength > 0.0
+    assert not (save_winner and bounces), \
+        "winner residuals are reflection-free (the replay backward owns " \
+        "bounce chains)"
     # one full shade-ref set for the primary hit + one per mirror bounce
-    n_per = _num_shade_refs(num_lights, colored, soft, ao)
+    n_per = _num_shade_refs(num_lights, colored, soft, ao, save_winner)
     rest = list(out_refs[5:])
     shade_sets = []
     for _ in range(1 + bounces):
         shade_sets.append(_split_shade_refs(rest[:n_per], num_lights,
-                                            colored, soft, ao))
+                                            colored, soft, ao, save_winner))
         rest = rest[n_per:]
     # per-bounce hit geometry (px, py, pz, sd, done) — the backward
     # replay's IFT anchors (_reflect_bwd)
@@ -240,7 +246,7 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
                 ao_strength: float, ao_samples: int, ao_delta: float,
                 tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
                 cidx_ref, light_refs, smask_ref, sfac_refs=(), ao_ref=None,
-                black_ids=(), gate_ref=None):
+                winner_refs=None, black_ids=(), gate_ref=None):
     """Steps 2-4 of the per-ray pipeline given marched hit points: color
     index at the pre-step point, normal, shadow marches, Lambert clamp.
     Shared by the single mega kernel and the two-phase shade kernel.
@@ -274,11 +280,28 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
 
     # 3. normal at the hit point: FD (reference parity, scene.cpp:70-89)
     # or the hand-derived analytic winner gradient (one eval vs six)
-    if analytic:
+    if analytic and winner_refs is not None:
+        # Save-the-winner mode (custom-vjp forward, bounces == 0): the
+        # combined (sd, winner id, gradient) fold replaces the plain
+        # gradient fold — BIT-IDENTICAL g (same strict-< selections, same
+        # arithmetic; tests/test_mega.py pins it) — and its outputs become
+        # backward residuals, so the single-launch winner backwards
+        # (_fused_analytic_bwd / _exact_analytic_bwd) skip their own
+        # winner kernel launch entirely.
+        from .pallas_march import _scene_sd_idx_grad_tile
+        sdh, widx, gx, gy, gz = _scene_sd_idx_grad_tile(
+            kp, tbl_ref, px, py, pz, dtype, fused=fused)
+        winner_refs[0][...] = sdh
+        winner_refs[1][...] = widx
+        winner_refs[2][...] = gx
+        winner_refs[3][...] = gy
+        winner_refs[4][...] = gz
+    elif analytic:
         from .pallas_march import _scene_sd_grad_tile
         _, gx, gy, gz = _scene_sd_grad_tile(kp, tbl_ref, px, py, pz, dtype,
                                             fused=fused)
     else:
+        assert winner_refs is None, "winner residuals need analytic normals"
         h = jnp.array(fd_h, dtype)
         ev = lambda a, b, c: _scene_sd_tile(kp, tbl_ref, a, b, c, dtype,
                                             fused=fused)
@@ -355,7 +378,7 @@ def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
                   num_lights: int, shadows: bool, fused: bool,
                   analytic: bool, colored: bool, soft_k: float,
                   ao_strength: float, ao_samples: int, ao_delta: float,
-                  black_ids, tbl_ref, lights_ref, *refs):
+                  black_ids, save_winner: bool, tbl_ref, lights_ref, *refs):
     """Shade-only kernel for the two-phase path: hit points come from the
     (compacted) march kernels instead of an in-kernel march."""
     gate_ref = None
@@ -365,7 +388,7 @@ def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
     out_refs = refs[7:]
     shade_refs = _split_shade_refs(out_refs, num_lights, colored,
                                    shadows and soft_k > 0.0,
-                                   ao_strength > 0.0)
+                                   ao_strength > 0.0, save_winner)
     tbl = preload_table(kp, tbl_ref, fused)
     _shade_body(kp, iterations, eps, offset_eps, saturation, fd_h,
                 num_lights, shadows, fused, analytic, colored, soft_k,
@@ -376,12 +399,13 @@ def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
 
 
 def _shade_out_shapes(f32, i32, num_lights: int, colored: bool,
-                      soft: bool, ao: bool):
+                      soft: bool, ao: bool, winner: bool = False):
     """ShapeDtypeStructs matching _split_shade_refs's layout."""
     light_outs = (f32, f32, f32) if colored else (f32,)
     sfac_outs = (f32,) * num_lights if soft else ()
     ao_outs = (f32,) if ao else ()
-    return (i32,) + light_outs + (i32,) + sfac_outs + ao_outs
+    winner_outs = (f32, i32, f32, f32, f32) if winner else ()
+    return (i32,) + light_outs + (i32,) + sfac_outs + ao_outs + winner_outs
 
 
 @functools.lru_cache(maxsize=64)
@@ -390,7 +414,8 @@ def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
                          num_lights: int, shadows: bool, fused: bool,
                          analytic: bool, colored: bool, soft_k: float,
                          ao_strength: float, ao_samples: int,
-                         ao_delta: float, black_ids, tile_sublanes: int,
+                         ao_delta: float, black_ids, save_winner: bool,
+                         tile_sublanes: int,
                          num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -400,12 +425,13 @@ def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
     i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     out_shape = _shade_out_shapes(f32, i32, num_lights, colored,
                                   shadows and soft_k > 0.0,
-                                  ao_strength > 0.0)
+                                  ao_strength > 0.0, save_winner)
 
     kernel = functools.partial(_shade_kernel, kp, iterations, eps,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
-                               ao_strength, ao_samples, ao_delta, black_ids)
+                               ao_strength, ao_samples, ao_delta, black_ids,
+                               save_winner)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     gate_specs = [smem] if black_ids else []
     return pl.pallas_call(
@@ -425,7 +451,8 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           analytic: bool, colored: bool, soft_k: float,
                           ao_strength: float, ao_samples: int,
                           ao_delta: float, bounces: int,
-                          per_ray_org: bool, black_ids, tile_sublanes: int,
+                          per_ray_org: bool, black_ids, save_winner: bool,
+                          tile_sublanes: int,
                           num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -438,10 +465,10 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
                                ao_strength, ao_samples, ao_delta, bounces,
-                               per_ray_org, black_ids)
+                               per_ray_org, black_ids, save_winner)
     out_shape = (f32, f32, f32, f32, f32) + (1 + bounces) * _shade_out_shapes(
         f32, i32, num_lights, colored, shadows and soft_k > 0.0,
-        ao_strength > 0.0) + bounces * (f32, f32, f32, f32, f32)
+        ao_strength > 0.0, save_winner) + bounces * (f32, f32, f32, f32, f32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     gate_specs = [smem] if black_ids else []
     org_specs = [ray_spec] * 3 if per_ray_org else [smem]
@@ -457,9 +484,10 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
 
 
 def _unpack_shade_outs(outs, unprep, num_lights: int, colored: bool,
-                       soft: bool, ao: bool):
-    """Invert _shade_out_shapes -> (cidx, light, smask, sfac, aofac);
-    sfac [R, L] / aofac [R] or None when the mode is off."""
+                       soft: bool, ao: bool, winner: bool = False):
+    """Invert _shade_out_shapes -> (cidx, light, smask, sfac, aofac, wres);
+    sfac [R, L] / aofac [R] or None when the mode is off; wres is the
+    saved winner residual (sd [R], widx [R], g [R, 3]) or None."""
     outs = list(outs)
     cidx = unprep(outs.pop(0))
     if colored:
@@ -472,8 +500,14 @@ def _unpack_shade_outs(outs, unprep, num_lights: int, colored: bool,
         sfac = jnp.stack([unprep(outs.pop(0)) for _ in range(num_lights)],
                          axis=-1)
     aofac = unprep(outs.pop(0)) if ao else None
+    wres = None
+    if winner:
+        sdh = unprep(outs.pop(0))
+        widx = unprep(outs.pop(0))
+        g = jnp.stack([unprep(outs.pop(0)) for _ in range(3)], axis=-1)
+        wres = (sdh, widx, g)
     assert not outs
-    return cidx, light, smask, sfac, aofac
+    return cidx, light, smask, sfac, aofac, wres
 
 
 def black_skip_ids(plan: ScenePlan, cfg: RenderConfig):
@@ -489,7 +523,8 @@ def black_skip_ids(plan: ScenePlan, cfg: RenderConfig):
 
 def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
                        origin: jnp.ndarray, dirs: jnp.ndarray,
-                       tables: SceneTables, *, interpret: bool = False):
+                       tables: SceneTables, *, interpret: bool = False,
+                       save_winner: bool = False):
     """Fully fused forward: dirs [R, 3], origin [3] or [R, 3] ->
     (p_hit [R,3], sd [R], converged [R], cidx [R], light [R], smask [R],
     sfac [R, L] | None, aofac [R] | None).  A [R, 3] origin makes every
@@ -504,12 +539,23 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     per-bounce (cidx_b, light_b, smask_b, sfac_b, aofac_b, p_b, sd_b,
     conv_b) outputs from the in-kernel mirror bounces — blend the first
     two with _blend_bounces; the geometry tail anchors the differentiable
-    backward replay (_reflect_bwd)."""
+    backward replay (_reflect_bwd).
+
+    ``save_winner`` (custom-vjp forward only; requires analytic normals,
+    no bounces): the shade body's normal fold also reports the winner id,
+    and a NINTH element (sd_hit [R], widx [R], g [R, 3]) is appended — the
+    exact values the single-launch winner backwards would otherwise
+    recompute with their own kernel launch (bit-identical: same fold at
+    the same points)."""
     kp = kernel_key(plan)
     colored = plan.colored_lights
     soft = cfg.shadows and cfg.soft_shadow_k > 0.0
     ao = cfg.ao_strength > 0.0
     bounces = cfg.reflect_bounces if cfg.reflect_strength > 0.0 else 0
+    assert not (save_winner and bounces), \
+        "winner residuals are reflection-free"
+    assert not save_winner or cfg.normal_mode == "analytic", \
+        "winner residuals ride the analytic normal fold"
     L = int(plan.num_lights)
     R = dirs.shape[0]
     num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
@@ -549,32 +595,34 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
             L, cfg.shadows, cfg.fused_generators,
             cfg.normal_mode == "analytic", colored, cfg.soft_shadow_k,
             cfg.ao_strength, cfg.ao_samples, cfg.ao_delta, black_ids,
+            save_winner,
             cfg.tile_sublanes, num_tiles, int(tables.prim_pos.shape[0]),
             interpret)
         pc = [prep(p[:, a]) for a in range(3)]
         outs = shade(tbl, lights, *gate_args, *pc, prep(sd), *comps)
-        cidx, light, smask, sfac, aofac = _unpack_shade_outs(
-            outs, unprep, L, colored, soft, ao)
-        return p, sd, conv, cidx, light, smask, sfac, aofac
+        cidx, light, smask, sfac, aofac, wres = _unpack_shade_outs(
+            outs, unprep, L, colored, soft, ao, save_winner)
+        base = (p, sd, conv, cidx, light, smask, sfac, aofac)
+        return base + (wres,) if save_winner else base
 
     call = _compiled_render_call(
         kp, cfg.iterations, cfg.surface_precision, cfg.offset_precision,
         cfg.saturation, cfg.fd_h, L, cfg.shadows,
         cfg.fused_generators, cfg.normal_mode == "analytic", colored,
         cfg.soft_shadow_k, cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
-        bounces, per_ray_org, black_ids, cfg.tile_sublanes, num_tiles,
-        int(tables.prim_pos.shape[0]), interpret)
+        bounces, per_ray_org, black_ids, save_winner, cfg.tile_sublanes,
+        num_tiles, int(tables.prim_pos.shape[0]), interpret)
     outs = call(tbl, lights, *gate_args, *org_args, *comps)
     px, py, pz, sd, done = outs[:5]
-    n_per = _num_shade_refs(L, colored, soft, ao)
+    n_per = _num_shade_refs(L, colored, soft, ao, save_winner)
     rest = outs[5:]
-    cidx, light, smask, sfac, aofac = _unpack_shade_outs(
-        rest[:n_per], unprep, L, colored, soft, ao)
+    cidx, light, smask, sfac, aofac, wres = _unpack_shade_outs(
+        rest[:n_per], unprep, L, colored, soft, ao, save_winner)
     geom = rest[(1 + bounces) * n_per:]
     bounce_shades = []
     for b in range(bounces):
         shade_b = _unpack_shade_outs(rest[(1 + b) * n_per:(2 + b) * n_per],
-                                     unprep, L, colored, soft, ao)
+                                     unprep, L, colored, soft, ao)[:5]
         g = geom[b * 5:(b + 1) * 5]
         p_b = jnp.stack([unprep(g[0]), unprep(g[1]), unprep(g[2])], axis=-1)
         sd_b = unprep(g[3])
@@ -588,6 +636,8 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     base = (p, sd,
             jnp.logical_and(unprep(done) > 0.5, sd < cfg.surface_precision),
             cidx, light, smask, sfac, aofac)
+    if save_winner:
+        return base + (wres,)
     return base + (bounce_shades,) if bounces else base
 
 
@@ -765,6 +815,17 @@ def fused_render_op(plan: ScenePlan, cfg: RenderConfig, interpret: bool,
                           outs[8] if len(outs) > 8 else ())
 
 
+def _save_winner_engaged(plan, cfg) -> bool:
+    """Whether the custom-vjp forward saves (sd, widx, g) winner residuals
+    from the shade fold — exactly the configurations whose backward is a
+    single-launch winner backward (_fused_analytic_bwd /
+    _exact_analytic_bwd), so the saved values replace that launch."""
+    bounces = cfg.reflect_bounces if cfg.reflect_strength > 0.0 else 0
+    return (bounces == 0 and cfg.normal_mode == "analytic"
+            and not plan.proc
+            and (not cfg.fused_generators or plan.kernel is not None))
+
+
 def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
     # Under differentiation the black-lane shadow skip must be OFF: a
     # black winner's pixel is color * light == 0, which kills every
@@ -775,14 +836,16 @@ def _fused_fwd(plan, cfg, interpret, tables, origin, dirs):
     # hook: this fwd rule only ever runs when a vjp is being traced, so
     # forward-only rendering (the primal fused_render_op) keeps the skip.
     cfg = cfg.replace(shade_skip_black=False)
+    save_winner = _save_winner_engaged(plan, cfg)
     outs = pallas_render_rays(plan, cfg, origin, dirs, tables,
-                              interpret=interpret)
+                              interpret=interpret, save_winner=save_winner)
     p, sd, conv, cidx, light, smask, sfac, aofac = outs[:8]
-    bounce_res = outs[8] if len(outs) > 8 else ()
+    wres = outs[8] if save_winner else None
+    bounce_res = outs[8] if (len(outs) > 8 and not save_winner) else ()
     out = _blend_bounces(plan, cfg, tables, cidx, light, bounce_res)
     t = jnp.sum((p - origin) * dirs, axis=-1) / jnp.sum(dirs * dirs, axis=-1)
     return out, (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-                 sfac, aofac, bounce_res)
+                 sfac, aofac, bounce_res, wres)
 
 
 def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
@@ -805,7 +868,7 @@ def _exact_fd_bwd(plan, cfg, residuals, g_out, interpret):
                             stencil_eval, theta_cotangents)
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-     sfac, aofac, _bounce_res) = residuals
+     sfac, aofac, _bounce_res, _wres) = residuals
     sd7, widx7, g7, q7 = stencil_eval(plan, cfg, p, tables, interpret,
                                       center=True)
     inv = 1.0 / (2.0 * cfg.fd_h)
@@ -875,8 +938,14 @@ def _exact_analytic_bwd(plan, cfg, residuals, g_out, interpret):
                             winner_hessian_chain)
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-     sfac, aofac, _bounce_res) = residuals
-    sd0, widx0, g0 = winner_eval(plan, cfg, p, tables, interpret)
+     sfac, aofac, _bounce_res, wres) = residuals
+    # Winner residuals saved by the custom-vjp forward (the shade fold's
+    # own (sd, widx, g) at the hit — bit-identical to a fresh winner
+    # launch) make this a ZERO-launch backward; absent, launch one.
+    if wres is not None:
+        sd0, widx0, g0 = wres
+    else:
+        sd0, widx0, g0 = winner_eval(plan, cfg, p, tables, interpret)
 
     # 1. shading replay from the analytic-gradient primal (see
     # _exact_fd_bwd step 1 — identical structure, g0 in place of gfd).
@@ -934,12 +1003,18 @@ def _fused_analytic_bwd(plan, cfg, residuals, g_out, interpret):
     kind (scene_vjp._fused_statics).  Dense prim types only (plans with
     procedural leaves keep the replay, dispatched in _fused_bwd)."""
     from ..core import shading as sh
-    from .scene_vjp import (_segment_add, fused_theta_cotangents,
-                            fused_winner_eval, fused_winner_hessian_chain)
+    from .scene_vjp import (_fused_candidates, _segment_add_rows,
+                            fused_theta_cotangents, fused_winner_eval,
+                            fused_winner_hessian_chain)
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-     sfac, aofac, _bounce_res) = residuals
-    sd0, widx0, g0 = fused_winner_eval(plan, cfg, p, tables, interpret)
+     sfac, aofac, _bounce_res, wres) = residuals
+    # Winner residuals saved by the custom-vjp forward (see
+    # _exact_analytic_bwd) make this a ZERO-launch backward.
+    if wres is not None:
+        sd0, widx0, g0 = wres
+    else:
+        sd0, widx0, g0 = fused_winner_eval(plan, cfg, p, tables, interpret)
 
     safe_cidx = jnp.clip(cidx, 0, None)
     color_p = jnp.where((cidx >= 0)[..., None],
@@ -953,8 +1028,11 @@ def _fused_analytic_bwd(plan, cfg, residuals, g_out, interpret):
 
     _, vjp_shade = jax.vjp(shade, tables, p, g0, color_p)
     tables_bar, p_bar, g_bar, color_bar = vjp_shade(g_out)
-    pc_bar = _segment_add(cidx.reshape(-1), color_bar.reshape(-1, 3),
-                          int(tables.prim_color.shape[0]))
+    # fused color winners are always group-base or dense rows
+    # (_scene_sd_idx_tile) — the one-hot spans those candidates only
+    pc_bar = _segment_add_rows(cidx.reshape(-1), color_bar.reshape(-1, 3),
+                               int(tables.prim_color.shape[0]),
+                               _fused_candidates(plan, False))
     tables_bar = tables_bar._replace(
         prim_color=tables_bar.prim_color + pc_bar)
 
@@ -1038,7 +1116,7 @@ def _reflect_bwd(plan, cfg, interpret, residuals, g_out):
     from ..core import shading as sh
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-     sfac, aofac, bounce_res) = residuals
+     sfac, aofac, bounce_res, _wres) = residuals
     anchors = [(p, conv, cidx, smask, sfac, aofac)]
     for br in bounce_res:
         cidx_b, _light_b, smask_b, sfac_b, aofac_b, p_b, _sd_b, conv_b = br
@@ -1100,7 +1178,7 @@ def _fused_bwd(plan, cfg, interpret, residuals, g_out):
         return _fused_analytic_bwd(plan, cfg, residuals, g_out, interpret)
 
     (tables, origin, dirs, p, sd, conv, cidx, smask, t,
-     sfac, aofac, _bounce_res) = residuals
+     sfac, aofac, _bounce_res, _wres) = residuals
 
     # 1. Transpose the shading replay w.r.t. (tables, p).  The ray
     # direction enters shading only through the saved discrete color

@@ -173,16 +173,28 @@ def stencil_theta_cotangents(plan: ScenePlan, tables: SceneTables,
 _ONEHOT_BLOCK = 8192
 
 
-def _gather_rows(idx, mat):
+def _gather_rows(idx, mat, rows=None):
     """rows mat[idx] for idx [R] into mat [P, C] via the same blocked
     one-hot MXU contraction as _segment_add (transposed): XLA's TPU
     lowering of a per-ray row gather is several times the cost of the
     reduction it feeds (measured — see theta_cotangents' note), while
     ``one_hot(idx_block) @ mat`` is a dense matmul.  Negative idx rows
-    return zeros."""
+    return zeros.
+
+    ``rows`` (static [K] np array): restrict the one-hot to a CANDIDATE
+    row set the caller proves idx always falls in (or misses, -> zeros) —
+    the one-hot then spans K columns instead of P.  The fused winner fold
+    reports ~10 candidate rows out of hundreds (_fused_candidates), so
+    this cuts the materialized one-hot traffic by P/K (~45x on the demo
+    scene)."""
     R = idx.shape[0]
-    P, C = mat.shape
-    block = max(256, min(_ONEHOT_BLOCK, (1 << 22) // max(P, 1)))
+    if rows is not None:
+        mat = jnp.asarray(mat)[jnp.asarray(rows)]        # [K, C] static
+        cols = jnp.asarray(rows, idx.dtype)
+    else:
+        cols = jnp.arange(mat.shape[0], dtype=idx.dtype)
+    K, C = mat.shape
+    block = max(256, min(_ONEHOT_BLOCK, (1 << 22) // max(K, 1)))
     pad = (-R) % block
     idx_p = (jnp.concatenate([idx, jnp.full((pad,), -1, idx.dtype)])
              if pad else idx)
@@ -190,7 +202,7 @@ def _gather_rows(idx, mat):
     idx_b = idx_p.reshape(nb, block)
 
     def body(_, i):
-        onehot = (i[:, None] == jnp.arange(P, dtype=i.dtype)[None, :])
+        onehot = (i[:, None] == cols[None, :])
         return None, jnp.dot(onehot.astype(mat.dtype), mat,
                              precision=jax.lax.Precision.HIGHEST)
 
@@ -199,7 +211,7 @@ def _gather_rows(idx, mat):
     return out[:R] if pad else out
 
 
-def _segment_add(idx, vals, P: int):
+def _segment_add(idx, vals, P: int, targets=None):
     """sum of vals rows per index in [0, P): MXU one-hot contraction.
 
     jnp.zeros([P, C]).at[idx].add(vals) is ~2.3 ms per 65k rows on a v5e
@@ -209,9 +221,18 @@ def _segment_add(idx, vals, P: int):
     dense matmuls: ~16 ms -> ~2 ms per chunk for the full stencil set.
     f32 one-hot entries are exact, and the matmul's tree-wise summation
     is at least as accurate as the scatter's sequential adds.
-    idx: [R] int32 (negative = drop), vals: [R, C] f32 -> [P, C]."""
+    idx: [R] int32 (negative = drop), vals: [R, C] f32 -> [P, C].
+
+    ``targets`` (static [K] ids): reduce onto those ids only -> [K, C]
+    (idx values outside drop); see _segment_add_rows."""
     R, C = vals.shape
-    block = max(256, min(_ONEHOT_BLOCK, (1 << 22) // max(P, 1)))
+    if targets is None:
+        K = P
+        cols = None
+    else:
+        K = int(targets.shape[0])
+        cols = jnp.asarray(targets, idx.dtype)
+    block = max(256, min(_ONEHOT_BLOCK, (1 << 22) // max(K, 1)))
     pad = (-R) % block
     if pad:
         idx = jnp.concatenate([idx, jnp.full((pad,), -1, idx.dtype)])
@@ -222,13 +243,54 @@ def _segment_add(idx, vals, P: int):
 
     def body(acc, args):
         i, v = args
-        onehot = (i[:, None] == jnp.arange(P, dtype=i.dtype)[None, :])
+        cs = jnp.arange(K, dtype=i.dtype) if cols is None else cols
+        onehot = (i[:, None] == cs[None, :])
         return acc + jnp.dot(onehot.astype(v.dtype).T, v,
                              precision=jax.lax.Precision.HIGHEST), None
 
-    out, _ = jax.lax.scan(body, jnp.zeros((P, C), vals.dtype),
+    out, _ = jax.lax.scan(body, jnp.zeros((K, C), vals.dtype),
                           (idx_b, vals_b))
     return out
+
+
+def _segment_add_rows(idx, vals, P: int, rows):
+    """_segment_add restricted to a static candidate row set ``rows``
+    [K]: the blocked one-hot spans K columns instead of P (idx values
+    outside ``rows`` and negatives drop out), and the [K, C] reduction
+    scatters onto the static rows of the [P, C] result.  EXACT whenever
+    the caller proves idx ∈ rows ∪ {misses} — the fused winner folds do
+    (_fused_candidates)."""
+    red = _segment_add(idx, vals, P, targets=jnp.asarray(rows))
+    return jnp.zeros((P, vals.shape[1]), vals.dtype).at[
+        jnp.asarray(rows)].set(red)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_candidates(plan: ScenePlan, ext: bool):
+    """STATIC candidate winner rows of the FUSED folds, sorted [K] int32.
+
+    In fused mode a generator group's fold reports either its BASE row
+    (_scene_sd_idx_tile: always; the color winner) or — in the gradient
+    fold — its extended carve id P + ordinal (_scene_sd_idx_grad_tile);
+    the group's 20^k carve-table rows can never win.  Non-fused groups
+    report any of their rows.  For the demo scene that is 9 candidates
+    out of 431 rows, which turns every backward one-hot reduction from an
+    HBM-bound [R, P] materialization into a [R, K] one (~45x less
+    traffic).  ``ext``: include the extended carve ids (the gradient
+    fold's id space; the color fold never reports them)."""
+    P = plan.num_primitives
+    rows = []
+    ordinal = 0
+    for g in plan.kernel.groups:
+        if g.fused is not None:
+            rows.append(int(g.start))
+            if ext:
+                rows.append(P + ordinal)
+            ordinal += 1
+        else:
+            for (_ptype, start, count, _scale) in g.runs:
+                rows.extend(range(int(start), int(start) + int(count)))
+    return np.asarray(sorted(set(rows)), np.int32)
 
 
 def theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g, u,
@@ -413,7 +475,8 @@ def fused_theta_cotangents(plan: ScenePlan, tables: SceneTables, widx, g,
             mu * sd.reshape(-1, 1),
             mu * jnp.sum(g * p.reshape(-1, 3), axis=1, keepdims=True)]
     vals = jnp.concatenate(cols, axis=1)
-    red = _segment_add(widx, vals, P + F)               # [P+F, 9]
+    red = _segment_add_rows(widx, vals, P + F,
+                            _fused_candidates(plan, True))  # [P+F, 9]
 
     kindj = jnp.asarray(kind)
     sigj = jnp.asarray(sigma)[:, None]
@@ -473,6 +536,7 @@ def fused_winner_hessian_chain(plan: ScenePlan, tables: SceneTables,
     Returns (p_bar, pos_bar [P, 3], aux_bar [P, 3]) — the parameter
     cotangents already reduced onto base table rows."""
     kind, sigma, base_row, P, F = _fused_statics(plan)
+    cand = _fused_candidates(plan, True)
     widx_f = widx.reshape(-1)
     g_f = g.reshape(-1, 3)
     gbar_f = gbar.reshape(-1, 3)
@@ -483,7 +547,7 @@ def fused_winner_hessian_chain(plan: ScenePlan, tables: SceneTables,
         jnp.asarray((kind == _K_SPHERE).astype(np.float32))[:, None],
         jnp.asarray((kind == _K_DS_CARVE).astype(np.float32))[:, None],
     ], axis=1)
-    st = _gather_rows(widx_f, stats)            # zeros on miss lanes
+    st = _gather_rows(widx_f, stats, rows=cand)  # zeros on miss lanes
     sg, r, sphm, dscm = (st[:, k] for k in range(4))
     curved = (sphm + dscm) > 0.5
     u = sg[:, None] * g_f
@@ -493,8 +557,8 @@ def fused_winner_hessian_chain(plan: ScenePlan, tables: SceneTables,
     pos_rows = -p_bar
     aux0 = jnp.where(dscm > 0.5, 1.5 * pos_rows[:, 0], 0.0)
     idx = jnp.where(curved, widx_f, -1)
-    red = _segment_add(idx, jnp.concatenate(
-        [pos_rows, aux0[:, None]], axis=1), P + F)       # [P+F, 4]
+    red = _segment_add_rows(idx, jnp.concatenate(
+        [pos_rows, aux0[:, None]], axis=1), P + F, cand)  # [P+F, 4]
     br = jnp.asarray(base_row)
     pos_bar = jnp.zeros((P, 3), red.dtype).at[br].add(red[:, :3])
     aux_bar = jnp.zeros((P, 3), red.dtype).at[br, 0].add(red[:, 3])

@@ -266,3 +266,47 @@ def test_lattice_grad_matches_full_fold():
     for a, b, ax in zip(on[1:], off[1:], "xyz"):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=f"winner grad {ax}")
+
+
+def test_winner_residuals_bitwise_and_zero_launch_backward():
+    """save_winner mode (engaged by the custom-vjp forward for analytic
+    configs): the shade fold's saved (sd, widx, g) must be BITWISE what
+    the backward's own winner launch recomputes at the same hit points,
+    and the zero-launch backward (saved residuals) must produce bitwise
+    the same gradients as the relaunching shape (wres=None)."""
+    from raymarching_tpu.core import camera as cam
+    from raymarching_tpu.ops.pallas_render import (_fused_analytic_bwd,
+                                                   _fused_fwd,
+                                                   _save_winner_engaged)
+    from raymarching_tpu.ops.scene_vjp import fused_winner_eval
+    from raymarching_tpu.scene.compile import compile_tree
+
+    tree = ListNode(Mode.UNION, [
+        bounds(60.0),
+        menger_sponge((0.0, 0.0, -8.0), 6.0, 2, color=(0.9, 0.9, 0.8)),
+        death_star((4.0, 1.0, -6.0), 1.8, color=(0.2, 0.4, 0.9)),
+        Sphere((-3.0, -1.0, -5.0), 1.0, color=(0.2, 0.8, 0.3)),
+    ])
+    plan, tables = compile_tree(tree, [Light((6.0, 8.0, 4.0))],
+                                Camera(position=(0, 1, 5), fov=60.0))
+    cfg = CFG.replace(normal_mode="analytic", fused_generators=True, ssaa=1)
+    assert _save_winner_engaged(plan, cfg)
+
+    origin, d = cam.generate_rays(tables, cfg)
+    dirs = d.reshape(-1, 3)
+    out, resid = _fused_fwd(plan, cfg, True, tables, origin, dirs)
+    wres = resid[-1]
+    assert wres is not None
+    p = resid[3]
+    sd0, widx0, g0 = fused_winner_eval(plan, cfg, p, tables, True)
+    np.testing.assert_array_equal(np.asarray(wres[0]), np.asarray(sd0))
+    np.testing.assert_array_equal(np.asarray(wres[1]), np.asarray(widx0))
+    np.testing.assert_array_equal(np.asarray(wres[2]), np.asarray(g0))
+
+    g_out = jnp.ones_like(out) / out.size
+    saved = _fused_analytic_bwd(plan, cfg, resid, g_out, True)
+    relaunch = _fused_analytic_bwd(plan, cfg, resid[:-1] + (None,), g_out,
+                                   True)
+    for a, b in zip(jax.tree_util.tree_leaves(saved),
+                    jax.tree_util.tree_leaves(relaunch)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
