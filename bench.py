@@ -83,7 +83,8 @@ def _stats(rates):
     }
 
 
-def _measure(plan, tables, cfg, backend, reps=5, forward_only=False):
+def _measure(plan, tables, cfg, backend, reps=5, forward_only=False,
+             ray_perm=None):
     """Throughput stats under TWO protocols:
 
     * ``pipelined`` (the headline): N back-to-back dispatches of the step
@@ -108,7 +109,8 @@ def _measure(plan, tables, cfg, backend, reps=5, forward_only=False):
     from raymarching_tpu.api import render_tables
 
     def loss_fn(t):
-        img = render_tables(plan, t, cfg, backend=backend)
+        img = render_tables(plan, t, cfg, backend=backend,
+                            ray_perm=ray_perm)
         return jnp.mean(img)
 
     if forward_only:

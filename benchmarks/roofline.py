@@ -216,15 +216,47 @@ def field_sol(plan, tables, cfg, fused: bool, evals: int = 256,
 
 # ------------------------------------------------------------- real march
 
+def _layout_straggler(steps, tile_rays, iterations, K) -> dict:
+    """Straggler lane-bound of one ray LAYOUT from per-ray step counts
+    (in that layout's order): a tile issues ceil(max/K)*K evals per lane."""
+    ntiles = math.ceil(steps.size / tile_rays)
+    pad = np.zeros(ntiles * tile_rays, np.float32)
+    pad[:steps.size] = steps
+    per_tile = pad.reshape(ntiles, tile_rays)
+    tile_steps = np.minimum(np.ceil(per_tile.max(axis=1) / K) * K,
+                            iterations)
+    lane_evals = float((tile_steps * tile_rays).sum())
+    return {
+        "tile_mean_steps": float(tile_steps.mean()),
+        "lane_evals": lane_evals,
+        "straggler_waste": lane_evals / max(float(steps.sum()), 1.0),
+    }
+
+
 def march_real(plan, tables, cfg, fused: bool) -> dict:
     """The production march on the bench camera: time it, and decompose
-    with the kernel's own per-ray step counters."""
+    with the kernel's own per-ray step counters.
+
+    Rays are BLOCK-ORDERED (compact pixel blocks per tile) — the
+    production mega-kernel layout since r3 — and the decomposition also
+    reports the straggler bound of the scan layout (rows of the image,
+    r3's harness layout) and of the cost-sorted oracle (rows sorted by
+    max step count — what cost-ordered scheduling would achieve for THIS
+    phase alone; see api.plan_cost_order's MEASURED OUTCOME note for why
+    that oracle does not survive the full multi-phase frame)."""
     from raymarching_tpu.core import camera as cam
+    from raymarching_tpu.core.order import block_dims, to_blocked
     from raymarching_tpu.ops.pallas_march import (LANES, _EXIT_CHECK_EVERY,
                                                   pallas_march)
 
     origin, dirs = cam.generate_rays(tables, cfg)
     dirs = jnp.reshape(dirs, (-1, 3))
+    S = cfg.samples_per_pixel
+    bdims = block_dims(cfg.height, cfg.width, S,
+                       cfg.tile_sublanes * LANES)
+    scan_dirs = dirs
+    if bdims is not None:
+        dirs = to_blocked(dirs, cfg.height, cfg.width, S, *bdims)
     o = jnp.broadcast_to(jnp.asarray(origin), dirs.shape)
 
     # Fetch a SCALAR reduction, not the [R, 3] positions: the data
@@ -245,26 +277,37 @@ def march_real(plan, tables, cfg, fused: bool) -> dict:
 
     R = dirs.shape[0]
     tile_rays = cfg.tile_sublanes * LANES
-    ntiles = math.ceil(R / tile_rays)
-    pad = np.zeros(ntiles * tile_rays, np.float32)
-    pad[:R] = steps
-    per_tile = pad.reshape(ntiles, tile_rays)
     K = _EXIT_CHECK_EVERY
-    # a tile runs ceil(max_lane_steps / K) * K evaluations on EVERY lane
-    tile_steps = np.ceil(per_tile.max(axis=1) / K) * K
-    tile_steps = np.minimum(tile_steps, cfg.iterations)
-    lane_evals = float((tile_steps * tile_rays).sum())
+    block = _layout_straggler(steps, tile_rays, cfg.iterations, K)
+    # alternative layouts, host-side from the SAME per-ray counters
+    # (per-ray steps are layout-independent): scan = the image-row order
+    # (undo the blocking), cost oracle = sublane rows sorted by row max.
+    if bdims is not None:
+        from raymarching_tpu.core.order import from_blocked
+        scan_steps = np.asarray(from_blocked(
+            jnp.asarray(steps), cfg.height, cfg.width, S, *bdims)).ravel()
+    else:
+        scan_steps = steps
+    scan = _layout_straggler(scan_steps, tile_rays, cfg.iterations, K)
+    rows = steps.reshape(-1, LANES)
+    cost_rows = rows[np.argsort(rows.max(axis=1), kind="stable")]
+    cost = _layout_straggler(cost_rows.ravel(), tile_rays,
+                             cfg.iterations, K)
+    lane_evals = block["lane_evals"]
     active_evals = float(steps.sum())
 
     return {
         "fused": fused,
+        "layout": "block",
         "seconds": dt,
         "rays": int(R),
         "mean_steps": float(steps.mean()),
-        "tile_mean_steps": float(tile_steps.mean()),
+        "tile_mean_steps": block["tile_mean_steps"],
         "lane_evals": lane_evals,
         "active_evals": active_evals,
-        "straggler_waste": lane_evals / max(active_evals, 1.0),
+        "straggler_waste": block["straggler_waste"],
+        "straggler_waste_scan": scan["straggler_waste"],
+        "straggler_waste_cost_oracle": cost["straggler_waste"],
         "achieved_lane_evals_per_s": lane_evals / dt,
         "achieved_active_evals_per_s": active_evals / dt,
     }
@@ -330,7 +373,9 @@ def main():
               f"{r['achieved_lane_evals_per_s'] / 1e9:6.3f} Geval/s issued "
               f"({r['achieved_active_evals_per_s'] / 1e9:.3f} active = "
               f"{100 * r['active_utilization']:5.1f}% of SOL) | straggler "
-              f"lane-bound {r['straggler_waste']:.2f}x | mean steps "
+              f"lane-bound {r['straggler_waste']:.2f}x (scan "
+              f"{r['straggler_waste_scan']:.2f}x, cost-oracle "
+              f"{r['straggler_waste_cost_oracle']:.2f}x) | mean steps "
               f"{r['mean_steps']:.1f} (tile {r['tile_mean_steps']:.1f})",
               flush=True)
 

@@ -190,7 +190,7 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
 
 
 def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
-                 interpret: bool) -> jnp.ndarray:
+                 interpret: bool, ray_perm=None) -> jnp.ndarray:
     """Single-kernel render: the whole per-ray pipeline in one pallas_call
     (ops.pallas_render), SSAA averaging outside.
 
@@ -216,6 +216,21 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     if bdims is not None:
         flat = to_blocked(flat, cfg.height, cfg.width, S, *bdims)
 
+    # Cost-ordered tile scheduling (opt-in via ray_perm, see
+    # plan_cost_order): permute the kernel's 128-ray sublane rows so each
+    # tile holds similar-cost rows — the straggler bound drops toward the
+    # tile-mean oracle.  Bit-exact (outputs inverse-permuted below) and
+    # scatter-free in the backward (core.order.row_permuters).
+    apply_perm = invert_perm = None
+    if ray_perm is not None:
+        from .core.order import LANES as _LANES
+        from .core.order import row_permuters
+        if len(ray_perm) * _LANES != R:
+            raise ValueError(f"ray_perm has {len(ray_perm)} rows; frame "
+                             f"needs {R // _LANES}")
+        apply_perm, invert_perm = row_permuters(ray_perm)
+        flat = apply_perm(flat)
+
     chunk = cfg.ray_chunk
     if chunk and R > chunk:
         pad = (-R) % chunk
@@ -228,19 +243,127 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         colors = colors.reshape(-1, 3)[:R]
     else:
         colors = fused_render_op(plan, cfg, interpret, tables, origin, flat)
+    if invert_perm is not None:
+        colors = invert_perm(colors)
     if bdims is not None:
         colors = from_blocked(colors, cfg.height, cfg.width, S, *bdims)
     return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)
+
+
+def plan_cost_order(plan: ScenePlan, tables: SceneTables,
+                    cfg: RenderConfig, *, forward_only: bool = False,
+                    interpret: bool = False):
+    """Predict per-row frame cost and return the sublane-row permutation
+    for cost-ordered tile scheduling (``render_tables(..., ray_perm=)``).
+
+    The cost model is the WHOLE per-ray pipeline, not just the primary
+    march: primary steps + every light's shadow-march steps (from the hit
+    point, lifted off the surface exactly like the shade body).  Ordering
+    by primary steps alone measured 35% SLOWER end-to-end even though it
+    cut issued march evals 40%: rays with equal primary cost come from all
+    over the image, so tiles homogeneous in march cost became maximally
+    HETEROGENEOUS in shadow cost, and the shadow straggler ate the win.
+    ``forward_only`` additionally models the black-lane shadow skip (those
+    lanes' shadow marches are free in serving renders, and the skip is
+    disabled under differentiation — match the regime you schedule for).
+
+    The prepass costs a few forward marches — amortize it across a
+    training run or a static-camera serving loop (the reference's fit
+    loop holds the camera fixed for the whole optimization).  Stale costs
+    (scene params drifting during a fit) degrade only SPEED, never
+    results: the image is bit-exact under ANY permutation.  Returns a
+    host numpy int32 array; pass it to render_tables unchanged (it is
+    folded into the jit as a constant).
+
+    MEASURED OUTCOME on the demo bench workload (ab_cost_order_r4.json,
+    benchmarks/ab_cost_*.py): cost ordering LOSES 8-10% to plain block
+    ordering, so it is opt-in, not the default.  The decomposition: the
+    standalone primary march speeds up 39% (the mechanism works, and
+    matches the issued-eval model exactly), but (a) the frame's three
+    march phases (primary, shadow x2) have nearly independent divergence
+    patterns, so no single ordering reduces TOTAL issued work — sorting
+    for one phase explodes another's stragglers (predicted issued evals:
+    block 139M, cost-sorted 140M); and (b) permuting tile order AT
+    IDENTICAL TILE COMPOSITION costs 8.5% by itself — sequential tile
+    dispatch streams HBM pages in layout order, any non-trivial order
+    breaks that locality.  Block ordering is near-optimal among spatial
+    orderings because locality is the only signal correlated with all
+    three phases at once.  Kept for single-phase workloads (shadowless
+    serving, standalone marches, extreme-divergence fractals) where the
+    composition gain can dominate the order-scrambling tax.
+    """
+    import numpy as np
+
+    from .core import camera as cam
+    from .core.order import (block_dims, resolve_ray_order, row_cost_perm,
+                             to_blocked)
+    from .ops.pallas_march import kernel_key, pallas_march, pallas_surface_eval
+    from .ops.pallas_render import black_skip_ids
+
+    kp = kernel_key(plan)
+    origin, dirs = cam.generate_rays(tables, cfg)
+    S = cfg.samples_per_pixel
+    R = cfg.height * cfg.width * S
+    flat = dirs.reshape(R, 3)
+    bdims = (block_dims(cfg.height, cfg.width, S, cfg.tile_sublanes * 128)
+             if resolve_ray_order(cfg, "mega") else None)
+    if bdims is not None:
+        flat = to_blocked(flat, cfg.height, cfg.width, S, *bdims)
+    black = black_skip_ids(plan, cfg) if forward_only else ()
+    tiny = float(np.finfo(np.float32).tiny)
+
+    @jax.jit
+    def _cost(o, d, tb):
+        res, steps = pallas_march(
+            kp, cfg.iterations, cfg.surface_precision, cfg.tile_sublanes,
+            o, d, tb, fused=cfg.fused_generators, with_steps=True,
+            interpret=interpret)
+        cost = steps.astype(jnp.float32)
+        if not cfg.shadows:
+            return cost
+        p = res.position
+        _, cidx, g = pallas_surface_eval(
+            kp, cfg.fd_h, cfg.tile_sublanes, p, tb,
+            with_color=bool(black), with_normal=True,
+            fused=cfg.fused_generators, analytic=True, interpret=interpret)
+        n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
+                            tiny)
+        s = p + n * (cfg.surface_precision + cfg.offset_precision)
+        shadow = jnp.zeros_like(cost)
+        for li in range(plan.num_lights):
+            r = tb.light_pos[li][None, :] - s
+            tmax = jnp.linalg.norm(r, axis=-1)
+            rd = r / jnp.maximum(tmax, tiny)[:, None]
+            _, ssteps = pallas_march(
+                kp, cfg.iterations, cfg.surface_precision,
+                cfg.tile_sublanes, s, rd, tb, tmax=tmax,
+                fused=cfg.fused_generators, with_steps=True,
+                interpret=interpret)
+            shadow = shadow + ssteps.astype(jnp.float32)
+        if black:
+            skip = cidx < 0
+            for k in black:
+                skip = jnp.logical_or(skip, cidx == k)
+            shadow = jnp.where(skip, 0.0, shadow)
+        return cost + shadow
+
+    o = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), flat.shape)
+    return row_cost_perm(np.asarray(_cost(o, flat, tables)))
 
 
 def render_tables(plan: ScenePlan, tables: SceneTables,
                   cfg: Optional[RenderConfig] = None, *,
                   backend: Optional[str] = None,
                   differentiable: bool = False,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False,
+                  ray_perm=None) -> jnp.ndarray:
     """Render compiled tables -> [H, W, 3].  Differentiable w.r.t. every
     array in ``tables`` on all backends (IFT backward on the fast paths,
-    unrolled autodiff on ``ref`` with differentiable=True)."""
+    unrolled autodiff on ``ref`` with differentiable=True).
+
+    ``ray_perm``: optional host int array of kernel sublane-row indices
+    (from ``plan_cost_order``) enabling cost-ordered tile scheduling on
+    the mega backend — bit-exact, speed-only (see core.order)."""
     cfg = cfg or RenderConfig()
     backend = resolve_backend(backend or cfg.backend)
     if backend == "pallas" and (cfg.soft_shadow_k > 0.0
@@ -252,11 +375,14 @@ def render_tables(plan: ScenePlan, tables: SceneTables,
         # exists to avoid).  The mega kernel tracks the penumbra factor
         # in-kernel; route there (it is the auto choice on TPU anyway).
         backend = "mega"
+    if ray_perm is not None and (backend != "mega" or cfg.aperture > 0.0):
+        raise ValueError("ray_perm (cost-ordered scheduling) rides the "
+                         "mega pinhole path only")
     if cfg.aperture > 0.0:
         return _render_dof(plan, tables, cfg, backend, differentiable,
                            interpret)
     if backend == "mega":
-        return _render_mega(plan, tables, cfg, interpret)
+        return _render_mega(plan, tables, cfg, interpret, ray_perm=ray_perm)
     hooks = make_render_hooks(plan, tables, cfg, backend,
                               interpret=interpret)
     return render_image(plan, tables, cfg,

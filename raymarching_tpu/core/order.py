@@ -29,9 +29,13 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+LANES = 128   # hardware lane width: one kernel sublane row = 128 rays
 
 
 @lru_cache(maxsize=64)
@@ -73,6 +77,78 @@ def from_blocked(x: jnp.ndarray, H: int, W: int, S: int,
     x = jnp.transpose(x, (0, 2, 1, 3, 4) + tuple(
         5 + i for i in range(len(tail))))
     return x.reshape((H * W * S,) + tail)
+
+
+def row_cost_perm(steps: np.ndarray, row: int = LANES) -> np.ndarray:
+    """Cost-ordered tile scheduling: permutation of the kernel's sublane
+    ROWS (``row`` consecutive rays each) sorted by the row's max predicted
+    step count.
+
+    A (tile_sublanes, 128) tile marches until its SLOWEST lane converges,
+    so a tile's cost is the max over its rays — mixing a fractal-silhouette
+    row with background rows bills every lane the fractal's steps (the
+    reference's GLSL kernel eats the same divergence per warp,
+    shader.comp:288-297).  Sorting rows by cost makes tiles
+    cost-homogeneous: tile max ≈ tile mean, which is the oracle bound the
+    roofline measures (1.15x vs block ordering's 2.27x on the demo scene).
+    In practice that oracle is NOT reachable on multi-phase frames — see
+    api.plan_cost_order's MEASURED OUTCOME note for why this stays opt-in
+    (independent per-phase divergence + tile-order HBM locality tax).
+
+    The permutation is over ROWS, not rays, for two reasons: the gather is
+    8192 indices instead of 1M (its VJP — the inverse row gather, see
+    row_permuters — is a contiguous 512-byte-row copy), and each row keeps
+    128 spatially-adjacent samples so per-row cost stays coherent.
+
+    ``steps`` must be per-ray step counts in the LAYOUT THE KERNEL SEES
+    (i.e. after block ordering when that is enabled) — api.plan_cost_order
+    produces them with the kernel's own counters.  Stale or wrong costs
+    degrade only SPEED, never results: the image is bit-exact under any
+    row permutation (per-ray arithmetic is tile-independent, and outputs
+    are inverse-permuted before the SSAA mean).
+    """
+    steps = np.asarray(steps).ravel()
+    if steps.size % row:
+        raise ValueError(f"ray count {steps.size} not a multiple of {row}")
+    cost = steps.reshape(-1, row).max(axis=1)
+    return np.argsort(cost, kind="stable").astype(np.int32)
+
+
+def row_permuters(perm: np.ndarray, row: int = LANES
+                  ) -> Tuple[Callable, Callable]:
+    """(apply, invert) for a row permutation on flat [R, ...] ray arrays.
+
+    Both directions are jnp row-takes with a CUSTOM VJP: the transpose of
+    a bijective take is the take by the inverse permutation — a gather,
+    never a scatter.  (XLA's default gather transpose IS a scatter, and a
+    1M-row scatter-add costs ~0.3 s on this chip — the measured 35%
+    regression that killed naive gather-based ray ordering, see module
+    docstring.  The bijection is what makes the cheap transpose valid.)
+    """
+    perm = np.asarray(perm, np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    n = len(perm)
+
+    def _taker(idx_fwd: np.ndarray, idx_bwd: np.ndarray) -> Callable:
+        jf, jb = jnp.asarray(idx_fwd), jnp.asarray(idx_bwd)
+
+        @jax.custom_vjp
+        def take(x):
+            t = x.reshape((n, row) + x.shape[1:])
+            return jnp.take(t, jf, axis=0).reshape(x.shape)
+
+        def fwd(x):
+            return take(x), None
+
+        def bwd(_, g):
+            t = g.reshape((n, row) + g.shape[1:])
+            return (jnp.take(t, jb, axis=0).reshape(g.shape),)
+
+        take.defvjp(fwd, bwd)
+        return take
+
+    return _taker(perm, inv), _taker(inv, perm)
 
 
 def resolve_ray_order(cfg, backend: str) -> bool:
