@@ -12,6 +12,11 @@ The five rungs from BASELINE.json plus the beyond-reference rung 6:
      static lattice collapse is column-capped (scene/compile.py
      _LATTICE_MAX_COLS) so the field folds via ``lax.fori_loop`` runs and
      the 8.4k-prim program compiles in seconds, not minutes.
+  7. scatter1k — 1,000 scattered spheres (scenes/make_scatter.py), the
+     worst shape for the reference's O(N)-per-evaluation UNION fold
+     (body.cpp:66-111).  Exercises the wide-UNION chunk cull
+     (scene/compile.py GroupPlan.bvh): chunks whose live bounding box
+     provably cannot win are skipped per tile, exactly.
 
 Timing protocol (r3): N back-to-back dispatches, ONE host fetch of a
 scalar reduction of the last frame — the axon tunnel's ~30 ms dispatch+
@@ -75,6 +80,13 @@ def main():
         ("menger4", "menger4.txt",
          dict(width=512 // q, height=512 // q, ssaa=2, shadows=True),
          dict(width=96, height=96, ssaa=1, ray_chunk=4096)),
+        # rung 7 (beyond-reference): 1,000 scattered spheres — the shape
+        # the reference's O(N) UNION fold handles worst (body.cpp:66-111
+        # pays all 1,000 SDFs per march step per ray).  Exercises the
+        # wide-UNION chunk cull (scene/compile.py GroupPlan.bvh).
+        ("scatter1k", "scatter1k.txt",
+         dict(width=512 // q, height=512 // q, ssaa=2, shadows=True),
+         dict(width=128, height=128, ssaa=1, ray_chunk=16384)),
     ]
     backend = resolve_backend(args.backend)
     print(f"backend: {backend}")

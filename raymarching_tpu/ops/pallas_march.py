@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..core.march import MAX_STEP, MarchResult
-from ..scene.compile import MIN, KernelPlan, ScenePlan, SceneTables
+from ..scene.compile import (MIN, KernelPlan, ScenePlan, SceneTables,
+                             iter_bvh_chunks)
 from ..scene.csg import PrimType
 
 LANES = 128
@@ -476,10 +477,37 @@ _UNROLL = 4
 _EXIT_CHECK_EVERY = 4
 
 
+def _fold_span_dynamic(step, start, count, carry):
+    """Fold ``count`` consecutive prims from a TRACED ``start`` row
+    (static count): blocked fori + tracer-arithmetic remainder, mirroring
+    the static run paths bit for bit (same op per leaf, same order).  Used
+    by the recursive Menger subtree cull, whose level-2 cell starts are
+    affine in a fori counter (_menger_subtree_fold)."""
+    blocks, rem = divmod(count, _UNROLL)
+    if blocks:
+        def body(k, c):
+            i = start + k * _UNROLL
+            for j in range(_UNROLL):
+                c = step(i + j, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, blocks, body, carry)
+    base = start + blocks * _UNROLL
+    for j in range(rem):
+        carry = step(base + j, carry)
+    return carry
+
+
 def _fold_runs(tbl, runs, px, py, pz, init):
     """min over runs of scale * prim_sd, starting from ``init``."""
     gmin = init
     for (ptype, start, count, scale) in runs:
+        if not isinstance(start, (int, np.integer)):
+            gmin = _fold_span_dynamic(
+                lambda i, c, _p=ptype, _s=float(scale): jnp.minimum(
+                    c, _s * _prim_sd(_p, tbl, i, px, py, pz)),
+                start, count, gmin)
+            continue
         if count <= _UNROLL:
             for i in range(start, start + count):
                 sd = _prim_sd(ptype, tbl, i, px, py, pz)
@@ -499,6 +527,80 @@ def _fold_runs(tbl, runs, px, py, pz, init):
             sd = _prim_sd(ptype, tbl, i, px, py, pz)
             gmin = jnp.minimum(gmin, float(scale) * sd)
     return gmin
+
+
+def _bvh_row_base(kp) -> int:
+    """First bound row of the wide-UNION chunk cull (right after the flag
+    row; one row per iter_bvh_chunks entry, same order)."""
+    return _flag_row(kp) + 1
+
+
+def _menger_off_row(kp) -> int:
+    """First of the 20 Menger child-offset rows (after the bvh bound
+    rows); present iff _needs_menger_offsets(kp) — the recursive subtree
+    cull's level-2 fori fetches cell offsets by traced row index."""
+    from ..scene.compile import iter_bvh_chunks
+    return _bvh_row_base(kp) + len(iter_bvh_chunks(kp))
+
+
+def _needs_menger_offsets(kp) -> bool:
+    """Does any group take the level-2 recursive subtree cull (and so
+    need the offset rows in the table)?"""
+    return any(_use_subtree(g) and _subtree_recurses(g)
+               for g in getattr(kp, "groups", ()))
+
+
+def _bvh_group_offset(kp, g) -> int:
+    """Ordinal of group ``g``'s first chunk in iter_bvh_chunks order."""
+    off = 0
+    for gg in kp.groups:
+        if gg is g:
+            return off
+        for _ri, chunks in (gg.bvh or ()):
+            off += len(chunks)
+    raise ValueError("group not in plan")
+
+
+def _bvh_group_fold(kp, g, tbl, px, py, pz, state, fold_runs_fn, value_of):
+    """Chunk-culled plain-UNION group fold (GroupPlan.bvh) — generic over
+    the fold carry: ``fold_runs_fn(runs, state)`` folds the given runs
+    into the carry, ``value_of(state)`` reads the tile's running scene
+    minimum for the skip proof.
+
+    Exactness (the same proof-not-heuristic pattern as the DIFFERENCE
+    base-bound cull): the chunk's bound row is the LIVE axis-aligned
+    bounding box of its primitives' supports (_build_table), so per lane
+    lb(p) = max_a(|p_a - c_a| - h_a) <= sd_i(p) for every member i — per
+    axis |p_a - c_ia| - e_ia >= |p_a - c_a| - h_a by support containment,
+    and both the sphere SDF (>= its Chebyshev excess) and the box SDF
+    (max of excesses) dominate the axis maximum.  When every lane has
+    lb >= running, no member can win any strict-< selection downstream:
+    skipping the fold changes neither value nor winner index/gradient
+    (a tie keeps the EARLIER leaf, which is already folded — groups, runs
+    and chunks all fold in leaf order).  This bounds the O(N) UNION fold
+    the reference pays per evaluation (body.cpp:66-111)."""
+    bvh_ri = {ri for ri, _ in g.bvh}
+    plain = tuple(r for i, r in enumerate(g.runs) if i not in bvh_ri)
+    if plain:
+        state = fold_runs_fn(plain, state)
+    row = _bvh_row_base(kp) + _bvh_group_offset(kp, g)
+    for ri, chunks in g.bvh:
+        ptype = g.runs[ri][0]
+        for (s, c) in chunks:
+            lb = jnp.maximum(jnp.maximum(
+                jnp.abs(px - tbl[row, 0]) - tbl[row, 3],
+                jnp.abs(py - tbl[row, 1]) - tbl[row, 4]),
+                jnp.abs(pz - tbl[row, 2]) - tbl[row, 5])
+            skip = jnp.all(lb >= value_of(state))
+            state = jax.lax.cond(
+                skip, lambda st: st,
+                functools.partial(
+                    lambda _p, _s, _c, st: fold_runs_fn(
+                        ((_p, _s, _c, 1),), st),
+                    ptype, s, c),
+                state)
+            row += 1
+    return state
 
 
 def _menger_carve_lattice(tbl, g, px, py, pz):
@@ -564,21 +666,51 @@ def _menger_subtrees(g):
                     for j, off in enumerate(_MENGER_OFFSETS))
 
 
-def _menger_subtree_fold(tbl, g, px, py, pz, carry, fold_fn, value_of):
-    """EXACT carve fold for big Menger groups with a per-tile, per-subtree
-    skip: every cross in level-1 subtree k is an infinite 3-rod plus whose
-    centre lies in cell k (cube side s/3 at c_k = c + o_k s/3; descendant
-    centres deviate < s/6) and whose half-width is <= s/18, and the cross
-    SDF med3(|p-c|-h) is monotone per axis — so
+# A level-1 subtree recurses (its 20 child cells get their own skip
+# tests) only when each child holds at least this many crosses: a skip
+# test's all-lanes reduce + branch costs about as much as one ~15-op
+# cross evaluation, so guarding single crosses (sub_T == 1) is a wash
+# while guarding 21-cross cells (iters=4's level-2) wins whenever even a
+# tenth of them skip.
+_SUBTREE_RECURSE_MIN = 21
 
-        LB_k = med3(|p - c_k| - (s/6 + s/18))   (per axis)
+
+def _subtree_recurses(g) -> bool:
+    """Does this group's subtree cull take the level-2 fori pass (and so
+    need the Menger offset rows in the table, _build_table)?"""
+    sub = _menger_subtrees(g)
+    if sub is None:
+        return False
+    T = sub[0]
+    return T >= _SUBTREE_RECURSE_MIN and (T - 1) % 20 == 0
+
+
+def _menger_subtree_fold(kp, tbl, g, px, py, pz, carry, fold_fn, value_of):
+    """EXACT carve fold for big Menger groups with a HIERARCHICAL
+    per-tile, per-cell skip: every cross in the subtree of cell k (cube
+    side sz/3 at c_k = c + o_k sz/3, where sz is the PARENT cell's side;
+    descendant centres deviate < sz/6) has half-width <= sz/18, and the
+    cross SDF med3(|p-c|-h) is monotone per axis — so
+
+        LB_k = med3(|p - c_k| - (sz/6 + sz/18))   (per axis)
 
     lower-bounds every member.  When ALL lanes of the tile have
-    LB_k >= the running carve min, folding subtree k cannot change the
-    strict-< fold result (value, winner, or gradient) — one lax.cond
-    skips its ``T``-cross fori fold.  20 conds replace up to 20*T cross
-    evaluations; tiles are compact pixel blocks (core.order), so the
-    all-lanes test fires on real spatial structure.
+    LB_k >= the running carve min, folding cell k's subtree cannot change
+    the strict-< fold result (value, winner, or gradient) — one skip
+    test elides it.  The DFS leaf layout (reference emission order,
+    body.cpp:149-156) is recursively [cell root cross, 20 child
+    subtrees], so live level-1 cells descend: their 20 child cells get
+    skip tests at the next scale (sz -> sz/3) via ONE ``lax.fori_loop``
+    whose body holds a single traced ``lax.cond`` — NOT 400 unrolled
+    conds, which took XLA minutes to compile.  The child-cell centre
+    offsets ride in the table's Menger offset rows (_build_table) so the
+    fori body can fetch them by traced index (the same dynamic SMEM reads
+    the run folds already use), and the child folds run from traced row
+    starts (_fold_span_dynamic).  For iters=4 a tile near the surface
+    touches a handful of level-2 cells and folds ~21 crosses per live
+    one, instead of 421 per live level-1 subtree.  Tiles are compact
+    pixel blocks (core.order), so the all-lanes test fires on real
+    spatial structure.
 
     Generic over the carried state: ``fold_fn(runs, carry)`` is any of
     the _fold_runs* family closed over (tbl, p); ``value_of(carry)``
@@ -589,24 +721,53 @@ def _menger_subtree_fold(tbl, g, px, py, pz, carry, fold_fn, value_of):
     s = tbl[g.start, 3]
     third = s * (1.0 / 3.0)
     margin = s * (2.0 / 9.0)           # cell half s/6 + max cross half s/18
+    recurse = _subtree_recurses(g)
+    if recurse:
+        off_row = _menger_off_row(kp)
+        sub2 = (T - 1) // 20
+        ninth = third * (1.0 / 3.0)
+        margin2 = third * (2.0 / 9.0)
     for (off, start) in subs:
-        bx = jnp.abs(px - (cx + float(off[0]) * third)) - margin
-        by = jnp.abs(py - (cy + float(off[1]) * third)) - margin
-        bz = jnp.abs(pz - (cz + float(off[2]) * third)) - margin
+        ox = cx + float(off[0]) * third
+        oy = cy + float(off[1]) * third
+        oz = cz + float(off[2]) * third
+        bx = jnp.abs(px - ox) - margin
+        by = jnp.abs(py - oy) - margin
+        bz = jnp.abs(pz - oz) - margin
         lb = _med3(bx, by, bz)
 
-        def with_subtree(c, _start=start):
-            return fold_fn(((int(PrimType.CROSS), _start, T, 1),), c)
+        def with_subtree(c, _start=start, _ox=ox, _oy=oy, _oz=oz):
+            if not recurse:
+                return fold_fn(((int(PrimType.CROSS), _start, T, 1),), c)
+            c = fold_fn(((int(PrimType.CROSS), _start, 1, 1),), c)
+
+            def body(k, cc):
+                ox2 = _ox + tbl[off_row + k, 0] * ninth
+                oy2 = _oy + tbl[off_row + k, 1] * ninth
+                oz2 = _oz + tbl[off_row + k, 2] * ninth
+                lb2 = _med3(jnp.abs(px - ox2) - margin2,
+                            jnp.abs(py - oy2) - margin2,
+                            jnp.abs(pz - oz2) - margin2)
+                start2 = _start + 1 + k * sub2
+
+                def live(c3):
+                    return fold_fn(
+                        ((int(PrimType.CROSS), start2, sub2, 1),), c3)
+
+                skip2 = jnp.all(lb2 >= value_of(cc))
+                return jax.lax.cond(skip2, lambda c3: c3, live, cc)
+
+            return jax.lax.fori_loop(0, 20, body, c)
 
         skip = jnp.all(lb >= value_of(carry))
         carry = jax.lax.cond(skip, lambda c: c, with_subtree, carry)
     return carry
 
 
-def _menger_carve_subtree_culled(tbl, g, px, py, pz, init):
+def _menger_carve_subtree_culled(kp, tbl, g, px, py, pz, init):
     """Value-only subtree-culled carve (see _menger_subtree_fold)."""
     return _menger_subtree_fold(
-        tbl, g, px, py, pz, init,
+        kp, tbl, g, px, py, pz, init,
         lambda runs, c: _fold_runs(tbl, runs, px, py, pz, c),
         lambda c: c)
 
@@ -990,8 +1151,8 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
             elif _use_subtree(g):
                 # column-capped deep sponge: per-subtree hierarchical cull
                 def with_rest(r, _base=gmin_base, _g=g):
-                    gmin = _menger_carve_subtree_culled(tbl, _g, px, py,
-                                                        pz, _base)
+                    gmin = _menger_carve_subtree_culled(kp, tbl, _g, px,
+                                                        py, pz, _base)
                     return jnp.minimum(r, -gmin)
             else:
                 def with_rest(r, _base=gmin_base, _runs=tuple(pos_runs)):
@@ -1000,6 +1161,14 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
 
             skip = jnp.all(lb >= running)
             running = jax.lax.cond(skip, lambda r: r, with_rest, running)
+        elif g.bvh is not None:
+            # wide-UNION chunk cull: gsign == +1 under a MIN root (the
+            # partition exists only then), so the group folds straight
+            # into the running scene min with per-chunk skips
+            running = _bvh_group_fold(
+                kp, g, tbl, px, py, pz, running,
+                lambda runs, r: _fold_runs(tbl, runs, px, py, pz, r),
+                lambda r: r)
         else:
             gmin = _fold_runs(tbl, g.runs, px, py, pz, inf)
             gval = float(g.gsign) * gmin
@@ -1091,10 +1260,18 @@ def _flag_row(kp) -> int:
 
 
 def _build_table(tables: SceneTables, kp=None) -> jnp.ndarray:
-    """[P+1, 8] SMEM-resident primitive table: centre xyz, aux xyz, padding;
-    one trailing FLAG row — column 0 carries the lattice-validity bit
-    (lattice_ok) so kernels can gate the collapsed Menger fold without any
-    extra operand plumbing."""
+    """[P+1(+B), 8] SMEM-resident primitive table: centre xyz, aux xyz,
+    padding; one trailing FLAG row — column 0 carries the lattice-validity
+    bit (lattice_ok) so kernels can gate the collapsed Menger fold without
+    any extra operand plumbing.
+
+    When the plan carries wide-UNION chunk culls (GroupPlan.bvh), one
+    bound row per chunk follows the flag row: [cx cy cz hx hy hz 0 0], the
+    tight LIVE axis-aligned bounding box of the chunk's primitives
+    (per-axis support: centre ± radius for spheres, ± half size for
+    boxes).  Computed from the CURRENT table values every dispatch, so a
+    fitted/perturbed scene keeps an exact bound; only the chunk partition
+    is static."""
     P = tables.prim_pos.shape[0]
     pad = jnp.zeros((P, 2), tables.prim_pos.dtype)
     body = jnp.concatenate(
@@ -1102,7 +1279,32 @@ def _build_table(tables: SceneTables, kp=None) -> jnp.ndarray:
         axis=1)
     flag = lattice_ok(kp, tables) if kp is not None else jnp.float32(0.0)
     flag_row = jnp.zeros((1, 8), body.dtype).at[0, 0].set(flag)
-    return jnp.concatenate([body, flag_row], axis=0)
+    parts = [body, flag_row]
+    chunks = iter_bvh_chunks(kp) if kp is not None else ()
+    if chunks:
+        pos = jnp.asarray(tables.prim_pos)
+        aux = jnp.asarray(tables.prim_aux)
+        z2 = jnp.zeros((2,), body.dtype)
+        rows = []
+        for (ptype, s, c) in chunks:
+            p = pos[s:s + c]
+            if ptype == int(PrimType.SPHERE):
+                e = jnp.broadcast_to(aux[s:s + c, 0:1], (c, 3))
+            else:
+                e = aux[s:s + c] * 0.5
+            lo = jnp.min(p - e, axis=0)
+            hi = jnp.max(p + e, axis=0)
+            rows.append(jnp.concatenate([(lo + hi) * 0.5, (hi - lo) * 0.5,
+                                         z2]))
+        parts.append(jnp.stack(rows))
+    if kp is not None and _needs_menger_offsets(kp):
+        # 20 static child-cell offset rows [ox oy oz 0...] for the
+        # recursive subtree cull's level-2 fori (_menger_subtree_fold)
+        from ..scene.generators import _MENGER_OFFSETS
+        offs = np.zeros((20, 8), np.float32)
+        offs[:, :3] = np.asarray(_MENGER_OFFSETS, np.float32)
+        parts.append(jnp.asarray(offs))
+    return jnp.concatenate(parts, axis=0)
 
 
 @functools.lru_cache(maxsize=64)
@@ -1197,6 +1399,9 @@ def _fold_runs_idx(tbl, runs, px, py, pz, carry):
                     jnp.where(better,
                               jnp.full(px.shape, 1, jnp.int32) * i,
                               aidx))
+        if not isinstance(start, (int, np.integer)):
+            carry = _fold_span_dynamic(step, start, count, carry)
+            continue
         if count <= _UNROLL:
             for i in range(start, start + count):
                 carry = step(i, carry)
@@ -1272,6 +1477,9 @@ def _fold_runs_grad(tbl, runs, px, py, pz, carry):
                     jnp.where(better, _scale * ggx, gx),
                     jnp.where(better, _scale * ggy, gy),
                     jnp.where(better, _scale * ggz, gz))
+        if not isinstance(start, (int, np.integer)):
+            carry = _fold_span_dynamic(step, start, count, carry)
+            continue
         if count <= _UNROLL:
             for i in range(start, start + count):
                 carry = step(i, carry)
@@ -1576,7 +1784,7 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
                 def with_group(s, _g=g, _neg=tuple(neg_runs)):
                     c = _fold_runs_grad(tbl, _neg, px, py, pz, init4)
                     c = _menger_subtree_fold(
-                        tbl, _g, px, py, pz, c,
+                        kp, tbl, _g, px, py, pz, c,
                         lambda runs, cc: _fold_runs_grad(tbl, runs, px,
                                                          py, pz, cc),
                         lambda cc: cc[0])
@@ -1590,6 +1798,13 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
 
             skip = jnp.all(lb >= state[0])
             state = jax.lax.cond(skip, lambda s: s, with_group, state)
+        elif g.bvh is not None:
+            # wide-UNION chunk cull (gsign +1, MIN root): direct fold into
+            # the root carry preserves the strict-< winner selections
+            state = _bvh_group_fold(
+                kp, g, tbl, px, py, pz, state,
+                lambda runs, s: _fold_runs_grad(tbl, runs, px, py, pz, s),
+                lambda s: s[0])
         else:
             gmin, ggx, ggy, ggz = _fold_runs_grad(
                 tbl, g.runs, px, py, pz, init4)
@@ -1618,6 +1833,9 @@ def _fold_runs_idx_grad(tbl, runs, px, py, pz, carry):
                     jnp.where(better, _scale * ggx, gx),
                     jnp.where(better, _scale * ggy, gy),
                     jnp.where(better, _scale * ggz, gz))
+        if not isinstance(start, (int, np.integer)):
+            carry = _fold_span_dynamic(step, start, count, carry)
+            continue
         if count <= _UNROLL:
             for i in range(start, start + count):
                 carry = step(i, carry)
@@ -1712,7 +1930,7 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
                     carry = _fold_runs_idx_grad(tbl, _neg, px, py, pz,
                                                 init)
                     carry = _menger_subtree_fold(
-                        tbl, _g, px, py, pz, carry,
+                        kp, tbl, _g, px, py, pz, carry,
                         lambda runs, c: _fold_runs_idx_grad(
                             tbl, runs, px, py, pz, c),
                         lambda c: c[0])
@@ -1749,6 +1967,14 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
 
             skip = jnp.all(lb >= state[0])
             state = jax.lax.cond(skip, lambda s: s, with_group, state)
+        elif g.bvh is not None:
+            # wide-UNION chunk cull (gsign +1, MIN root): direct fold into
+            # the root carry preserves the strict-< winner selections
+            state = _bvh_group_fold(
+                kp, g, tbl, px, py, pz, state,
+                lambda runs, s: _fold_runs_idx_grad(tbl, runs, px, py,
+                                                    pz, s),
+                lambda s: s[0])
         else:
             carry = _fold_runs_idx_grad(tbl, g.runs, px, py, pz, init)
             state = root_update(state, g.gsign, carry)
@@ -1807,7 +2033,7 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
                         tbl, _neg, px, py, pz,
                         (inf, jnp.full(px.shape, -1, jnp.int32)))
                     c = _menger_subtree_fold(
-                        tbl, _g, px, py, pz, c,
+                        kp, tbl, _g, px, py, pz, c,
                         lambda runs, cc: _fold_runs_idx(tbl, runs, px, py,
                                                         pz, cc),
                         lambda cc: cc[0])
@@ -1823,6 +2049,14 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
             skip = jnp.all(lb >= running)
             running, ridx = jax.lax.cond(skip, lambda c: c, with_group,
                                          (running, ridx))
+        elif g.bvh is not None:
+            # wide-UNION chunk cull: fold straight into the root carry —
+            # strict-< per prim keeps first-wins ties, and a skipped
+            # chunk provably cannot win (see _bvh_group_fold)
+            running, ridx = _bvh_group_fold(
+                kp, g, tbl, px, py, pz, (running, ridx),
+                lambda runs, c: _fold_runs_idx(tbl, runs, px, py, pz, c),
+                lambda c: c[0])
         else:
             gmin, gidx = _fold_runs_idx(
                 tbl, g.runs, px, py, pz,

@@ -136,6 +136,22 @@ class GroupPlan:
     runs: Tuple[Tuple[int, int, int, int], ...]  # (ptype, start, count, scale)
     fused: Optional[Tuple] = None
     lattice: Optional[Tuple[Tuple, ...]] = None
+    # Wide-UNION chunk cull (``((run_idx, ((start, count), ...)), ...)``):
+    # long bounded-primitive runs of a plain UNION group split into
+    # _BVH_CHUNK-leaf chunks, each with a LIVE axis-aligned bounding box
+    # (computed from the current table every dispatch and shipped as extra
+    # table rows — see ops.pallas_march._build_table), so the kernel can
+    # skip a whole chunk when its per-axis excess bound already exceeds
+    # the tile's running scene minimum on every lane.  Exact: the bound
+    # lower-bounds both the sphere SDF and the Chebyshev box/cross metric
+    # per axis (a Euclidean bounding SPHERE would NOT bound the box
+    # metric, which grows like ||p||_inf along diagonals).  This bounds
+    # the reference's O(N) UNION fold (body.cpp:66-111) the same way the
+    # per-tile base-bound cull bounds its DIFFERENCE lists.  Only the
+    # chunk PARTITION is static (leaf order, which is also why authored
+    # spatial coherence — e.g. Morton-ordered emission — matters for
+    # effectiveness); validity never depends on it.
+    bvh: Optional[Tuple[Tuple[int, Tuple[Tuple[int, int], ...]], ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -394,8 +410,118 @@ def _kernel_normal_form(lists: Sequence[ListPlan],
                                 scales=tuple(scales),
                                 runs=leaf_runs(start, scales),
                                 fused=fused, lattice=lattice))
+    if root.op == MIN:
+        groups = _merge_trivial_groups(groups)
+        groups = [dataclasses.replace(g, bvh=_bvh_partition(g))
+                  for g in groups]
     return KernelPlan(root_op=root.op, groups=tuple(groups),
                       proc=tuple(proc))
+
+
+def _merge_trivial_groups(groups: List[GroupPlan]) -> List[GroupPlan]:
+    """Coalesce maximal stretches of adjacent PLAIN groups (gsign +1, all
+    leaf scales +1, no generator fast path) under a MIN root into one
+    merged group.
+
+    The reference grammar puts every root-level object in its own body
+    (scene.cpp grammar: one list per object line), so a scattered scene of
+    1k spheres lowers to 1k single-leaf groups — each a separately traced
+    fold step.  Under a MIN root, plain-group boundaries are semantically
+    invisible: min is associative, and the strict-< winner selections keep
+    the earliest leaf whether ties resolve per group or per leaf (groups,
+    runs and leaves all fold in leaf order).  Merging turns the per-group
+    Python fold loop into long same-type runs, which (a) fold via blocked
+    ``lax.fori_loop`` instead of trace-time unrolling and (b) are what the
+    wide-UNION chunk cull (_bvh_partition) partitions."""
+    out: List[GroupPlan] = []
+    run: List[GroupPlan] = []
+
+    def plain(g: GroupPlan) -> bool:
+        return (g.gsign == 1 and g.fused is None and g.lattice is None
+                and all(s == 1 for s in g.scales))
+
+    def flush():
+        if not run:
+            return
+        if len(run) == 1:
+            out.append(run[0])
+            run.clear()
+            return
+        runs: List[Tuple[int, int, int, int]] = []
+        for g in run:
+            for r in g.runs:
+                if runs and runs[-1][0] == r[0] and runs[-1][3] == r[3] \
+                        and runs[-1][1] + runs[-1][2] == r[1]:
+                    ptype, rstart, rcount, rs = runs[-1]
+                    runs[-1] = (ptype, rstart, rcount + r[2], rs)
+                else:
+                    runs.append(r)
+        out.append(GroupPlan(
+            gsign=1, start=run[0].start,
+            count=sum(g.count for g in run),
+            scales=tuple(s for g in run for s in g.scales),
+            runs=tuple(runs)))
+        run.clear()
+
+    for g in groups:
+        if plain(g) and (not run
+                         or run[-1].start + run[-1].count == g.start):
+            run.append(g)
+        else:
+            flush()
+            if plain(g):
+                run.append(g)
+            else:
+                out.append(g)
+    flush()
+    return out
+
+
+# Wide-UNION chunk cull sizing (GroupPlan.bvh): runs at least _BVH_MIN_RUN
+# leaves long are split into _BVH_CHUNK-leaf chunks.  A chunk's skip check
+# costs ~a dozen vector ops + an all-lanes reduce + a cond; a 32-sphere
+# chunk fold is ~200 — so the check pays for itself whenever even a
+# quarter of chunks skip, and short runs aren't worth the bound plumbing.
+_BVH_MIN_RUN = 64
+_BVH_CHUNK = 32
+
+
+def _bvh_partition(g: GroupPlan):
+    """Chunk layout for the wide-UNION cull (see GroupPlan.bvh), or None.
+
+    Eligible: plain UNION groups (gsign +1, no generator fast path) under
+    a MIN root; within them, +1-scaled runs of BOUNDED primitive types
+    (sphere/box — a cross's arms are infinite, procedural DEs have no
+    per-axis support bound) of at least _BVH_MIN_RUN leaves."""
+    from .csg import PrimType
+    if g.gsign != 1 or g.fused is not None or g.lattice is not None:
+        return None
+    entries = []
+    for ri, (ptype, start, count, scale) in enumerate(g.runs):
+        if scale != 1 or isinstance(ptype, tuple):
+            continue
+        if ptype not in (int(PrimType.SPHERE), int(PrimType.BOX)):
+            continue
+        if count < _BVH_MIN_RUN:
+            continue
+        chunks = tuple((s, min(_BVH_CHUNK, start + count - s))
+                       for s in range(start, start + count, _BVH_CHUNK))
+        entries.append((ri, chunks))
+    return tuple(entries) or None
+
+
+def iter_bvh_chunks(kp) -> Tuple[Tuple[int, int, int], ...]:
+    """Flat (ptype, start, count) chunk list over a KernelPlan's groups,
+    in the one deterministic order shared by the table builder (which
+    appends one bound row per chunk after the flag row) and the kernels
+    (which read them back by the same ordinal)."""
+    out = []
+    for g in getattr(kp, "groups", ()):
+        for ri, chunks in (g.bvh or ()):
+            ptype = g.runs[ri][0]
+            for (s, c) in chunks:
+                out.append((ptype, s, c))
+    return tuple(out)
 
 
 def _prim_arrays(prims: Sequence[Primitive]):

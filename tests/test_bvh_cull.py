@@ -1,0 +1,180 @@
+"""Wide-UNION chunk cull (GroupPlan.bvh): partition rules and bit-exact
+skip proofs across every scene fold.
+
+The cull bounds the reference's O(N) UNION fold (body.cpp:66-111): long
+bounded-primitive runs are split into chunks, each with a LIVE per-axis
+bounding box shipped as extra table rows (ops.pallas_march._build_table);
+a chunk whose per-axis excess lower bound already exceeds the tile's
+running scene minimum on every lane is provably unable to win any
+strict-< selection downstream, so skipping it changes neither value nor
+winner index/gradient.  Like every default-path optimization here it must
+be EXACT — these tests compare each fold against the same kernel with the
+partition stripped, bit for bit.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarching_tpu import RenderConfig
+from raymarching_tpu.api import render_tables
+from raymarching_tpu.ops.pallas_march import (kernel_key, pallas_march,
+                                              pallas_surface_eval)
+from raymarching_tpu.scene.compile import (_BVH_CHUNK, _BVH_MIN_RUN,
+                                           compile_tree, iter_bvh_chunks)
+from raymarching_tpu.scene.csg import (Box, Cross, ListNode, Mode, Sphere,
+                                       bounds)
+from raymarching_tpu.scene.objects import Camera, Light
+
+TILE = 8
+
+
+def _scatter_world(n_spheres=80, n_boxes=70, seed=0):
+    rng = np.random.RandomState(seed)
+    prims = [bounds(80.0)]
+    for _ in range(n_spheres):
+        p = rng.uniform(-8, 8, 3)
+        p[2] -= 14.0
+        prims.append(Sphere(tuple(p), float(rng.uniform(0.3, 0.7)),
+                            color=tuple(rng.uniform(0.2, 1.0, 3))))
+    for _ in range(n_boxes):
+        p = rng.uniform(-8, 8, 3)
+        p[2] -= 14.0
+        prims.append(Box(tuple(p), tuple(rng.uniform(0.4, 1.2, 3)),
+                         color=tuple(rng.uniform(0.2, 1.0, 3))))
+    tree = ListNode(Mode.UNION, prims)
+    return compile_tree(tree, [Light((6.0, 8.0, 4.0))],
+                        Camera(position=(0.0, 0.0, 6.0), fov=55.0))
+
+
+def _strip_bvh(kp):
+    return dataclasses.replace(
+        kp, groups=tuple(dataclasses.replace(g, bvh=None)
+                         for g in kp.groups))
+
+
+def _points(n=256, seed=1):
+    rng = np.random.RandomState(seed)
+    # straddle the cull regimes: far outside every chunk, inside the
+    # cloud, and exactly near surfaces (march-converged-like points)
+    p = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    p[:, 2] -= 10.0
+    p[: n // 4] *= 4.0
+    return jnp.asarray(p)
+
+
+def test_partition_shape():
+    plan, _tables = _scatter_world()
+    kp = kernel_key(plan)
+    chunks = iter_bvh_chunks(kp)
+    # one 80-sphere run and one 70-box run, chunked at _BVH_CHUNK
+    sizes = [c for (_t, _s, c) in chunks]
+    assert sum(sizes) == 150
+    assert all(c <= _BVH_CHUNK for c in sizes)
+    assert sum(1 for c in sizes if c == _BVH_CHUNK) >= 4
+    # chunk spans partition each run contiguously
+    spans = sorted((s, s + c) for (_t, s, c) in chunks)
+    for (a, b), (c2, _d) in zip(spans, spans[1:]):
+        assert b == c2 or c2 > b
+
+
+def test_partition_skips_short_runs_and_crosses():
+    rng = np.random.RandomState(3)
+    prims = [bounds(40.0)]
+    for _ in range(_BVH_MIN_RUN - 1):          # below the min-run bar
+        prims.append(Sphere(tuple(rng.uniform(-4, 4, 3)), 0.5))
+    for _ in range(_BVH_MIN_RUN + 8):          # crosses: unbounded arms
+        prims.append(Cross(tuple(rng.uniform(-4, 4, 3)), (0.2, 0.2, 0.2)))
+    plan, _t = compile_tree(ListNode(Mode.UNION, prims),
+                            [Light((1.0, 5.0, 1.0))], Camera())
+    assert iter_bvh_chunks(kernel_key(plan)) == ()
+
+
+def test_difference_groups_not_partitioned():
+    rng = np.random.RandomState(4)
+    carve = [Sphere(tuple(rng.uniform(-2, 2, 3)), 0.3)
+             for _ in range(_BVH_MIN_RUN + 10)]
+    tree = ListNode(Mode.UNION, [
+        bounds(40.0),
+        ListNode(Mode.DIFFERENCE, [Box((0, 0, -6), (6, 6, 6))] + carve),
+    ])
+    plan, _t = compile_tree(tree, [Light((1.0, 5.0, 1.0))], Camera())
+    assert iter_bvh_chunks(kernel_key(plan)) == ()
+
+
+def test_table_rows_bound_their_chunks():
+    plan, tables = _scatter_world()
+    kp = kernel_key(plan)
+    from raymarching_tpu.ops.pallas_march import _build_table, _bvh_row_base
+    tbl = np.asarray(_build_table(tables, kp))
+    pos = np.asarray(tables.prim_pos)
+    aux = np.asarray(tables.prim_aux)
+    row = _bvh_row_base(kp)
+    from raymarching_tpu.scene.csg import PrimType
+    for (ptype, s, c) in iter_bvh_chunks(kp):
+        e = (np.broadcast_to(aux[s:s + c, :1], (c, 3))
+             if ptype == int(PrimType.SPHERE) else aux[s:s + c] * 0.5)
+        lo, hi = (pos[s:s + c] - e).min(0), (pos[s:s + c] + e).max(0)
+        np.testing.assert_allclose(tbl[row, :3], (lo + hi) / 2, atol=1e-6)
+        np.testing.assert_allclose(tbl[row, 3:6], (hi - lo) / 2, atol=1e-6)
+        row += 1
+
+
+@pytest.mark.parametrize("with_color,with_normal,analytic", [
+    (True, False, False),    # _scene_sd_idx_tile
+    (False, True, True),     # _scene_sd_grad_tile
+    (True, True, True),      # _scene_sd_idx_grad_tile
+    (False, True, False),    # FD stencil over _scene_sd_tile
+])
+def test_folds_bit_exact_vs_stripped(with_color, with_normal, analytic):
+    plan, tables = _scatter_world()
+    kp = kernel_key(plan)
+    assert iter_bvh_chunks(kp)
+    p = _points()
+    outs = {}
+    for key, k in (("bvh", kp), ("plain", _strip_bvh(kp))):
+        sd, cidx, grad = pallas_surface_eval(
+            k, 1e-3, TILE, p, tables, with_color=with_color,
+            with_normal=with_normal, analytic=analytic, interpret=True)
+        outs[key] = (np.asarray(sd),
+                     None if cidx is None else np.asarray(cidx),
+                     None if grad is None else np.asarray(grad))
+    for a, b in zip(outs["bvh"], outs["plain"]):
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a, b)
+
+
+def test_march_bit_exact_vs_stripped():
+    plan, tables = _scatter_world()
+    kp = kernel_key(plan)
+    n = 128
+    rng = np.random.RandomState(7)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 6.0
+    d = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    d[:, 2] = -1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    res_a = pallas_march(kp, 200, 1e-3, TILE, jnp.asarray(o),
+                         jnp.asarray(d), tables, interpret=True)
+    res_b = pallas_march(_strip_bvh(kp), 200, 1e-3, TILE, jnp.asarray(o),
+                         jnp.asarray(d), tables, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res_a.position),
+                                  np.asarray(res_b.position))
+    np.testing.assert_array_equal(np.asarray(res_a.sd),
+                                  np.asarray(res_b.sd))
+    np.testing.assert_array_equal(np.asarray(res_a.converged),
+                                  np.asarray(res_b.converged))
+
+
+@pytest.mark.slow
+def test_render_matches_jnp_oracle():
+    plan, tables = _scatter_world(n_spheres=70, n_boxes=10)
+    cfg = RenderConfig(width=16, height=16, ssaa=1, iterations=80,
+                       shadows=True)
+    img = np.asarray(render_tables(plan, tables, cfg, backend="mega",
+                                   interpret=True))
+    ref = np.asarray(render_tables(plan, tables, cfg, backend="jnp"))
+    np.testing.assert_allclose(img, ref, atol=2e-5)

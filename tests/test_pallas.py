@@ -218,7 +218,8 @@ class TestMengerLattice:
                           px, py, pz, inf)
         pos_runs = tuple(r for r in g.runs if r[3] == 1)
         full = _fold_runs(tbl, pos_runs, px, py, pz, base)
-        fast = _menger_carve_subtree_culled(tbl, g, px, py, pz, base)
+        fast = _menger_carve_subtree_culled(plan.kernel, tbl, g, px, py,
+                                            pz, base)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(fast))
 
         # the idx / grad fold variants must be bitwise too (they back the
