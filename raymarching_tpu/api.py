@@ -22,6 +22,8 @@ Backends (RenderConfig.backend or the ``backend=`` argument):
 from __future__ import annotations
 
 from functools import partial
+
+import math
 from typing import Optional
 
 import jax
@@ -189,6 +191,27 @@ def make_render_hooks(plan: ScenePlan, tables: SceneTables,
             "surface_fn": surface_fn, "normal_fn": normal_fn}
 
 
+# XLA compile time falls off a cliff as the lax.map chunk count grows:
+# the demo at 1024^2 SSAA3 with ray_chunk=65536 (144 chunks) cold-compiled
+# in 82-89 s on the real chip, while the SAME render at <=72 chunks
+# compiles in 4-6 s AND runs ~2% faster (r4 chunk sweep; the r3 ladder
+# carried the 86.6 s as a scene-complexity cost — it never was).  Chunking
+# exists to bound the backward's per-chunk working set, so the caller's
+# ray_chunk is treated as a MINIMUM granule and coarsened until the map
+# length fits; alignment to the kernel tile keeps chunks tile-exact.
+_MAX_CHUNKS = 64
+
+
+def _effective_chunk(cfg: RenderConfig, R: int) -> int:
+    chunk = cfg.ray_chunk
+    if not chunk or R <= chunk:
+        return chunk
+    if math.ceil(R / chunk) <= _MAX_CHUNKS:
+        return chunk
+    align = cfg.tile_sublanes * 128
+    return math.ceil(math.ceil(R / _MAX_CHUNKS) / align) * align
+
+
 def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                  interpret: bool, ray_perm=None) -> jnp.ndarray:
     """Single-kernel render: the whole per-ray pipeline in one pallas_call
@@ -231,7 +254,7 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         apply_perm, invert_perm = row_permuters(ray_perm)
         flat = apply_perm(flat)
 
-    chunk = cfg.ray_chunk
+    chunk = _effective_chunk(cfg, R)
     if chunk and R > chunk:
         pad = (-R) % chunk
         padded = jnp.concatenate(
@@ -425,7 +448,7 @@ def _render_dof(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
             return _shade_rays(plan, tables, cfg, oo, dd,
                                differentiable=diff, **hooks)
 
-        chunk = cfg.ray_chunk
+        chunk = _effective_chunk(cfg, R)
         if chunk and R > chunk:
             pad = (-R) % chunk
 
@@ -589,7 +612,7 @@ def render_rays(plan: ScenePlan, tables: SceneTables,
     dirs = jnp.asarray(dirs, jnp.float32)
     origins = jnp.asarray(origins, jnp.float32)
     R = dirs.shape[0]
-    chunk = cfg.ray_chunk
+    chunk = _effective_chunk(cfg, R)
     if not (chunk and R > chunk):
         return fused_render_op(plan, cfg, interpret, tables, origins, dirs)
     per_ray = origins.ndim == 2
