@@ -310,3 +310,24 @@ def test_winner_residuals_bitwise_and_zero_launch_backward():
     for a, b in zip(jax.tree_util.tree_leaves(saved),
                     jax.tree_util.tree_leaves(relaunch)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_effective_chunk_caps_map_length():
+    """XLA compile time cliffs past ~72 lax.map steps (measured r4: the
+    demo at 1024^2 SSAA3 with 144 chunks cold-compiled in 82-89 s, the
+    same render at <=72 chunks in 4-6 s) — ray_chunk is a MINIMUM
+    granule, coarsened tile-aligned until the map length fits."""
+    from raymarching_tpu import RenderConfig
+    from raymarching_tpu.api import _MAX_CHUNKS, _effective_chunk
+
+    cfg = RenderConfig(ray_chunk=65536, tile_sublanes=32)
+    # config5's shape: 9.4M rays / 65536 = 144 chunks -> coarsened
+    R = 1024 * 1024 * 9
+    chunk = _effective_chunk(cfg, R)
+    assert chunk >= 65536
+    assert -(-R // chunk) <= _MAX_CHUNKS
+    assert chunk % (cfg.tile_sublanes * 128) == 0
+    # small renders keep the caller's granule exactly
+    assert _effective_chunk(cfg, 8 * 65536) == 65536
+    # unchunked passes through
+    assert _effective_chunk(RenderConfig(ray_chunk=0), R) == 0
