@@ -11,14 +11,15 @@ The fwd+bwd regimes measured and reported every run:
   * ``exact_mrays``  — exact reference-table semantics (the apples-to-apples
     number against the reference's own math);
   * ``exact_analytic_mrays`` — exact tables + analytic winner-gradient
-    normals (same field, a.e.-equal estimator; 1.18x faster than FD via
-    the single-launch winner-Hessian backward, ab_analytic_r3.json) —
+    normals (same field, a.e.-equal estimator; ~1.3x faster than FD via
+    the single-launch winner-Hessian backward, ab_analytic_r3.json +
+    the r4 gather sweep) —
     the exact headline stays FD because its claim is bit-parity with the
     reference's own estimator (scene.cpp:70-89);
   * ``fused_mrays``  — the opt-in space-folded Menger mode (same zero set,
-    conservative distances) with in-kernel analytic normals (2.2x faster
+    conservative distances) with in-kernel analytic normals (faster
     than FD on the folded field via the single-launch winner-Hessian
-    backward; ab_analytic_r3.json); enabled for the headline only if its
+    backward; ab_analytic_r3.json + r4 gather sweep); enabled for the headline only if its
     image passes an on-hardware allclose gate against the exact path AT
     THE HEADLINE FOOTPRINT (512² SSAA2 — gate stats ride in the JSON).
 
@@ -265,7 +266,7 @@ def main():
     exact = _measure(plan, tables, cfg, backend)
 
     # Informational third regime: exact tables + analytic winner-gradient
-    # normals (1.18x faster than FD, see module docstring).
+    # normals (~1.3x faster than FD, see module docstring).
     exact_analytic = _measure(plan, tables,
                               cfg.replace(normal_mode="analytic"), backend)
 

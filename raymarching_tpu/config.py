@@ -45,9 +45,9 @@ class RenderConfig:
     # the reference bit-for-bit (scene.cpp:70-89); "analytic" = one
     # in-kernel winner-gradient evaluation.  Measured (ab_analytic_r3.json,
     # fwd+bwd, exact gradients, pipelined): analytic is FASTER in both
-    # regimes since the single-launch winner-Hessian backwards — 2.2x with
-    # fused_generators (45.0 vs 20.8 Mrays/s) and 1.18x on exact tables
-    # (32.7 vs 28.0).  The default stays "fd" only for bit-parity with the
+    # regimes since the single-launch winner-Hessian backwards (r4 bench:
+    # exact_analytic 42.9 vs exact_fd 33.5 Mrays/s — 1.28x; fused pairs
+    # with analytic for the 90.2 headline).  The default stays "fd" only for bit-parity with the
     # reference's own estimator (scene.cpp:70-89); bench.py reports the
     # exact_analytic regime alongside.
     normal_mode: str = "fd"
