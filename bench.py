@@ -199,6 +199,31 @@ def _fused_gate(plan, tables, cfg, backend):
     return frac > 0.995, stats
 
 
+def _serve_gate(plan, tables, cfg, backend):
+    """Allclose gate for the in-kernel raygen serving path
+    (RenderConfig.serve_raygen) at the headline footprint: the kernel's
+    own direction math vs the standard jnp raygen differ only by ulps
+    (same formulas, different fusion), so the images must agree
+    essentially everywhere.  Returns (ok, stats)."""
+    from raymarching_tpu.api import render_tables
+
+    if backend not in ("pallas", "mega"):
+        return False, {}
+    std = jax.jit(lambda t: render_tables(plan, t, cfg, backend=backend))
+    scfg = cfg.replace(serve_raygen=True)
+    srv = jax.jit(lambda t: render_tables(plan, t, scfg, backend=backend))
+    a = np.asarray(std(tables))
+    b = np.asarray(srv(tables))
+    diff = np.abs(a - b).max(axis=-1)
+    thresh = 5e-3
+    frac = float((diff < thresh).mean())
+    stats = {
+        "serve_gate_frac_within": round(frac, 6),
+        "serve_gate_max_diff": round(float(diff.max()), 6),
+    }
+    return frac > 0.995, stats
+
+
 def _device_watchdog(timeout_s: float = 240.0) -> str:
     """Probe backend init in a SUBPROCESS with a hard timeout.
 
@@ -254,13 +279,18 @@ def main():
     # Forward-only serving regimes (the reference's own protocol): exact
     # semantics, and the gated fused fast path.  The black-lane shadow
     # skip stays engaged here — it is forward-only by design (the
-    # custom-vjp fwd rule disables it whenever a gradient is traced).
-    fwd_exact = _measure(plan, tables, cfg, backend, forward_only=True)
+    # custom-vjp fwd rule disables it whenever a gradient is traced) —
+    # and so is the in-kernel raygen (RenderConfig.serve_raygen: the
+    # kernel generates its own directions, gated below against the
+    # standard path the fwd+bwd regimes use).
+    serve_ok, serve_stats = _serve_gate(plan, tables, cfg, backend)
+    scfg = cfg.replace(serve_raygen=serve_ok)
+    fwd_exact = _measure(plan, tables, scfg, backend, forward_only=True)
     fwd_fused = None
     if has_fused:
         fwd_fused = _measure(
             plan, tables,
-            cfg.replace(fused_generators=True, normal_mode="analytic"),
+            scfg.replace(fused_generators=True, normal_mode="analytic"),
             backend, forward_only=True)
 
     exact = _measure(plan, tables, cfg, backend)
@@ -318,7 +348,9 @@ def main():
         "forward_stats": rounded(fwd_serving),
         "forward_exact_mrays": round(fwd_exact["median"], 4),
         "forward_exact_stats": rounded(fwd_exact),
+        "serve_raygen": serve_ok,
     }
+    record.update(serve_stats)
     if fused is not None:
         record["fused_mrays"] = round(fused["median"], 4)
         record["fused_gate_ok"] = fused_ok

@@ -226,9 +226,14 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                              to_blocked)
     from .ops.pallas_render import fused_render_op
 
-    origin, dirs = cam.generate_rays(tables, cfg)
     S = cfg.samples_per_pixel
     R = cfg.height * cfg.width * S
+    if (cfg.serve_raygen and ray_perm is None and R < 2 ** 24):
+        # Serving fast path: directions generated IN the kernel
+        # (ops.pallas_render._raygen_dirs; RenderConfig.serve_raygen).
+        # Primal-only — differentiating through it fails loudly (no VJP).
+        return _render_mega_serve(plan, tables, cfg, interpret, R, S)
+    origin, dirs = cam.generate_rays(tables, cfg)
     flat = dirs.reshape(R, 3)
 
     # Block ray order (bit-exact, see core.order): tiles cover compact
@@ -268,6 +273,39 @@ def _render_mega(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
         colors = fused_render_op(plan, cfg, interpret, tables, origin, flat)
     if invert_perm is not None:
         colors = invert_perm(colors)
+    if bdims is not None:
+        colors = from_blocked(colors, cfg.height, cfg.width, S, *bdims)
+    return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)
+
+
+def _render_mega_serve(plan: ScenePlan, tables: SceneTables,
+                       cfg: RenderConfig, interpret: bool,
+                       R: int, S: int) -> jnp.ndarray:
+    """Serving fast path (RenderConfig.serve_raygen): the mega kernel
+    generates its own ray directions from the ray index, so the frame
+    skips the jnp raygen pass, the to_blocked reorder, and the [R, 3]
+    HBM dirs stream entirely — each chunk is just a kernel launch keyed
+    by its base ray index.  Output rays come back in the kernel's own
+    (block-major) layout and are un-blocked here; images match the
+    standard path to raygen ulps (bench.py gates them)."""
+    from .core.order import block_dims, from_blocked, resolve_ray_order
+    from .ops.pallas_render import serve_render_chunk
+
+    bdims = (block_dims(cfg.height, cfg.width, S, cfg.tile_sublanes * 128)
+             if resolve_ray_order(cfg, "mega") else None)
+    bh, bw = bdims if bdims is not None else (0, 0)
+    raygen = (cfg.width, cfg.height, cfg.ssaa, bh, bw)
+    chunk = _effective_chunk(cfg, R)
+    if chunk and R > chunk:
+        pad = (-R) % chunk
+        bases = jnp.arange((R + pad) // chunk, dtype=jnp.int32) * chunk
+        colors = jax.lax.map(
+            lambda b: serve_render_chunk(plan, cfg, tables, raygen, b,
+                                         chunk, interpret), bases)
+        colors = colors.reshape(-1, 3)[:R]
+    else:
+        colors = serve_render_chunk(plan, cfg, tables, raygen,
+                                    jnp.int32(0), R, interpret)
     if bdims is not None:
         colors = from_blocked(colors, cfg.height, cfg.width, S, *bdims)
     return jnp.mean(colors.reshape(cfg.height, cfg.width, S, 3), axis=2)

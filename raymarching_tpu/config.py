@@ -86,6 +86,20 @@ class RenderConfig:
     # the [rays, primitives] working set in HBM on the jnp path.
     ray_chunk: int = 0
 
+    # Serving fast path (mega backend, FORWARD-ONLY): generate primary-ray
+    # directions INSIDE the kernel from the ray index (the same
+    # corner-biased camera math as core.camera.generate_rays), skipping
+    # the jnp raygen pass, the to_blocked reorder, and the [R, 3] HBM
+    # dirs stream (~20% of a serving frame).  Primal only by design:
+    # differentiating through it raises (no custom VJP) — training keeps
+    # standard raygen because the backward would have to replay it anyway
+    # (r3 analysis: fwd+bwd nets ~zero).  Pinhole cameras only
+    # (aperture == 0), frames under 2^24 rays (ray indices ride f32
+    # SMEM); render_tables falls back to the standard path outside that
+    # envelope.  Off by default; bench.py's forward regimes engage it and
+    # gate the image against the standard path.
+    serve_raygen: bool = False
+
     # Two-phase march (mega backend): march every ray K1 steps, then
     # compact the unconverged tail (typically ~1% of rays: demo-scene
     # profile mean 14.8 / p99 39 / max 234 steps) into dense tiles and

@@ -77,10 +77,19 @@ def generate_rays(tables: SceneTables, cfg: RenderConfig,
     y = jnp.broadcast_to(h * (0.5 - v), shape)
     z = jnp.full(shape, -1.0, dtype=x.dtype)
 
-    d = jnp.stack([x, y, z], axis=-1)                   # [rows, W, k, k, 3]
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    n = jnp.sqrt(x * x + y * y + 1.0)   # z = -1, so z^2 is exactly 1
+    xc, yc, zc = x / n, y / n, -1.0 / n
     R = camera_rotation(tables.cam_direction, tables.cam_up)
-    d = d @ R.T                                         # rotate into world
+    # Rotate into world with ELEMENTWISE mul-adds, not `d @ R.T`: XLA
+    # lowers a [*, 3] @ [3, 3] matmul onto the MXU at default precision,
+    # which is bf16-class on TPU — measured ~1e-3 direction error, i.e.
+    # a half-pixel warp (found when the in-kernel serving raygen, which
+    # does full-f32 mul-adds, disagreed with this path by 4e-3).  The
+    # elementwise form is exact f32 and matches the kernel's formula op
+    # for op (ops.pallas_render._raygen_dirs).
+    d = jnp.stack([xc * R[0, 0] + yc * R[0, 1] + zc * R[0, 2],
+                   xc * R[1, 0] + yc * R[1, 1] + zc * R[1, 2],
+                   xc * R[2, 0] + yc * R[2, 1] + zc * R[2, 2]], axis=-1)
     d = d.reshape(rows, cfg.width, k * k, 3)
     return tables.cam_position, d
 

@@ -474,7 +474,11 @@ _UNROLL = 4
 # vector->scalar reduction that serializes against the VPU pipeline, so it
 # runs every K steps instead of every step.  Converged lanes are frozen by
 # the mask either way, so up to K-1 extra masked iterations change nothing.
-_EXIT_CHECK_EVERY = 4
+# r3 measured K=8 neutral vs 4; after the r4 gather sweep the cheaper
+# frame tipped it: K=8 is +1.3% on the fused headline (one-process sweep,
+# 91.6 vs 90.4 Mrays/s; K=16 regresses to 82 — the extra masked steps
+# overtake the saved reduces).
+_EXIT_CHECK_EVERY = 8
 
 
 def _fold_span_dynamic(step, start, count, carry):

@@ -148,18 +148,72 @@ def _num_shade_refs(num_lights: int, colored: bool, soft: bool,
             + (1 if ao else 0) + (5 if winner else 0))
 
 
+def _raygen_dirs(raygen, cam_ref, tile_sublanes, dtype):
+    """In-kernel primary-ray directions for the serving fast path
+    (RenderConfig.serve_raygen): invert the block-major ray layout from
+    the tile's absolute ray index to (pixel, SSAA sample) indices and
+    evaluate the camera model right in VMEM — the same math as
+    core.camera.generate_rays (corner-biased (i+1, j+1)/k sample offsets
+    render.cpp:104-105, screen-rect lerp, normalize, rotate; z = -1 so
+    the norm's z^2 term is exactly 1).  Kills the jnp raygen pass, the
+    to_blocked reorder, and the [R, 3] HBM dirs stream from serving
+    frames (~1.4 ms of a 6.9 ms forward frame).  ``cam_ref`` rows come
+    from _serve_cam_rows; ray indices ride f32 SMEM and are exact below
+    2^24 — api gates on that."""
+    W, H, k, bh, bw = raygen
+    S = k * k
+    shape = (tile_sublanes, LANES)
+    base = cam_ref[0, 5].astype(jnp.int32)
+    ri = (base + pl.program_id(0) * (tile_sublanes * LANES)
+          + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+          + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    s = ri % S
+    t1 = ri // S
+    if bh:
+        GW = W // bw
+        ix = t1 % bw
+        t2 = t1 // bw
+        iy = t2 % bh
+        t3 = t2 // bh
+        pxi = (t3 % GW) * bw + ix
+        pyi = (t3 // GW) * bh + iy
+    else:
+        pxi = t1 % W
+        pyi = t1 // W
+    i = (s // k).astype(dtype)
+    j = (s % k).astype(dtype)
+    w = cam_ref[0, 3]
+    h = cam_ref[0, 4]
+    u = (pxi.astype(dtype) + (i + 1.0) * (1.0 / k)) * (1.0 / W)
+    v = (pyi.astype(dtype) + (j + 1.0) * (1.0 / k)) * (1.0 / H)
+    x = w * (u - 0.5)
+    y = h * (0.5 - v)
+    n = jnp.sqrt(x * x + y * y + 1.0)
+    xc, yc, zc = x / n, y / n, -1.0 / n
+    # world = cam @ R.T: out_a = sum_b d_b * R[a, b]
+    dx = xc * cam_ref[1, 0] + yc * cam_ref[1, 1] + zc * cam_ref[1, 2]
+    dy = xc * cam_ref[1, 3] + yc * cam_ref[1, 4] + zc * cam_ref[1, 5]
+    dz = xc * cam_ref[1, 6] + yc * cam_ref[1, 7] + zc * cam_ref[2, 0]
+    return dx, dy, dz
+
+
 def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    offset_eps: float, saturation: float, fd_h: float,
                    num_lights: int, shadows: bool, fused: bool,
                    analytic: bool, colored: bool, soft_k: float,
                    ao_strength: float, ao_samples: int, ao_delta: float,
                    bounces: int, per_ray_org: bool, black_ids,
-                   save_winner: bool,
+                   save_winner: bool, raygen,
                    tbl_ref, lights_ref, *in_refs):
     gate_ref = None
     if black_ids:
         gate_ref, in_refs = in_refs[0], in_refs[1:]
-    if per_ray_org:
+    if raygen is not None:
+        assert not per_ray_org, "serve raygen is pinhole-only"
+        org_ref, cam_ref = in_refs[:2]
+        dx_ref = dy_ref = dz_ref = None
+        out_refs = in_refs[2:]
+    elif per_ray_org:
         # arbitrary ray bundles (api.render_rays / batched animation
         # frames): each lane carries its own origin in VMEM
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = in_refs[:6]
@@ -188,10 +242,14 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
         bgeom_sets.append(tuple(rest[:5]))
         rest = rest[5:]
     assert not rest
-    dtype = dx_ref.dtype
+    dtype = jnp.float32 if raygen is not None else dx_ref.dtype
     # hoist loop-invariant scalar loads out of every march/eval below
     tbl_ref = preload_table(kp, tbl_ref, fused)
-    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    if raygen is not None:
+        ts = out_refs[0].shape[0]
+        dx, dy, dz = _raygen_dirs(raygen, cam_ref, ts, dtype)
+    else:
+        dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     if per_ray_org:
         ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     else:
@@ -523,7 +581,8 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           ao_delta: float, bounces: int,
                           per_ray_org: bool, black_ids, save_winner: bool,
                           tile_sublanes: int,
-                          num_tiles: int, num_prims: int, interpret: bool):
+                          num_tiles: int, num_prims: int, interpret: bool,
+                          raygen=None):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
     ray_spec = pl.BlockSpec(block, lambda i: (i, 0),
@@ -535,18 +594,19 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
                                ao_strength, ao_samples, ao_delta, bounces,
-                               per_ray_org, black_ids, save_winner)
+                               per_ray_org, black_ids, save_winner, raygen)
     out_shape = (f32, f32, f32, f32, f32) + (1 + bounces) * _shade_out_shapes(
         f32, i32, num_lights, colored, shadows and soft_k > 0.0,
         ao_strength > 0.0, save_winner) + bounces * (f32, f32, f32, f32, f32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     gate_specs = [smem] if black_ids else []
     org_specs = [ray_spec] * 3 if per_ray_org else [smem]
+    dir_specs = [smem] if raygen is not None else [ray_spec] * 3
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=([_tbl_spec(num_prims), smem] + gate_specs + org_specs
-                  + [ray_spec] * 3),
+                  + dir_specs),
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,
@@ -591,10 +651,48 @@ def black_skip_ids(plan: ScenePlan, cfg: RenderConfig):
     return ()
 
 
+def _serve_cam_rows(tables: SceneTables, cfg: RenderConfig,
+                    ray_base) -> jnp.ndarray:
+    """[3, 8] SMEM camera rows for the in-kernel raygen (_raygen_dirs):
+    row 0 = [pos xyz, focal w, focal h, chunk ray base, 0, 0];
+    rows 1-2 = the camera rotation, row-major (R22 wraps to row 2)."""
+    from ..core import camera as cam
+
+    w = cam.camera_focal(jnp.asarray(tables.cam_fov, jnp.float32))
+    h = w / cfg.aspect_ratio
+    Rm = cam.camera_rotation(jnp.asarray(tables.cam_direction),
+                             jnp.asarray(tables.cam_up)).reshape(9)
+    base = jnp.asarray(ray_base, jnp.float32).reshape(())
+    row0 = jnp.concatenate([
+        jnp.asarray(tables.cam_position, jnp.float32).reshape(3),
+        jnp.stack([w, h, base]), jnp.zeros((2,), jnp.float32)])
+    row12 = jnp.concatenate([Rm, jnp.zeros((7,), jnp.float32)])
+    return jnp.concatenate([row0, row12]).reshape(3, 8)
+
+
+def serve_render_chunk(plan: ScenePlan, cfg: RenderConfig, tables,
+                       raygen, ray_base, n_rays: int,
+                       interpret: bool) -> jnp.ndarray:
+    """Forward-only serving render of ``n_rays`` consecutive rays in the
+    kernel's own layout, directions generated IN-kernel
+    (RenderConfig.serve_raygen): colors [n_rays, 3].  PRIMAL ONLY — no
+    custom VJP; training paths keep the standard raygen so camera
+    cotangents flow through saved activations (the r3 analysis: in-kernel
+    raygen nets ~zero fwd+bwd because the backward must replay it)."""
+    outs = pallas_render_rays(plan, cfg, tables.cam_position, None,
+                              tables, interpret=interpret,
+                              raygen=raygen, ray_base=ray_base,
+                              n_rays=n_rays)
+    cidx, light = outs[3], outs[4]
+    return _blend_bounces(plan, cfg, tables, cidx, light,
+                          outs[8] if len(outs) > 8 else ())
+
+
 def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
                        origin: jnp.ndarray, dirs: jnp.ndarray,
                        tables: SceneTables, *, interpret: bool = False,
-                       save_winner: bool = False):
+                       save_winner: bool = False,
+                       raygen=None, ray_base=None, n_rays=None):
     """Fully fused forward: dirs [R, 3], origin [3] or [R, 3] ->
     (p_hit [R,3], sd [R], converged [R], cidx [R], light [R], smask [R],
     sfac [R, L] | None, aofac [R] | None).  A [R, 3] origin makes every
@@ -627,9 +725,19 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
     assert not save_winner or cfg.normal_mode == "analytic", \
         "winner residuals ride the analytic normal fold"
     L = int(plan.num_lights)
-    R = dirs.shape[0]
-    num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
-    comps = [prep(dirs[:, a]) for a in range(3)]
+    if raygen is not None:
+        # serve fast path (RenderConfig.serve_raygen): directions are
+        # computed IN the kernel from the ray index (_raygen_dirs); the
+        # cam operand replaces the three VMEM dirs streams.
+        assert dirs is None and n_rays is not None
+        assert jnp.ndim(origin) == 1, "serve raygen is pinhole-only"
+        R = int(n_rays)
+        num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
+        comps = [_serve_cam_rows(tables, cfg, ray_base)]
+    else:
+        R = dirs.shape[0]
+        num_tiles, prep, unprep = _tiling(R, cfg.tile_sublanes)
+        comps = [prep(dirs[:, a]) for a in range(3)]
     tbl = _build_table(tables, kp)
     # [L, 8] SMEM rows: position xyz, pad, color rgb, pad.
     nL = tables.light_pos.shape[0]
@@ -655,7 +763,8 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         gate_args = [jnp.where(jnp.all(rows == 0.0), 1.0, 0.0)
                      .astype(jnp.float32).reshape(1)]
 
-    if 0 < cfg.two_phase_k1 < cfg.iterations and bounces == 0:
+    if 0 < cfg.two_phase_k1 < cfg.iterations and bounces == 0 \
+            and raygen is None:
         p, sd, conv = _two_phase_march(plan, cfg,
                                        jnp.asarray(origin, jnp.float32),
                                        dirs, tables, interpret)
@@ -681,7 +790,7 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         cfg.fused_generators, cfg.normal_mode == "analytic", colored,
         cfg.soft_shadow_k, cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
         bounces, per_ray_org, black_ids, save_winner, cfg.tile_sublanes,
-        num_tiles, int(tables.prim_pos.shape[0]), interpret)
+        num_tiles, int(tables.prim_pos.shape[0]), interpret, raygen)
     outs = call(tbl, lights, *gate_args, *org_args, *comps)
     px, py, pz, sd, done = outs[:5]
     n_per = _num_shade_refs(L, colored, soft, ao, save_winner)
