@@ -131,7 +131,10 @@ def generate_rays_dof(tables: SceneTables, cfg: RenderConfig,
     right, up2, fwd = R[:, 0], R[:, 1], -R[:, 2]
     off = lens_offsets(cfg)                             # [S, 2]
     off_w = off[:, 0:1] * right + off[:, 1:2] * up2     # [S, 3]
-    tf = cfg.focus_dist / jnp.einsum("...k,k->...", d, fwd)
+    # elementwise dot (a [*, 3] einsum would ride the MXU at default
+    # bf16-class precision — see generate_rays' rotation note)
+    tf = cfg.focus_dist / (d[..., 0] * fwd[0] + d[..., 1] * fwd[1]
+                           + d[..., 2] * fwd[2])
     pf = o + tf[..., None] * d                          # focal points
     origins = jnp.broadcast_to(o, d.shape) + off_w      # [r, W, S, 3]
     dirs = pf - origins
