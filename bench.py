@@ -280,17 +280,24 @@ def main():
     # semantics, and the gated fused fast path.  The black-lane shadow
     # skip stays engaged here — it is forward-only by design (the
     # custom-vjp fwd rule disables it whenever a gradient is traced) —
-    # and so is the in-kernel raygen (RenderConfig.serve_raygen: the
-    # kernel generates its own directions, gated below against the
-    # standard path the fwd+bwd regimes use).
+    # and so is the in-kernel raygen (RenderConfig.serve_raygen), gated
+    # PER REGIME against the standard-raygen render of the SAME regime
+    # (the fused+analytic+serve combination gets its own on-hardware
+    # gate, not a transfer of the exact regime's).
+    fcfg = cfg.replace(fused_generators=True, normal_mode="analytic")
     serve_ok, serve_stats = _serve_gate(plan, tables, cfg, backend)
-    scfg = cfg.replace(serve_raygen=serve_ok)
-    fwd_exact = _measure(plan, tables, scfg, backend, forward_only=True)
+    fwd_exact = _measure(plan, tables,
+                         cfg.replace(serve_raygen=serve_ok),
+                         backend, forward_only=True)
     fwd_fused = None
     if has_fused:
+        serve_fused_ok, s2 = _serve_gate(plan, tables, fcfg, backend)
+        serve_stats = dict(serve_stats)
+        serve_stats.update({"serve_fused_" + k.removeprefix("serve_"): v
+                            for k, v in s2.items()})
+        serve_ok = serve_ok and serve_fused_ok
         fwd_fused = _measure(
-            plan, tables,
-            scfg.replace(fused_generators=True, normal_mode="analytic"),
+            plan, tables, fcfg.replace(serve_raygen=serve_fused_ok),
             backend, forward_only=True)
 
     exact = _measure(plan, tables, cfg, backend)

@@ -580,17 +580,20 @@ def _bvh_group_fold(kp, g, tbl, px, py, pz, state, fold_runs_fn, value_of):
     (max of excesses) dominate the axis maximum.  When every lane has
     lb >= running, no member can win any strict-< selection downstream:
     skipping the fold changes neither value nor winner index/gradient
-    (a tie keeps the EARLIER leaf, which is already folded — groups, runs
-    and chunks all fold in leaf order).  This bounds the O(N) UNION fold
+    (a tie keeps the EARLIER leaf, which is already folded — which is why
+    runs MUST fold in run order below, chunked or not: folding the
+    un-chunked runs first would let a LATER leaf claim an exact-sd tie,
+    flipping the reference-observable first-wins color winner AND
+    invalidating this very premise).  This bounds the O(N) UNION fold
     the reference pays per evaluation (body.cpp:66-111)."""
-    bvh_ri = {ri for ri, _ in g.bvh}
-    plain = tuple(r for i, r in enumerate(g.runs) if i not in bvh_ri)
-    if plain:
-        state = fold_runs_fn(plain, state)
+    bvh = dict(g.bvh)
     row = _bvh_row_base(kp) + _bvh_group_offset(kp, g)
-    for ri, chunks in g.bvh:
-        ptype = g.runs[ri][0]
-        for (s, c) in chunks:
+    for ri, run in enumerate(g.runs):
+        if ri not in bvh:
+            state = fold_runs_fn((run,), state)
+            continue
+        ptype = run[0]
+        for (s, c) in bvh[ri]:
             lb = jnp.maximum(jnp.maximum(
                 jnp.abs(px - tbl[row, 0]) - tbl[row, 3],
                 jnp.abs(py - tbl[row, 1]) - tbl[row, 4]),
@@ -681,12 +684,15 @@ _SUBTREE_RECURSE_MIN = 21
 
 def _subtree_recurses(g) -> bool:
     """Does this group's subtree cull take the level-2 fori pass (and so
-    need the Menger offset rows in the table, _build_table)?"""
+    need the Menger offset rows in the table, _build_table)?  Recursion
+    pays per CHILD cell, so the threshold applies to the child size
+    (T-1)//20, not the subtree total: at (T-1)//20 == 1 the fori would
+    guard single crosses — the measured wash the threshold exists for."""
     sub = _menger_subtrees(g)
     if sub is None:
         return False
     T = sub[0]
-    return T >= _SUBTREE_RECURSE_MIN and (T - 1) % 20 == 0
+    return (T - 1) % 20 == 0 and (T - 1) // 20 >= _SUBTREE_RECURSE_MIN
 
 
 def _menger_subtree_fold(kp, tbl, g, px, py, pz, carry, fold_fn, value_of):
@@ -993,6 +999,13 @@ def preload_table(kp, tbl, fused: bool):
                     load(r, (1,))
                 for r in zs_reps:
                     load(r, (2,))
+    # wide-UNION chunk-cull bound rows (_bvh_group_fold reads them at
+    # STATIC row indices every march step — hoist like any other scalar)
+    from ..scene.compile import iter_bvh_chunks
+    brow = _bvh_row_base(kp)
+    for _ in iter_bvh_chunks(kp):
+        load(brow, range(6))
+        brow += 1
     if len(cache) > _PRELOAD_LIMIT:
         return tbl
     return _TableView(tbl, cache)

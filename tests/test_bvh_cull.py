@@ -178,3 +178,37 @@ def test_render_matches_jnp_oracle():
                                    interpret=True))
     ref = np.asarray(render_tables(plan, tables, cfg, backend="jnp"))
     np.testing.assert_allclose(img, ref, atol=2e-5)
+
+
+def test_first_wins_tie_across_chunked_and_plain_runs():
+    """First-wins ties are reference-observable (body.cpp:12-14): when a
+    CHUNKED run's prim (earlier leaf) ties a later un-chunked run's prim
+    at exactly equal f32 sd, the earlier leaf must win.  Regression for
+    the r4 review finding: folding the un-chunked runs first let the
+    later leaf claim the tie (and invalidated the skip proof's premise
+    that ties keep an already-folded earlier leaf)."""
+    rng = np.random.RandomState(11)
+    prims = [bounds(80.0)]
+    # 80 spheres (>= _BVH_MIN_RUN -> chunked); sphere #5 at the origin
+    for i in range(80):
+        if i == 5:
+            prims.append(Sphere((0.0, 0.0, 0.0), 1.0))
+        else:
+            p = rng.uniform(4, 9, 3)
+            prims.append(Sphere(tuple(p), 0.5))
+    # 8 boxes (under the min-run bar -> un-chunked), the first coincident
+    # with sphere #5: at (2, 0, 0) both have sd exactly 1.0f
+    prims.append(Box((0.0, 0.0, 0.0), (2.0, 2.0, 2.0)))
+    for _ in range(7):
+        prims.append(Box(tuple(rng.uniform(4, 9, 3)), (0.6, 0.6, 0.6)))
+    plan, tables = compile_tree(ListNode(Mode.UNION, prims),
+                                [Light((6.0, 8.0, 4.0))], Camera())
+    kp = kernel_key(plan)
+    assert iter_bvh_chunks(kp)
+    sphere_leaf = 6            # bounds is leaf 0; sphere #5 is leaf 6
+    p = jnp.asarray(np.tile([[2.0, 0.0, 0.0]], (128, 1)), jnp.float32)
+    sd, cidx, _ = pallas_surface_eval(kp, 1e-3, TILE, p, tables,
+                                      with_color=True, with_normal=False,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(sd), 1.0)
+    assert (np.asarray(cidx) == sphere_leaf).all(), np.asarray(cidx)[0]
