@@ -121,6 +121,35 @@ bool readColor(std::istringstream &in,
     return true;
 }
 
+// Mirror of compile.py::_merge_trivial_groups: adjacent PLAIN groups
+// (gsign +1, every member scale +1) under the MIN root coalesce into one.
+// Semantically invisible — min is associative and the strict-< winner
+// selections keep the earliest leaf either way — and it is what makes
+// root-level object runs foldable (fori) and cullable (GroupPlan.bvh)
+// on the kernel side.  Prims of a group are contiguous by construction
+// (parse order), so adjacent group ids are adjacent leaf ranges.
+void mergeTrivialGroups(ParsedScene &s) {
+    const size_t G = s.groups.size();
+    if (G < 2) return;
+    std::vector<char> plain(G, 0);
+    for (size_t g = 0; g < G; ++g) plain[g] = (s.groups[g].gsign == 1);
+    for (const auto &p : s.prims)
+        if (p.scale != 1.0f) plain[p.group] = 0;
+    std::vector<int32_t> remap(G);
+    std::vector<Group> merged;
+    for (size_t g = 0; g < G; ++g) {
+        if (g > 0 && plain[g] && plain[g - 1]) {
+            remap[g] = static_cast<int32_t>(merged.size()) - 1;
+            merged.back().count += s.groups[g].count;
+        } else {
+            remap[g] = static_cast<int32_t>(merged.size());
+            merged.push_back(s.groups[g]);
+        }
+    }
+    for (auto &p : s.prims) p.group = remap[p.group];
+    s.groups = std::move(merged);
+}
+
 bool parseScene(const char *text, ParsedScene &out) {
     std::istringstream stream(text);
     std::string line;
@@ -261,6 +290,7 @@ bool parseScene(const char *text, ParsedScene &out) {
         }
         // Unknown keywords are ignored, like the reference loader.
     }
+    mergeTrivialGroups(out);
     return true;
 }
 
