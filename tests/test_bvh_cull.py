@@ -14,6 +14,7 @@ partition stripped, bit for bit.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -212,3 +213,46 @@ def test_first_wins_tie_across_chunked_and_plain_runs():
                                       interpret=True)
     np.testing.assert_array_equal(np.asarray(sd), 1.0)
     assert (np.asarray(cidx) == sphere_leaf).all(), np.asarray(cidx)[0]
+
+
+def test_bvh_composes_with_fused_generators():
+    """A plan can carry BOTH a fused generator group (extended carve ids
+    at _flag_row + ordinal) and chunk-culled plain groups (bound rows
+    from _bvh_row_base = _flag_row + 1): the id namespace is winner ids,
+    the rows are table storage — they must coexist without collision in
+    every fold, in both exact and fused modes."""
+    from raymarching_tpu.scene.generators import menger_sponge
+    rng = np.random.RandomState(9)
+    prims = [bounds(80.0),
+             menger_sponge((0.0, 6.0, -20.0), 6.0, 2,
+                           color=(0.9, 0.9, 0.9))]
+    for _ in range(70):
+        p = rng.uniform(-8, 8, 3)
+        p[2] -= 14.0
+        prims.append(Sphere(tuple(p), 0.5,
+                            color=tuple(rng.uniform(0.2, 1.0, 3))))
+    plan, tables = compile_tree(ListNode(Mode.UNION, prims),
+                                [Light((6.0, 8.0, 4.0))],
+                                Camera(position=(0, 2, 8), fov=60.0))
+    kp = kernel_key(plan)
+    assert iter_bvh_chunks(kp)
+    assert any(g.fused is not None for g in kp.groups)
+    p = _points(192, seed=5)
+    for fused in (False, True):
+        sd, cidx, grad = pallas_surface_eval(
+            kp, 1e-3, TILE, p, tables, with_color=True, with_normal=True,
+            analytic=True, fused=fused, interpret=True)
+        sd2, cidx2, grad2 = pallas_surface_eval(
+            _strip_bvh(kp), 1e-3, TILE, p, tables, with_color=True,
+            with_normal=True, analytic=True, fused=fused, interpret=True)
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(sd2))
+        np.testing.assert_array_equal(np.asarray(cidx), np.asarray(cidx2))
+        np.testing.assert_array_equal(np.asarray(grad), np.asarray(grad2))
+    # end-to-end fused gradient on the mixed plan (extended ids + chunks)
+    cfg = RenderConfig(width=24, height=18, ssaa=1, iterations=80,
+                       fused_generators=True, normal_mode="analytic")
+    g = jax.grad(lambda t: jnp.mean(render_tables(
+        plan, t, cfg, backend="mega", interpret=True)))(tables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert float(np.abs(np.asarray(g.prim_pos)).sum()) > 0
