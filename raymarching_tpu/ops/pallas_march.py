@@ -782,6 +782,206 @@ def _menger_carve_subtree_culled(kp, tbl, g, px, py, pz, init):
         lambda c: c)
 
 
+# ---------------------------------------------------------------------------
+# Per-subtree two-level lattice collapse (value-only folds, iters=4 sponges).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def _menger_yz_columns():
+    """(y, z) columns of the 20 Menger child offsets with their x-value
+    sets: 8 columns — 4 with x in {-1, 0, 1} (|y| == |z| == 1, edge +
+    corner cells) and 4 with x in {-1, 1} (one of y/z zero; x = 0 would be
+    the excluded face centre).  Static combinatorics of the generator
+    (body.cpp:119-144 offset order), shared by the collapse and its
+    structure flag."""
+    from ..scene.generators import _MENGER_OFFSETS
+    cols = {}
+    for (x, y, z) in _MENGER_OFFSETS:
+        cols.setdefault((y, z), []).append(x)
+    return tuple((yz, tuple(sorted(xs))) for yz, xs in cols.items())
+
+
+@functools.lru_cache(maxsize=1)
+def _menger_axis_reps():
+    """Per axis: {offset value -> first child index j with that value} —
+    the representative rows the collapsed fold reads coordinates from."""
+    from ..scene.generators import _MENGER_OFFSETS
+    reps = []
+    for axis in range(3):
+        m = {}
+        for j, off in enumerate(_MENGER_OFFSETS):
+            m.setdefault(off[axis], j)
+        reps.append(m)
+    return tuple(reps)
+
+
+# Module switch for A/B harnesses (benchmarks/ab_subtree_collapse.py);
+# flipping it changes TRACE behavior without changing plan cache keys, so
+# harnesses must clear the kernel lru caches (ab_bvh._clear_kernel_caches).
+_SUBTREE_COLLAPSE = True
+
+
+def _subtree_collapses(g) -> bool:
+    """Can this group's carve take the per-subtree two-level lattice
+    collapse for VALUE-only folds?  Exactly iters=4 sponges: each level-1
+    subtree then holds 1 + 20 + 400 crosses — a root plus two fully
+    collapsible levels.  (idx/grad folds never collapse: color ties are
+    reference-observable first-wins in leaf order, CLAUDE.md invariant.)"""
+    if not _SUBTREE_COLLAPSE:
+        return False
+    sub = _menger_subtrees(g)
+    return sub is not None and sub[0] == 421
+
+
+def _subtree_collapse_eval(tbl, b0, px, py, pz, c):
+    """EXACT min over one level-1 Menger subtree's 421 carve crosses in
+    ~490 vector ops and zero reduces/branches — the two-level analogue of
+    _menger_carve_lattice, localized to the subtree at traced root row
+    ``b0`` (DFS layout: [root, 20 x (cell cross, 20 leaf crosses)]).
+
+    Within the subtree every level shares per-axis centre coordinates and
+    one size: level-2 centres are c1 + o2*(s/9) (3 distinct coords per
+    axis), level-3 centres c1 + o2*(s/9) + o3*(s/27) — and (o2, o3)
+    decomposes UNIQUELY from 3*o2 + o3, so 9 distinct coords per axis,
+    each generated by the identical float expression (generators.py
+    recursion), hence exactly equal across members.  The cross SDF
+    med3(bx, by, bz) is monotone per argument and jnp.minimum returns one
+    of its inputs exactly, so per (y, z) column
+
+        min over column = med3(min over member x of bx, by, bz)
+
+    holds BITWISE (the winning cross's exact excesses — the
+    _menger_carve_lattice proof).  Level-3's x-minima factor: a column's
+    x-set is {3a + b : a in X2, b in X3} with X2/X3 in {E = {-1,1},
+    F = {-1,0,1}}, so 4 shared minima cover all 64 (o2-col x o3-col)
+    pairs.  Coordinates and halves come from REPRESENTATIVE table rows
+    (never recomputed — generation-order float identities only hold
+    row-to-row), so results match the leaf fold bit for bit while the
+    structure flag holds (subtree_collapse_ok)."""
+    reps = _menger_axis_reps()
+    cols = _menger_yz_columns()
+
+    def r2(j2):
+        return b0 + 1 + j2 * 21
+
+    def r3(j2, j3):
+        return b0 + 2 + j2 * 21 + j3
+
+    c = jnp.minimum(c, _prim_sd(int(PrimType.CROSS), tbl, b0, px, py, pz))
+    p = (px, py, pz)
+    b2 = []              # b2[axis][v]: per-axis excess, v in (-1, 0, 1)
+    b3 = []              # b3[axis][(u, v)]: u = level-2, v = level-3 offset
+    for a in range(3):
+        rep = reps[a]
+        h2 = tbl[r2(0), 3 + a] * 0.5
+        h3 = tbl[r3(0, 0), 3 + a] * 0.5
+        b2.append({v: jnp.abs(p[a] - tbl[r2(rep[v]), a]) - h2
+                   for v in (-1, 0, 1)})
+        b3.append({(u, v): jnp.abs(p[a] - tbl[r3(rep[u], rep[v]), a]) - h3
+                   for u in (-1, 0, 1) for v in (-1, 0, 1)})
+    # level-2: min over 20 crosses = min over the 8 (y, z) columns
+    bx2 = b2[0]
+    mE2 = jnp.minimum(bx2[-1], bx2[1])
+    mF2 = jnp.minimum(mE2, bx2[0])
+    for (y, z), xs in cols:
+        mx = mF2 if len(xs) == 3 else mE2
+        c = jnp.minimum(c, _med3(mx, b2[1][y], b2[2][z]))
+    # level-3: min over 400 crosses = 64 column pairs, factored x-minima
+    bx3 = b3[0]
+    mEE = jnp.minimum(jnp.minimum(bx3[(-1, -1)], bx3[(-1, 1)]),
+                      jnp.minimum(bx3[(1, -1)], bx3[(1, 1)]))
+    mEF = jnp.minimum(mEE, jnp.minimum(bx3[(-1, 0)], bx3[(1, 0)]))
+    m0E = jnp.minimum(bx3[(0, -1)], bx3[(0, 1)])
+    mFE = jnp.minimum(mEE, m0E)
+    mFF = jnp.minimum(mEF, jnp.minimum(m0E, bx3[(0, 0)]))
+    mx3 = {(2, 2): mEE, (2, 3): mEF, (3, 2): mFE, (3, 3): mFF}
+    for (y2, z2), xs2 in cols:
+        for (y3, z3), xs3 in cols:
+            mx = mx3[(len(xs2), len(xs3))]
+            c = jnp.minimum(c, _med3(mx, b3[1][(y2, y3)], b3[2][(z2, z3)]))
+    return c
+
+
+def _menger_subtree_collapsed(kp, tbl, g, px, py, pz, init):
+    """Value-only iters=4 carve: the level-1 margin skip test of
+    _menger_subtree_fold (same bound, same order) + the per-subtree
+    two-level lattice collapse for live subtrees — replacing the level-2
+    recursion's ~20 serializing all-lane reduces per live subtree with
+    ~490 straight-line vector ops.  One fori whose body holds one traced
+    cond (the proven compile-scaling pattern); subtree starts are affine
+    in the counter and child offsets ride the table's Menger offset rows.
+
+    Callers gate on the subtree_collapse_ok flag (flag row column 1) and
+    fall back to _menger_carve_subtree_culled bitwise when the live rows
+    no longer share the generated per-level coordinates."""
+    T, _subs = _menger_subtrees(g)
+    carry = jnp.minimum(init, _prim_sd(int(PrimType.CROSS), tbl,
+                                       g.start + 1, px, py, pz))
+    cx, cy, cz = tbl[g.start, 0], tbl[g.start, 1], tbl[g.start, 2]
+    s = tbl[g.start, 3]
+    third = s * (1.0 / 3.0)
+    margin = s * (2.0 / 9.0)           # cell half s/6 + max cross half s/18
+    off_row = _menger_off_row(kp)
+
+    def body(j, c):
+        ox = cx + tbl[off_row + j, 0] * third
+        oy = cy + tbl[off_row + j, 1] * third
+        oz = cz + tbl[off_row + j, 2] * third
+        lb = _med3(jnp.abs(px - ox) - margin,
+                   jnp.abs(py - oy) - margin,
+                   jnp.abs(pz - oz) - margin)
+        b0 = g.start + 2 + j * T
+
+        def live(c2):
+            return _subtree_collapse_eval(tbl, b0, px, py, pz, c2)
+
+        skip = jnp.all(lb >= c)
+        return jax.lax.cond(skip, lambda c2: c2, live, c)
+
+    return jax.lax.fori_loop(0, 20, body, carry)
+
+
+def subtree_collapse_ok(kp, tables) -> jnp.ndarray:
+    """Scalar f32 flag (flag-row column 1, _build_table): do the LIVE
+    tables still satisfy the per-subtree shared-coordinate structure the
+    collapsed fold reads through representative rows
+    (_subtree_collapse_eval)?  Same design as lattice_ok: vectorized
+    gathers over static index arrays, computed OUTSIDE the kernels once
+    per dispatch; generator scenes pass, perturbed rows (optimizer steps
+    on the exact table) drop back to the leaf-order subtree fold."""
+    if not isinstance(kp, KernelPlan):
+        return jnp.float32(0.0)
+    from ..scene.generators import _MENGER_OFFSETS
+    pos = jnp.asarray(tables.prim_pos)
+    aux = jnp.asarray(tables.prim_aux)
+    reps = _menger_axis_reps()
+    offs = np.asarray(_MENGER_OFFSETS)
+    checks = []
+    for g in kp.groups:
+        if not (_use_subtree(g) and _subtree_collapses(g)):
+            continue
+        T = _menger_subtrees(g)[0]
+        b0 = g.start + 2 + np.arange(20) * T            # [20] subtree roots
+        r2 = b0[:, None] + 1 + np.arange(20) * 21       # [20, 20]
+        r3 = r2[:, :, None] + 1 + np.arange(20)         # [20, 20, 20]
+        for a in range(3):
+            repj = np.array([reps[a][v] for v in offs[:, a]])
+            rep2 = b0[:, None] + 1 + repj[None, :] * 21
+            rep3 = (b0[:, None, None] + 1 + repj[None, :, None] * 21
+                    + 1 + repj[None, None, :])
+            checks.append(jnp.all(pos[r2, a] == pos[rep2, a]))
+            checks.append(jnp.all(pos[r3, a] == pos[rep3, a]))
+        checks.append(jnp.all(aux[r2] == aux[r2[:, :1]]))
+        checks.append(jnp.all(aux[r3] == aux[r3[:, :1, :1]]))
+    if not checks:
+        return jnp.float32(0.0)
+    ok = checks[0]
+    for c in checks[1:]:
+        ok = jnp.logical_and(ok, c)
+    return ok.astype(jnp.float32)
+
+
 def _use_subtree(g) -> bool:
     """Should this group's carve fold take the per-subtree cull?  Deep
     sponges whose lattice collapse was column-capped (scene/compile.py
@@ -985,6 +1185,8 @@ def preload_table(kp, tbl, fused: bool):
                 load(i, js)
         if use_fused:
             load(g.start, range(4))    # folded carve reads pos + size.x
+        if not use_fused and _use_subtree(g) and _subtree_collapses(g):
+            load(flag, (1,))           # subtree-collapse structure flag
         if g.lattice is not None and not use_fused:
             load(flag, (0,))           # lattice-validity flag row
             for level in g.lattice:
@@ -1166,10 +1368,21 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
                     return jnp.minimum(
                         r, -jnp.minimum(_base, lattice_carve()))
             elif _use_subtree(g):
-                # column-capped deep sponge: per-subtree hierarchical cull
+                # column-capped deep sponge: per-subtree hierarchical cull;
+                # value-only folds additionally take the two-level lattice
+                # collapse while the structure flag holds (flag row col 1)
                 def with_rest(r, _base=gmin_base, _g=g):
-                    gmin = _menger_carve_subtree_culled(kp, tbl, _g, px,
-                                                        py, pz, _base)
+                    if _subtree_collapses(_g):
+                        gmin = jax.lax.cond(
+                            tbl[_flag_row(kp), 1] > 0.5,
+                            lambda b, __g=_g: _menger_subtree_collapsed(
+                                kp, tbl, __g, px, py, pz, b),
+                            lambda b, __g=_g: _menger_carve_subtree_culled(
+                                kp, tbl, __g, px, py, pz, b),
+                            _base)
+                    else:
+                        gmin = _menger_carve_subtree_culled(kp, tbl, _g, px,
+                                                            py, pz, _base)
                     return jnp.minimum(r, -gmin)
             else:
                 def with_rest(r, _base=gmin_base, _runs=tuple(pos_runs)):
@@ -1295,7 +1508,10 @@ def _build_table(tables: SceneTables, kp=None) -> jnp.ndarray:
         [jnp.asarray(tables.prim_pos), jnp.asarray(tables.prim_aux), pad],
         axis=1)
     flag = lattice_ok(kp, tables) if kp is not None else jnp.float32(0.0)
-    flag_row = jnp.zeros((1, 8), body.dtype).at[0, 0].set(flag)
+    sflag = (subtree_collapse_ok(kp, tables) if kp is not None
+             else jnp.float32(0.0))
+    flag_row = (jnp.zeros((1, 8), body.dtype).at[0, 0].set(flag)
+                .at[0, 1].set(sflag))
     parts = [body, flag_row]
     chunks = iter_bvh_chunks(kp) if kp is not None else ()
     if chunks:
