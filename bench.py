@@ -179,6 +179,9 @@ def _fused_gate(plan, tables, cfg, backend):
     recorded.  Returns (ok, stats)."""
     from raymarching_tpu.api import render_tables
 
+    from raymarching_tpu.api import render_aovs
+    from raymarching_tpu.utils.gatecheck import classify_offenders
+
     exact = jax.jit(lambda t: render_tables(plan, t, cfg, backend=backend))
     fcfg = cfg.replace(fused_generators=True, normal_mode="analytic")
     fused = jax.jit(lambda t: render_tables(plan, t, fcfg, backend=backend))
@@ -196,6 +199,26 @@ def _fused_gate(plan, tables, cfg, backend):
         "gate_worst_pixel_yx": [int(wy), int(wx)],
         "gate_pixels_over": int((diff >= thresh).sum()),
     }
+    # Classify every offender against the exact render's own geometry
+    # (r5 verdict #5): a fused-vs-exact mismatch is benign only when it
+    # sits on a silhouette/depth discontinuity (fold-association ulps
+    # flipping a marginal SSAA sample); an interior offender is a bug.
+    if stats["gate_pixels_over"]:
+        aovs = jax.jit(lambda t: render_aovs(plan, t, cfg,
+                                             interpret=False))(tables)
+        cls = classify_offenders(diff, thresh,
+                                 np.asarray(aovs["objid"]),
+                                 np.asarray(aovs["depth"]),
+                                 np.asarray(aovs["hit"]))
+        stats["gate_offenders_on_silhouette"] = (
+            True if cls["all_on_silhouette"]
+            else cls["offenders_on_silhouette"])
+        stats["gate_offenders_interior"] = cls["offenders_interior"]
+        if cls["interior_yx"]:
+            stats["gate_interior_yx"] = cls["interior_yx"]
+    else:
+        stats["gate_offenders_on_silhouette"] = True
+        stats["gate_offenders_interior"] = 0
     return frac > 0.995, stats
 
 
@@ -366,7 +389,30 @@ def main():
         record.update(gate_stats)
         if fwd_fused is not None:
             record["forward_fused_mrays"] = round(fwd_fused["median"], 4)
-    print(json.dumps(record))
+
+    # The driver captures a bounded TAIL of stdout and parses the last
+    # line — r4's full record (~2.3 kB) overflowed it and BENCH_r04.json
+    # recorded "parsed": null (r5 verdict #7).  The FINAL stdout line is
+    # now a compact record (well under the tail window); the full record
+    # goes to stderr and to bench_details.json beside this script.
+    details_path = os.path.join(here, "bench_details.json")
+    with open(details_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record), file=sys.stderr)
+    compact = {k: record[k] for k in (
+        "metric", "value", "unit", "vs_baseline", "exact_mrays",
+        "exact_analytic_mrays", "forward_mrays", "forward_vs_baseline",
+        "forward_exact_mrays") if k in record}
+    for k in ("fused_mrays", "fused_gate_ok", "gate_frac_within",
+              "gate_max_diff", "gate_pixels_over",
+              "gate_offenders_on_silhouette", "gate_offenders_interior",
+              "serve_raygen"):
+        if k in record:
+            compact[k] = record[k]
+    compact["spread_pct"] = (record.get("fused_stats") or
+                             record["exact_stats"])["spread_pct"]
+    compact["details"] = "bench_details.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
