@@ -724,7 +724,18 @@ def _menger_subtree_fold(kp, tbl, g, px, py, pz, carry, fold_fn, value_of):
 
     Generic over the carried state: ``fold_fn(runs, carry)`` is any of
     the _fold_runs* family closed over (tbl, p); ``value_of(carry)``
-    extracts the running min the skip test compares against."""
+    extracts the running min the skip test compares against.
+
+    PERTURBATION ENVELOPE: the skip bounds derive cell centres from the
+    GROUP ROOT row and the generated offset lattice.  The margin proof
+    holds for tables within per-axis drift < sz/18 of that lattice at
+    the level-1 scale (sz = s) and < sz/18 at the level-2 scale
+    (sz = s/3, i.e. < s/54 absolute) — generator-emitted tables are
+    ulps-exact on it.  The iters=4 VALUE folds are runtime-gated on
+    subtree_collapse_ok (which certifies drift < s/36) with a plain-fold
+    fallback; idx/grad folds and iters>=5 currently assume the envelope
+    (optimizing raw deep-sponge cross rows past it is out of scope —
+    fused-generator plans are the supported way to optimize sponges)."""
     T, subs = _menger_subtrees(g)
     carry = fold_fn(((int(PrimType.CROSS), g.start + 1, 1, 1),), carry)
     cx, cy, cz = tbl[g.start, 0], tbl[g.start, 1], tbl[g.start, 2]
@@ -913,8 +924,11 @@ def _menger_subtree_collapsed(kp, tbl, g, px, py, pz, init):
     in the counter and child offsets ride the table's Menger offset rows.
 
     Callers gate on the subtree_collapse_ok flag (flag row column 1) and
-    fall back to _menger_carve_subtree_culled bitwise when the live rows
-    no longer share the generated per-level coordinates."""
+    fall back to the PLAIN leaf fold when the live rows no longer share
+    the generated per-level coordinates or have drifted off the generated
+    lattice (the flag also certifies this fold's own level-1 skip bound;
+    the recursion's skip bounds assume the same lattice, so it is not a
+    valid fallback for drifted tables)."""
     T, _subs = _menger_subtrees(g)
     carry = jnp.minimum(init, _prim_sd(int(PrimType.CROSS), tbl,
                                        g.start + 1, px, py, pz))
@@ -944,12 +958,15 @@ def _menger_subtree_collapsed(kp, tbl, g, px, py, pz, init):
 
 def subtree_collapse_ok(kp, tables) -> jnp.ndarray:
     """Scalar f32 flag (flag-row column 1, _build_table): do the LIVE
-    tables still satisfy the per-subtree shared-coordinate structure the
-    collapsed fold reads through representative rows
-    (_subtree_collapse_eval)?  Same design as lattice_ok: vectorized
-    gathers over static index arrays, computed OUTSIDE the kernels once
-    per dispatch; generator scenes pass, perturbed rows (optimizer steps
-    on the exact table) drop back to the leaf-order subtree fold."""
+    tables still satisfy (a) the per-subtree shared-coordinate structure
+    the collapsed fold reads through representative rows
+    (_subtree_collapse_eval) and (b) the generated-lattice positions the
+    level-1 SKIP BOUND derives from the group root row (every member row
+    within s/36 per axis — the margin proof's slack)?  Same design as
+    lattice_ok: vectorized gathers over static index arrays, computed
+    OUTSIDE the kernels once per dispatch; generator scenes pass,
+    perturbed rows (optimizer steps on the exact table) drop back to the
+    plain leaf fold — exact for ANY table."""
     if not isinstance(kp, KernelPlan):
         return jnp.float32(0.0)
     from ..scene.generators import _MENGER_OFFSETS
@@ -974,6 +991,31 @@ def subtree_collapse_ok(kp, tables) -> jnp.ndarray:
             checks.append(jnp.all(pos[r3, a] == pos[rep3, a]))
         checks.append(jnp.all(aux[r2] == aux[r2[:, :1]]))
         checks.append(jnp.all(aux[r3] == aux[r3[:, :1, :1]]))
+        # Bound validity (r4 advisor): the level-1 skip test derives cell
+        # centres from the GROUP ROOT row with margin s*2/9, whose proof
+        # places every member within s/6 (+ drift) of its cell centre.
+        # Within-subtree sharing alone would pass a uniformly translated
+        # subtree while silently invalidating that skip.  Verify every
+        # member row sits within tol = s/36 (per axis) of the generated
+        # lattice position, and sizes within tol of generated: worst case
+        # s/6 + s/36 + s/72 = 45/216 s < margin 48/216 s keeps the proof.
+        root = pos[g.start]
+        s = aux[g.start, 0]
+        third = s * (1.0 / 3.0)
+        ninth = third * (1.0 / 3.0)
+        tw7 = ninth * (1.0 / 3.0)
+        offs_f = jnp.asarray(offs, pos.dtype)           # [20, 3]
+        q1 = root[None] + offs_f * third                # cell centres (b0)
+        q2 = q1[:, None] + offs_f[None] * ninth
+        q3 = q2[:, :, None] + offs_f[None, None] * tw7
+        tol = s * (1.0 / 36.0)
+        checks.append(jnp.all(jnp.abs(pos[b0] - q1) <= tol))
+        checks.append(jnp.all(jnp.abs(pos[r2] - q2) <= tol))
+        checks.append(jnp.all(jnp.abs(pos[r3] - q3) <= tol))
+        checks.append(jnp.all(jnp.abs(aux[b0] - ninth) <= tol))
+        checks.append(jnp.all(jnp.abs(aux[r2] - tw7) <= tol))
+        checks.append(jnp.all(jnp.abs(aux[r3] - tw7 * (1.0 / 3.0))
+                              <= tol))
     if not checks:
         return jnp.float32(0.0)
     ok = checks[0]
@@ -1370,15 +1412,21 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
             elif _use_subtree(g):
                 # column-capped deep sponge: per-subtree hierarchical cull;
                 # value-only folds additionally take the two-level lattice
-                # collapse while the structure flag holds (flag row col 1)
-                def with_rest(r, _base=gmin_base, _g=g):
+                # collapse while the structure flag holds (flag row col 1).
+                # The flag also certifies the level-1 SKIP BOUND (member
+                # rows within s/36 of the generated lattice) — so the
+                # flag-false fallback is the PLAIN leaf fold, which is
+                # exact for any table, not the recursion, whose own skip
+                # bounds share the generated-lattice assumption.
+                def with_rest(r, _base=gmin_base, _g=g,
+                              _runs=tuple(pos_runs)):
                     if _subtree_collapses(_g):
                         gmin = jax.lax.cond(
                             tbl[_flag_row(kp), 1] > 0.5,
                             lambda b, __g=_g: _menger_subtree_collapsed(
                                 kp, tbl, __g, px, py, pz, b),
-                            lambda b, __g=_g: _menger_carve_subtree_culled(
-                                kp, tbl, __g, px, py, pz, b),
+                            lambda b: _fold_runs(tbl, _runs, px, py, pz,
+                                                 b),
                             _base)
                     else:
                         gmin = _menger_carve_subtree_culled(kp, tbl, _g, px,

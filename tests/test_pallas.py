@@ -252,13 +252,13 @@ class TestMengerLattice:
         coordinate lattice (_menger_subtree_collapsed) — min is exact
         selection and med3 is monotone, so the collapse must equal the
         leaf-order fold BITWISE; a perturbed cross row must drop the
-        structure flag and fall back to the recursion, also bitwise."""
+        structure flag and route the SCENE fold through the plain leaf
+        fold (exact for any table), also bitwise."""
         import jax.numpy as jnp
 
         from raymarching_tpu.ops.pallas_march import (
-            _build_table, _fold_runs, _menger_carve_subtree_culled,
-            _menger_subtree_collapsed, _scene_sd_tile, _subtree_collapses,
-            subtree_collapse_ok)
+            _build_table, _fold_runs, _menger_subtree_collapsed,
+            _scene_sd_tile, _subtree_collapses, subtree_collapse_ok)
 
         plan, tables = self._menger_plan(4)
         kp = plan.kernel
@@ -282,22 +282,44 @@ class TestMengerLattice:
         np.testing.assert_array_equal(np.asarray(full), np.asarray(fast))
 
         # perturb one level-3 cross: flag drops, the scene fold must relay
-        # through the recursion — still bitwise vs the plain leaf fold
+        # through the PLAIN leaf fold — assert the scene min itself
+        # against an oracle recomputed with subtree plans disabled (all
+        # plain folds), so a routing bug in the lax.cond fallback wiring
+        # inside _scene_sd_tile cannot hide
+        import raymarching_tpu.ops.pallas_march as pm
+
+        def scene_min_oracle(t2):
+            old = pm._SUBTREE_MIN_COUNT
+            pm._SUBTREE_MIN_COUNT = 10 ** 9
+            try:
+                return np.asarray(_scene_sd_tile(kp, t2, px, py, pz,
+                                                 jnp.float32))
+            finally:
+                pm._SUBTREE_MIN_COUNT = old
+
         pp = np.array(tables.prim_pos)
         pp[g.start + 700, 0] += 0.25
         moved = tables._replace(prim_pos=pp)
         assert float(subtree_collapse_ok(kp, moved)) == 0.0
         tbl2 = _build_table(moved, kp)
-        sd = _scene_sd_tile(kp, tbl2, px, py, pz, jnp.float32)
-        base2 = _fold_runs(tbl2, tuple(r for r in g.runs if r[3] == -1),
-                           px, py, pz, inf)
-        full2 = _fold_runs(tbl2, pos_runs, px, py, pz, base2)
-        cull2 = _menger_carve_subtree_culled(kp, tbl2, g, px, py, pz,
-                                             base2)
-        np.testing.assert_array_equal(np.asarray(full2), np.asarray(cull2))
-        # the group value is max(base, -carve): check the scene min
-        # reflects the perturbed-fallback carve wherever this group wins
-        del sd  # compiled/evaluated without error is the gate here
+        sd = np.asarray(_scene_sd_tile(kp, tbl2, px, py, pz, jnp.float32))
+        np.testing.assert_array_equal(sd, scene_min_oracle(tbl2))
+
+        # uniform translation of one ENTIRE subtree: within-subtree
+        # sharing still holds, but the level-1 skip bound the collapse
+        # derives from the group root is invalid — the bound-validity
+        # half of the flag (r4 advisor) must catch it and the scene fold
+        # must again equal the plain-fold oracle
+        T = 421
+        pp2 = np.array(tables.prim_pos)
+        pp2[g.start + 2 + 7 * T: g.start + 2 + 8 * T, 1] += 0.6
+        shifted = tables._replace(prim_pos=pp2)
+        assert float(subtree_collapse_ok(kp, shifted)) == 0.0
+        tbl3 = _build_table(shifted, kp)
+        sd3 = np.asarray(_scene_sd_tile(kp, tbl3, px, py, pz, jnp.float32))
+        np.testing.assert_array_equal(sd3, scene_min_oracle(tbl3))
+        # ...and a sub-tolerance global jitter (ulps-scale) keeps the flag
+        assert float(subtree_collapse_ok(kp, tables)) == 1.0
 
     def test_lattice_carve_matches_explicit_fold_bitwise(self):
         import jax.numpy as jnp
