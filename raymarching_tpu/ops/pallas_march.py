@@ -732,7 +732,7 @@ def _menger_subtree_fold(kp, tbl, g, px, py, pz, carry, fold_fn, value_of):
     the level-1 scale (sz = s) and < sz/18 at the level-2 scale
     (sz = s/3, i.e. < s/54 absolute) — generator-emitted tables are
     ulps-exact on it.  The iters=4 VALUE folds are runtime-gated on
-    subtree_collapse_ok (which certifies drift < s/36) with a plain-fold
+    subtree_collapse_ok (which certifies drift < s/72) with a plain-fold
     fallback; idx/grad folds and iters>=5 currently assume the envelope
     (optimizing raw deep-sponge cross rows past it is out of scope —
     fused-generator plans are the supported way to optimize sponges)."""
@@ -956,13 +956,127 @@ def _menger_subtree_collapsed(kp, tbl, g, px, py, pz, init):
     return jax.lax.fori_loop(0, 20, body, carry)
 
 
+def _menger_subtree_vbound_fold(kp, tbl, g, px, py, pz, carry, fold_fn,
+                                value_of):
+    """fori-driven level-1 subtree walk for the idx/grad fold family with
+    TWO exact skip levels (r5; ROADMAP's worked plan):
+
+      1. the margin bound med3(|p - o_j| - s*2/9) of _menger_subtree_fold
+         (cheap, ~10 ops);
+      2. for margin-live subtrees, the subtree's COLLAPSED VALUE MIN m_j
+         (_subtree_collapse_eval, ~490 straight-line ops) — an EXACT
+         bound: every cross in subtree j has sd >= m_j with equality
+         attained by the subtree winner, so "all lanes m_j >= running"
+         proves the strict-< fold cannot change (value, winner, or
+         gradient): a cross tying the running value loses first-wins by
+         leaf order (body.cpp:12-14) because subtrees fold in DFS order
+         after the running winner.
+
+    Margin-live-but-not-winning subtrees (most near-surface ones — the
+    reason menger4's backward ran at ~1/3 of its forward) skip their
+    whole 421-cross idx/grad fold for ~490 ops.  A subtree that survives
+    BOTH bounds (typically only the one holding the winner) descends via
+    the level-2 margin walk of _menger_subtree_fold — folding ~21-cross
+    live cells instead of 421 flat crosses (the flat fold measured the
+    A/B at only +8%; live subtrees dominated).  One fori whose body
+    holds the nested conds (the proven compile-scaling pattern; subtree
+    starts are affine in the counter, child offsets ride the table's
+    Menger offset rows).
+
+    Callers gate on subtree_collapse_ok (flag row col 1): all bounds
+    (level-1 margin, m_j, level-2 margin) and the collapse eval assume
+    the generated lattice (group-root derived centres +
+    representative-row reads); the flag's s/72 tolerance keeps every
+    level's margin proof (level-2 slack is 5s/162)."""
+    T, _subs = _menger_subtrees(g)
+    carry = fold_fn(((int(PrimType.CROSS), g.start + 1, 1, 1),), carry)
+    cx, cy, cz = tbl[g.start, 0], tbl[g.start, 1], tbl[g.start, 2]
+    s = tbl[g.start, 3]
+    third = s * (1.0 / 3.0)
+    margin = s * (2.0 / 9.0)
+    sub2 = (T - 1) // 20
+    ninth = third * (1.0 / 3.0)
+    margin2 = third * (2.0 / 9.0)
+    off_row = _menger_off_row(kp)
+    inf = jnp.full(px.shape, jnp.inf, px.dtype)
+
+    def body(j, c):
+        ox = cx + tbl[off_row + j, 0] * third
+        oy = cy + tbl[off_row + j, 1] * third
+        oz = cz + tbl[off_row + j, 2] * third
+        lb = _med3(jnp.abs(px - ox) - margin,
+                   jnp.abs(py - oy) - margin,
+                   jnp.abs(pz - oz) - margin)
+        b0 = g.start + 2 + j * T
+
+        def margin_live(c2):
+            m_j = _subtree_collapse_eval(tbl, b0, px, py, pz, inf)
+
+            def live(c3):
+                # level-2 walk, bitwise the _menger_subtree_fold
+                # recursion: subtree root cross, then the 20 child cells
+                # in DFS order behind their own margin bound
+                c3 = fold_fn(((int(PrimType.CROSS), b0, 1, 1),), c3)
+
+                def body2(k, cc):
+                    ox2 = ox + tbl[off_row + k, 0] * ninth
+                    oy2 = oy + tbl[off_row + k, 1] * ninth
+                    oz2 = oz + tbl[off_row + k, 2] * ninth
+                    lb2 = _med3(jnp.abs(px - ox2) - margin2,
+                                jnp.abs(py - oy2) - margin2,
+                                jnp.abs(pz - oz2) - margin2)
+                    start2 = b0 + 1 + k * sub2
+
+                    def live2(c4):
+                        return fold_fn(
+                            ((int(PrimType.CROSS), start2, sub2, 1),), c4)
+
+                    skip2 = jnp.all(lb2 >= value_of(cc))
+                    return jax.lax.cond(skip2, lambda c4: c4, live2, cc)
+
+                return jax.lax.fori_loop(0, 20, body2, c3)
+
+            skip_m = jnp.all(m_j >= value_of(c2))
+            return jax.lax.cond(skip_m, lambda c3: c3, live, c2)
+
+        skip = jnp.all(lb >= value_of(c))
+        return jax.lax.cond(skip, lambda c2: c2, margin_live, c)
+
+    return jax.lax.fori_loop(0, 20, body, carry)
+
+
+# Module switch for A/B harnesses (benchmarks/ab_vbound.py); same
+# clear-the-kernel-caches contract as _SUBTREE_COLLAPSE.
+_SUBTREE_VBOUND = True
+
+
+def _subtree_carve_fold(kp, tbl, g, px, py, pz, carry, fold_fn, value_of,
+                        pos_runs):
+    """Carve fold for a _use_subtree group, idx/grad fold family: when
+    the group collapses (iters=4) the walk is runtime-gated on the
+    structure flag — the collapsed-VALUE-bound fori walk while it holds,
+    the PLAIN leaf fold otherwise (exact for any table; the margin walk
+    shares the generated-lattice assumption and is no safer a fallback).
+    Non-collapsing deep sponges (iters >= 5) keep the recursive
+    margin-bound walk (envelope documented on _menger_subtree_fold)."""
+    if _subtree_collapses(g) and _SUBTREE_VBOUND:
+        return jax.lax.cond(
+            tbl[_flag_row(kp), 1] > 0.5,
+            lambda c: _menger_subtree_vbound_fold(kp, tbl, g, px, py, pz,
+                                                  c, fold_fn, value_of),
+            lambda c: fold_fn(pos_runs, c),
+            carry)
+    return _menger_subtree_fold(kp, tbl, g, px, py, pz, carry, fold_fn,
+                                value_of)
+
+
 def subtree_collapse_ok(kp, tables) -> jnp.ndarray:
     """Scalar f32 flag (flag-row column 1, _build_table): do the LIVE
     tables still satisfy (a) the per-subtree shared-coordinate structure
     the collapsed fold reads through representative rows
     (_subtree_collapse_eval) and (b) the generated-lattice positions the
     level-1 SKIP BOUND derives from the group root row (every member row
-    within s/36 per axis — the margin proof's slack)?  Same design as
+    within s/72 per axis — inside every level's margin slack)?  Same as
     lattice_ok: vectorized gathers over static index arrays, computed
     OUTSIDE the kernels once per dispatch; generator scenes pass,
     perturbed rows (optimizer steps on the exact table) drop back to the
@@ -991,14 +1105,17 @@ def subtree_collapse_ok(kp, tables) -> jnp.ndarray:
             checks.append(jnp.all(pos[r3, a] == pos[rep3, a]))
         checks.append(jnp.all(aux[r2] == aux[r2[:, :1]]))
         checks.append(jnp.all(aux[r3] == aux[r3[:, :1, :1]]))
-        # Bound validity (r4 advisor): the level-1 skip test derives cell
-        # centres from the GROUP ROOT row with margin s*2/9, whose proof
-        # places every member within s/6 (+ drift) of its cell centre.
-        # Within-subtree sharing alone would pass a uniformly translated
-        # subtree while silently invalidating that skip.  Verify every
-        # member row sits within tol = s/36 (per axis) of the generated
-        # lattice position, and sizes within tol of generated: worst case
-        # s/6 + s/36 + s/72 = 45/216 s < margin 48/216 s keeps the proof.
+        # Bound validity (r4 advisor): the skip tests derive cell centres
+        # from the GROUP ROOT row.  Within-subtree sharing alone would
+        # pass a uniformly translated subtree while silently invalidating
+        # them.  Verify every member row sits within tol = s/72 (per
+        # axis) of the generated lattice position, and sizes within tol:
+        # level-1 margin s*2/9 has slack s/18 over the true member
+        # extent s/6 (uses s/72 pos + s/144 half drift); the level-2
+        # margin 2s/27 of the vbound walk has slack 5s/162 over its
+        # extent 7s/162 (drift budget 3.4s/162 > 2.25 + 1.13 used).
+        # Generator tables are ulps-exact on the lattice, so the
+        # tightening costs nothing real.
         root = pos[g.start]
         s = aux[g.start, 0]
         third = s * (1.0 / 3.0)
@@ -1008,7 +1125,7 @@ def subtree_collapse_ok(kp, tables) -> jnp.ndarray:
         q1 = root[None] + offs_f * third                # cell centres (b0)
         q2 = q1[:, None] + offs_f[None] * ninth
         q3 = q2[:, :, None] + offs_f[None, None] * tw7
-        tol = s * (1.0 / 36.0)
+        tol = s * (1.0 / 72.0)
         checks.append(jnp.all(jnp.abs(pos[b0] - q1) <= tol))
         checks.append(jnp.all(jnp.abs(pos[r2] - q2) <= tol))
         checks.append(jnp.all(jnp.abs(pos[r3] - q3) <= tol))
@@ -1414,7 +1531,7 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
                 # value-only folds additionally take the two-level lattice
                 # collapse while the structure flag holds (flag row col 1).
                 # The flag also certifies the level-1 SKIP BOUND (member
-                # rows within s/36 of the generated lattice) — so the
+                # rows within s/72 of the generated lattice) — so the
                 # flag-false fallback is the PLAIN leaf fold, which is
                 # exact for any table, not the recursion, whose own skip
                 # bounds share the generated-lattice assumption.
@@ -1473,8 +1590,14 @@ def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
     if with_steps:
         steps_ref[...] = jnp.zeros(ox_ref.shape, jnp.float32)
     dtype = ox_ref.dtype
-    # hoist loop-invariant scalar loads out of the march loop
+    # hoist loop-invariant loads out of the march loop: the table's
+    # scalars AND the direction/origin tiles (r5 march_decomp: the loop
+    # body re-loaded them from VMEM every step)
     tbl_ref = preload_table(kp, tbl_ref, fused)
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    if has_tmax:
+        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+        tmaxv = tmax_ref[...]
     px_ref[...] = ox_ref[...]
     py_ref[...] = oy_ref[...]
     pz_ref[...] = oz_ref[...]
@@ -1491,42 +1614,52 @@ def _march_kernel(kp: KernelPlan, iterations: int, eps: float,
         it, all_done = carry
         return jnp.logical_and(it < main, jnp.logical_not(all_done))
 
-    def one_step(_):
-        px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
-        done = done_ref[...]
+    def step_local(st):
+        # one march step on register-resident state (identical arithmetic
+        # and op order to the r4 per-step-scratch body — bitwise-equal
+        # results; only the memory movement changed, march_decomp_r5)
+        px, py, pz, sd_prev, done, steps = st
         sd = _scene_sd_tile(kp, tbl_ref, px, py, pz, dtype, fused=fused)
         active = done < 0.5
         if with_steps:
-            steps_ref[...] = steps_ref[...] + jnp.where(active, 1.0, 0.0)
+            steps = steps + jnp.where(active, 1.0, 0.0)
         step = jnp.where(active, jnp.minimum(sd, MAX_STEP), 0.0)
-        px = px + step * dx_ref[...]
-        py = py + step * dy_ref[...]
-        pz = pz + step * dz_ref[...]
-        px_ref[...] = px
-        py_ref[...] = py
-        pz_ref[...] = pz
-        sd_new = jnp.where(active, sd, sd_ref[...])
-        sd_ref[...] = sd_new
+        px = px + step * dx
+        py = py + step * dy
+        pz = pz + step * dz
+        sd_new = jnp.where(active, sd, sd_prev)
         done_new = jnp.where(sd_new < eps, 1.0, done)
         if has_tmax:
             # t = (p - o) . d  (directions are unit-length)
-            t = ((px - ox_ref[...]) * dx_ref[...]
-                 + (py - oy_ref[...]) * dy_ref[...]
-                 + (pz - oz_ref[...]) * dz_ref[...])
-            done_new = jnp.where(t >= tmax_ref[...], 1.0, done_new)
-        done_ref[...] = done_new
-        return done_new
+            t = (px - ox) * dx + (py - oy) * dy + (pz - oz) * dz
+            done_new = jnp.where(t >= tmaxv, 1.0, done_new)
+        return (px, py, pz, sd_new, done_new, steps)
+
+    def read():
+        return (px_ref[...], py_ref[...], pz_ref[...], sd_ref[...],
+                done_ref[...],
+                steps_ref[...] if with_steps else None)
+
+    def write(st):
+        (px_ref[...], py_ref[...], pz_ref[...], sd_ref[...],
+         done_ref[...]) = st[:5]
+        if with_steps:
+            steps_ref[...] = st[5]
 
     def body(carry):
         it, _ = carry
-        done_new = None
+        st = read()
         for _ in range(K):
-            done_new = one_step(None)
-        return it + K, jnp.min(done_new) > 0.5
+            st = step_local(st)
+        write(st)
+        return it + K, jnp.min(st[4]) > 0.5
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
-    for _ in range(iterations - main):
-        one_step(None)
+    if iterations - main:
+        st = read()
+        for _ in range(iterations - main):
+            st = step_local(st)
+        write(st)
 
 
 def _flag_row(kp) -> int:
@@ -2062,13 +2195,14 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
             lb = -gmin_base
 
             if _use_subtree(g):
-                def with_group(s, _g=g, _neg=tuple(neg_runs)):
+                def with_group(s, _g=g, _neg=tuple(neg_runs),
+                               _pos=tuple(pos_runs)):
                     c = _fold_runs_grad(tbl, _neg, px, py, pz, init4)
-                    c = _menger_subtree_fold(
+                    c = _subtree_carve_fold(
                         kp, tbl, _g, px, py, pz, c,
                         lambda runs, cc: _fold_runs_grad(tbl, runs, px,
                                                          py, pz, cc),
-                        lambda cc: cc[0])
+                        lambda cc: cc[0], _pos)
                     gmin, ggx, ggy, ggz = c
                     return root_update(s, -gmin, -ggx, -ggy, -ggz)
             else:
@@ -2207,14 +2341,15 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
             lb = -gmin_base
 
             if _use_subtree(g):
-                def with_group(s, _g=g, _neg=tuple(neg_runs)):
+                def with_group(s, _g=g, _neg=tuple(neg_runs),
+                               _pos=tuple(pos_runs)):
                     carry = _fold_runs_idx_grad(tbl, _neg, px, py, pz,
                                                 init)
-                    carry = _menger_subtree_fold(
+                    carry = _subtree_carve_fold(
                         kp, tbl, _g, px, py, pz, carry,
                         lambda runs, c: _fold_runs_idx_grad(
                             tbl, runs, px, py, pz, c),
-                        lambda c: c[0])
+                        lambda c: c[0], _pos)
                     return root_update(s, -1, carry)
             elif g.lattice is not None:
                 # collapsed-lattice carve with winner rows — the backward
@@ -2286,6 +2421,7 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
 
     for g in kp.groups:
         neg_runs = [r for r in g.runs if r[3] == -1]
+        pos_runs = [r for r in g.runs if r[3] == 1]
         use_fused = fused and g.fused is not None
         cullable = (g.gsign == -1 and rsign == 1.0 and neg_runs
                     and (g.count >= _CULL_MIN_GROUP or use_fused)
@@ -2308,16 +2444,17 @@ def _scene_sd_idx_tile(kp: KernelPlan, tbl, px, py, pz, dtype, fused=False):
                     gidx = jnp.full(px.shape, _g.start, jnp.int32)
                     return root_update(r, ri, gval, gidx)
             elif _use_subtree(g):
-                def with_group(carry, _g=g, _neg=tuple(neg_runs)):
+                def with_group(carry, _g=g, _neg=tuple(neg_runs),
+                               _pos=tuple(pos_runs)):
                     r, ri = carry
                     c = _fold_runs_idx(
                         tbl, _neg, px, py, pz,
                         (inf, jnp.full(px.shape, -1, jnp.int32)))
-                    c = _menger_subtree_fold(
+                    c = _subtree_carve_fold(
                         kp, tbl, _g, px, py, pz, c,
                         lambda runs, cc: _fold_runs_idx(tbl, runs, px, py,
                                                         pz, cc),
-                        lambda cc: cc[0])
+                        lambda cc: cc[0], _pos)
                     return root_update(r, ri, float(-1) * c[0], c[1])
             else:
                 def with_group(carry, _runs=g.runs):

@@ -72,7 +72,10 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
 
         # K steps per exit check (the all-done reduce serializes the VPU);
         # remainder unrolled after the loop so the evaluation cap stays
-        # exactly ``iterations``.
+        # exactly ``iterations``.  The K unrolled steps of one while-body
+        # run on register-resident locals and touch scratch once per
+        # block — identical arithmetic and op order to the per-step
+        # scratch body, so results are bitwise-equal (march_decomp_r5).
         K = min(_EXIT_CHECK_EVERY, max(iterations, 1))
         main = (iterations // K) * K
 
@@ -80,43 +83,51 @@ def _march_values(kp, tbl, ox, oy, oz, dx, dy, dz, iterations, eps, fused,
             it, all_done = c
             return jnp.logical_and(it < main, jnp.logical_not(all_done))
 
-        def one_step(_):
-            px, py, pz = px_s[...], py_s[...], pz_s[...]
-            done = done_s[...]
+        def step_local(st):
+            px, py, pz, sd_prev, done, pen = st
             sd = _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=fused)
             active = done < 0.5
             if soft:
                 t_cur = ((px - ox) * dx + (py - oy) * dy + (pz - oz) * dz)
                 ratio = jnp.clip(soft_k * sd / jnp.maximum(t_cur, eps),
                                  0.0, 1.0)
-                pen_s[...] = jnp.where(active,
-                                       jnp.minimum(pen_s[...], ratio),
-                                       pen_s[...])
+                pen = jnp.where(active, jnp.minimum(pen, ratio), pen)
             step = jnp.where(active, jnp.minimum(sd, MAX_STEP), 0.0)
             px = px + step * dx
             py = py + step * dy
             pz = pz + step * dz
-            px_s[...], py_s[...], pz_s[...] = px, py, pz
-            sd_new = jnp.where(active, sd, sd_s[...])
-            sd_s[...] = sd_new
+            sd_new = jnp.where(active, sd, sd_prev)
             done = jnp.where(sd_new < eps, 1.0, done)
             if tmax is not None:
                 t = ((px - ox) * dx + (py - oy) * dy + (pz - oz) * dz)
                 done = jnp.where(t >= tmax, 1.0, done)
-            done_s[...] = done
-            return done
+            return (px, py, pz, sd_new, done, pen)
+
+        def read():
+            return (px_s[...], py_s[...], pz_s[...], sd_s[...],
+                    done_s[...], pen_s[...] if soft else None)
+
+        def write(st):
+            (px_s[...], py_s[...], pz_s[...], sd_s[...],
+             done_s[...]) = st[:5]
+            if soft:
+                pen_s[...] = st[5]
 
         def body(c):
             it, _ = c
-            done = None
+            st = read()
             for _ in range(K):
-                done = one_step(None)
-            return it + K, jnp.min(done) > 0.5
+                st = step_local(st)
+            write(st)
+            return it + K, jnp.min(st[4]) > 0.5
 
         jax.lax.while_loop(cond, body,
                            (jnp.int32(0), jnp.min(done0) > 0.5))
-        for _ in range(iterations - main):
-            one_step(None)
+        if iterations - main:
+            st = read()
+            for _ in range(iterations - main):
+                st = step_local(st)
+            write(st)
         out = (px_s[...], py_s[...], pz_s[...], sd_s[...], done_s[...])
         return out + ((pen_s[...],) if soft else ())
 

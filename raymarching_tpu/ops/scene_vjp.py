@@ -172,6 +172,17 @@ def stencil_theta_cotangents(plan: ScenePlan, tables: SceneTables,
 # few-hundred-prim scenes this path serves (larger P shrinks the block).
 _ONEHOT_BLOCK = 8192
 
+# The one-hot MXU formulation is O(R * K): it beat XLA scatter/gather
+# 5-10x at the demo's K=428 (r3/r4 receipts), but at menger4's K=8424 it
+# LOSES 2.6x on segment-adds and ~inf on gathers (seg_xover r5, TPU:
+# R=459k seg one-hot 5.85 ms vs scatter 2.27; gather one-hot 7.46 vs
+# take ~0).  Linear interpolation puts the segment crossover near K~3300;
+# past this threshold _segment_add uses an XLA scatter-add and
+# _gather_rows a plain row take.  (Scatter sums in a different order
+# than the matmul tree — gradients differ by ulps, covered by the grad
+# suites' tolerances; values on the primal path never route here.)
+_ONEHOT_MAX_K = 3000
+
 
 def _gather_rows(idx, mat, rows=None):
     """rows mat[idx] for idx [R] into mat [P, C] via the same blocked
@@ -192,6 +203,12 @@ def _gather_rows(idx, mat, rows=None):
         mat = jnp.asarray(mat)[jnp.asarray(rows)]        # [K, C] static
         cols = jnp.asarray(rows, idx.dtype)
     else:
+        if int(mat.shape[0]) > _ONEHOT_MAX_K:
+            # wide tables (e.g. menger4's 8,424 rows): the one-hot's
+            # O(R*K) loses to a plain take (see _ONEHOT_MAX_K)
+            mat = jnp.asarray(mat)
+            return jnp.where(idx[:, None] >= 0,
+                             mat[jnp.clip(idx, 0)], 0.0)
         cols = jnp.arange(mat.shape[0], dtype=idx.dtype)
     K, C = mat.shape
     block = max(256, min(_ONEHOT_BLOCK, (1 << 22) // max(K, 1)))
@@ -227,6 +244,12 @@ def _segment_add(idx, vals, P: int, targets=None):
     (idx values outside drop); see _segment_add_rows."""
     R, C = vals.shape
     if targets is None:
+        if P > _ONEHOT_MAX_K:
+            # wide tables: XLA scatter-add is O(R), the one-hot O(R*P)
+            # (see _ONEHOT_MAX_K); negative idx rows drop
+            i2 = jnp.where(idx >= 0, idx, P)
+            return jnp.zeros((P, C), vals.dtype).at[i2].add(vals,
+                                                            mode="drop")
         K = P
         cols = None
     else:

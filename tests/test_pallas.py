@@ -321,6 +321,27 @@ class TestMengerLattice:
         # ...and a sub-tolerance global jitter (ulps-scale) keeps the flag
         assert float(subtree_collapse_ok(kp, tables)) == 1.0
 
+        # the idx/grad fold family (the backward's workhorse) takes the
+        # same flag-gated route (r5 value-bound walk / plain fallback):
+        # winner ids, values and gradients must match the plain-fold
+        # oracle bitwise on BOTH the valid and the perturbed tables
+        def idx_grad_both(t2):
+            got = pm._scene_sd_idx_grad_tile(kp, t2, px, py, pz,
+                                             jnp.float32)
+            old = pm._SUBTREE_MIN_COUNT
+            pm._SUBTREE_MIN_COUNT = 10 ** 9
+            try:
+                want = pm._scene_sd_idx_grad_tile(kp, t2, px, py, pz,
+                                                  jnp.float32)
+            finally:
+                pm._SUBTREE_MIN_COUNT = old
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b))
+
+        idx_grad_both(tbl)      # flag true: value-bound fori walk
+        idx_grad_both(tbl3)     # flag false: plain-fold fallback
+
     def test_lattice_carve_matches_explicit_fold_bitwise(self):
         import jax.numpy as jnp
 
