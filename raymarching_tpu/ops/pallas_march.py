@@ -547,6 +547,31 @@ def _menger_off_row(kp) -> int:
     return _bvh_row_base(kp) + len(iter_bvh_chunks(kp))
 
 
+def iter_bvh_order_spans(kp):
+    """Uniform chunk spans eligible for the ORDERED value-fold walk:
+    ((group_index, run_index, uniform_len), ...) in the deterministic
+    group/run order shared by _build_table (which appends uniform_len
+    chunk-order rows per span after the Menger offset rows) and
+    _bvh_group_fold (which reads them back by the same ordinal).  Spans
+    shorter than 3 chunks gain nothing from ordering and get no rows."""
+    out = []
+    for gi, g in enumerate(getattr(kp, "groups", ())):
+        for ri, chunks in (g.bvh or ()):
+            s0, c0 = chunks[0]
+            uni = 0
+            while (uni < len(chunks)
+                   and chunks[uni] == (s0 + uni * c0, c0)):
+                uni += 1
+            if uni >= 3:
+                out.append((gi, ri, uni))
+    return tuple(out)
+
+
+def _order_row_base(kp) -> int:
+    """First chunk-order row (after the Menger offset rows)."""
+    return _menger_off_row(kp) + (20 if _needs_menger_offsets(kp) else 0)
+
+
 def _needs_menger_offsets(kp) -> bool:
     """Does any group take the level-2 recursive subtree cull (and so
     need the offset rows in the table)?"""
@@ -565,7 +590,17 @@ def _bvh_group_offset(kp, g) -> int:
     raise ValueError("group not in plan")
 
 
-def _bvh_group_fold(kp, g, tbl, px, py, pz, state, fold_runs_fn, value_of):
+# Module switch for A/B harnesses (fori vs unrolled chunk walk).
+_BVH_FORI = True
+# Diagnostic switch for cost-decomposition harnesses ONLY (results are
+# WRONG outside "on"): "on" = normal proof-gated walk; "off" = fold all
+# chunks with no tests (the unculled reference fold); "testsonly" =
+# pay every test but never fold a chunk (isolates test cost).
+_BVH_MODE = "on"
+
+
+def _bvh_group_fold(kp, g, tbl, px, py, pz, state, fold_runs_fn, value_of,
+                    ordered=False):
     """Chunk-culled plain-UNION group fold (GroupPlan.bvh) — generic over
     the fold carry: ``fold_runs_fn(runs, state)`` folds the given runs
     into the carry, ``value_of(state)`` reads the tile's running scene
@@ -593,21 +628,109 @@ def _bvh_group_fold(kp, g, tbl, px, py, pz, state, fold_runs_fn, value_of):
             state = fold_runs_fn((run,), state)
             continue
         ptype = run[0]
-        for (s, c) in bvh[ri]:
+        chunks = bvh[ri]
+
+        def chunk_step(r, s, c, st, _ptype=ptype):
+            if _BVH_MODE == "off":
+                return fold_runs_fn(((_ptype, s, c, 1),), st)
             lb = jnp.maximum(jnp.maximum(
-                jnp.abs(px - tbl[row, 0]) - tbl[row, 3],
-                jnp.abs(py - tbl[row, 1]) - tbl[row, 4]),
-                jnp.abs(pz - tbl[row, 2]) - tbl[row, 5])
-            skip = jnp.all(lb >= value_of(state))
-            state = jax.lax.cond(
-                skip, lambda st: st,
-                functools.partial(
-                    lambda _p, _s, _c, st: fold_runs_fn(
-                        ((_p, _s, _c, 1),), st),
-                    ptype, s, c),
+                jnp.abs(px - tbl[r, 0]) - tbl[r, 3],
+                jnp.abs(py - tbl[r, 1]) - tbl[r, 4]),
+                jnp.abs(pz - tbl[r, 2]) - tbl[r, 5])
+            skip = jnp.all(lb >= value_of(st))
+            if _BVH_MODE == "testsonly":
+                # keep lb + the reduce + the cond live without folding
+                return jax.lax.cond(
+                    skip, lambda st2: st2,
+                    lambda st2: fold_runs_fn(
+                        ((_ptype, s, 1, 1),), st2), st)
+            return jax.lax.cond(
+                skip, lambda st2: st2,
+                lambda st2: fold_runs_fn(((_ptype, s, c, 1),), st2), st)
+
+        # chunk starts/rows are affine in the chunk ordinal (the splitter
+        # emits _BVH_CHUNK-strided spans; only the final chunk can be
+        # short), so the walk is ONE fori whose body holds one traced
+        # cond — the proven compile-scaling pattern.  scatter1k traced
+        # ~1,024 unrolled leaf steps + 32 conds per fold instance before
+        # this (cold compile 41 s, r5 verdict #3); results are identical
+        # (same tests, same order — only trace size changes).
+        s0, c0 = chunks[0]
+        uni = 0
+        while (uni < len(chunks)
+               and chunks[uni] == (s0 + uni * c0, c0)):
+            uni += 1
+        obase = _span_order_base(kp, g, ri) if ordered else None
+        if ordered and _BVH_SEED and uni >= 3:
+            # SEED the running min with one representative member per
+            # chunk (its first leaf) before any skip test: min is
+            # idempotent, so re-folding members later changes nothing
+            # bitwise, and the tests now compare against a near-tight
+            # running instead of whatever the earlier groups left —
+            # leaf-order walking left 62% of chunk-fold work live on
+            # scatter1k because running was still the floor distance.
+            # Value folds only (callers pass ordered=False for idx/grad
+            # folds: a pre-folded representative would claim first-wins
+            # ties from earlier leaves).
+            state = fold_runs_fn(
+                tuple((ptype, s0 + k * c0, 1, 1) for k in range(uni)),
                 state)
+        if _BVH_FORI and uni >= 2:
+            row0 = row
+
+            if obase is not None:
+                # ORDERED walk (value folds only — min is order-free
+                # bitwise; idx/grad folds keep leaf order for first-wins
+                # ties): chunk ordinals come from the live
+                # nearest-camera order rows (_build_table), so the
+                # running min tightens immediately and the later — far —
+                # chunks' proof-gated skips actually fire.  scatter1k
+                # measured 62% of chunk-fold work still live under
+                # leaf-order walking (ab mode=testsonly decomposition).
+                def body(k, st, _row0=row0, _s0=s0, _c0=c0,
+                         _ob=obase):
+                    oid = tbl[_ob + k, 0].astype(jnp.int32)
+                    return chunk_step(_row0 + oid, _s0 + oid * _c0, _c0,
+                                      st)
+            else:
+                def body(k, st, _row0=row0, _s0=s0, _c0=c0):
+                    return chunk_step(_row0 + k, _s0 + k * _c0, _c0, st)
+
+            state = jax.lax.fori_loop(0, uni, body, state)
+            row += uni
+            rest = chunks[uni:]
+        else:
+            rest = chunks
+        for (s, c) in rest:
+            state = chunk_step(row, s, c, state)
             row += 1
     return state
+
+
+# Module switches for A/B harnesses (ordered vs leaf-order value walk;
+# representative-seeded running min).  Seeding measured NEGATIVE on
+# scatter1k (ab_seed_r5.json: seed+ordered 1.386 vs ordered-only 1.415
+# Mrays/s fwd+bwd — the 31 unconditional representative folds cost more
+# than the extra skips they enable once the walk is already
+# nearest-first), so it stays off; the switch + code remain for future
+# scenes with more chunks.
+_BVH_ORDERED = True
+_BVH_SEED = False
+
+
+def _span_order_base(kp, g, ri):
+    """First order row of (group g, run ri)'s uniform chunk span, or
+    None when the span has no order rows (see iter_bvh_order_spans)."""
+    if not _BVH_ORDERED:
+        return None
+    spans = iter_bvh_order_spans(kp)
+    gi = kp.groups.index(g)
+    base = _order_row_base(kp)
+    for (sgi, sri, uni) in spans:
+        if (sgi, sri) == (gi, ri):
+            return base
+        base += uni
+    return None
 
 
 def _menger_carve_lattice(tbl, g, px, py, pz):
@@ -1563,7 +1686,7 @@ def _scene_sd_tile(kp, tbl, px, py, pz, dtype, fused=False):
             running = _bvh_group_fold(
                 kp, g, tbl, px, py, pz, running,
                 lambda runs, r: _fold_runs(tbl, runs, px, py, pz, r),
-                lambda r: r)
+                lambda r: r, ordered=True)
         else:
             gmin = _fold_runs(tbl, g.runs, px, py, pz, inf)
             gval = float(g.gsign) * gmin
@@ -1695,6 +1818,7 @@ def _build_table(tables: SceneTables, kp=None) -> jnp.ndarray:
                 .at[0, 1].set(sflag))
     parts = [body, flag_row]
     chunks = iter_bvh_chunks(kp) if kp is not None else ()
+    centers = []
     if chunks:
         pos = jnp.asarray(tables.prim_pos)
         aux = jnp.asarray(tables.prim_aux)
@@ -1708,6 +1832,7 @@ def _build_table(tables: SceneTables, kp=None) -> jnp.ndarray:
                 e = aux[s:s + c] * 0.5
             lo = jnp.min(p - e, axis=0)
             hi = jnp.max(p + e, axis=0)
+            centers.append((lo + hi) * 0.5)
             rows.append(jnp.concatenate([(lo + hi) * 0.5, (hi - lo) * 0.5,
                                          z2]))
         parts.append(jnp.stack(rows))
@@ -1718,6 +1843,29 @@ def _build_table(tables: SceneTables, kp=None) -> jnp.ndarray:
         offs = np.zeros((20, 8), np.float32)
         offs[:, :3] = np.asarray(_MENGER_OFFSETS, np.float32)
         parts.append(jnp.asarray(offs))
+    spans = iter_bvh_order_spans(kp) if kp is not None else ()
+    if spans:
+        # LIVE nearest-camera chunk order, one ordinal per row (col 0):
+        # VALUE folds walk chunks nearest-first so the running tile min
+        # tightens immediately and the EXISTING proof-gated skips fire
+        # for the far chunks (min-folds are order-free bitwise; idx/grad
+        # folds keep leaf order for first-wins ties).  Recomputed from
+        # the live tables every dispatch, like the bound rows.
+        cam = jnp.asarray(tables.cam_position)
+        cc = jnp.stack(centers)                         # [nchunks, 3]
+        d = jnp.sum((cc - cam[None, :]) ** 2, axis=1)
+        # chunk ordinals are global; spans index into their own range
+        base = 0
+        offs_of = {}
+        for gi, g in enumerate(kp.groups):
+            for ri, ch in (g.bvh or ()):
+                offs_of[(gi, ri)] = base
+                base += len(ch)
+        for (gi, ri, uni) in spans:
+            o = offs_of[(gi, ri)]
+            order = jnp.argsort(d[o:o + uni]).astype(body.dtype)
+            rows = jnp.zeros((uni, 8), body.dtype).at[:, 0].set(order)
+            parts.append(rows)
     return jnp.concatenate(parts, axis=0)
 
 
