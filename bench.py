@@ -209,7 +209,9 @@ def _fused_gate(plan, tables, cfg, backend):
         cls = classify_offenders(diff, thresh,
                                  np.asarray(aovs["objid"]),
                                  np.asarray(aovs["depth"]),
-                                 np.asarray(aovs["hit"]))
+                                 np.asarray(aovs["hit"]),
+                                 shadow=np.asarray(aovs["shadow"]),
+                                 normal=np.asarray(aovs["normal"]))
         stats["gate_offenders_on_silhouette"] = (
             True if cls["all_on_silhouette"]
             else cls["offenders_on_silhouette"])

@@ -786,6 +786,10 @@ def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
       objid  [H, W]     int32 winner primitive index of the pixel's FIRST
                         SSAA sample (-1 = miss) — ids do not average
       hit    [H, W]     converged-sample coverage fraction in [0, 1]
+      shadow [H, W, L]  per-light shadowed-sample fraction in [0, 1]
+                        (from the kernel's shadow bitmask; hard-shadow
+                        boundaries are LIGHT discontinuities the other
+                        planes cannot see — utils.gatecheck uses this)
 
     One mega-kernel launch supplies everything but the normal (one more
     surface-kernel launch); runs interpret-mode off-TPU.  Not
@@ -831,12 +835,19 @@ def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
                            nsq, jnp.finfo(nm.dtype).tiny)), 0.0)
     objid = cidx.reshape(H, W, S)[..., 0].astype(jnp.int32)
 
+    L = int(jnp.shape(tables.light_pos)[0])
+    bits = ((smask.astype(jnp.int32)[..., None]
+             >> jnp.arange(max(L, 1), dtype=jnp.int32)) & 1)
+    shadow = jnp.mean(bits.reshape(H, W, S, max(L, 1)).astype(jnp.float32),
+                      axis=2)
+
     return {
         "color": jnp.mean(colors.reshape(H, W, S, 3), axis=2),
         "depth": depth,
         "normal": normal,
         "objid": objid,
         "hit": hit,
+        "shadow": shadow,
     }
 
 

@@ -16,6 +16,18 @@ difference exceeds the gate threshold) against the exact path's own AOVs
                     OR object id differs from a 4-neighbor
                     OR hit/miss state differs from a 4-neighbor
                     OR relative depth jump > ``depth_rel`` to a 4-neighbor
+                    OR (with ``shadow``) a hard-shadow boundary: any
+                       light's shadowed-sample fraction is partial or
+                       differs from a 4-neighbor — cast-shadow edges are
+                       LIGHT discontinuities invisible to objid/depth
+                       (the r5 demo gate's 18 "interior" offenders were
+                       one cast-shadow line across the floor)
+                    OR (with ``normal``) a surface CREASE: the normal
+                       turns > ``crease_deg`` to a 4-neighbor — where
+                       two faces of one primitive meet, the FD and
+                       analytic normal estimators legitimately disagree
+                       (the exact path's h=1e-3 stencil straddles the
+                       edge) while objid and depth stay smooth
   … dilated by ``dilate`` pixels (an offender within 1 px of an edge is
   edge-class: the fused image's edge lands one sample over).
 
@@ -30,16 +42,26 @@ import numpy as np
 
 
 def silhouette_mask(objid: np.ndarray, depth: np.ndarray, hit: np.ndarray,
-                    *, depth_rel: float = 0.05, dilate: int = 1
+                    *, shadow: np.ndarray = None,
+                    normal: np.ndarray = None, crease_deg: float = 15.0,
+                    depth_rel: float = 0.05, dilate: int = 1
                     ) -> np.ndarray:
-    """[H, W] bool: pixels on (or within ``dilate`` px of) a geometry
-    discontinuity of the exact render.  Edges are detected symmetrically
-    (a jump marks both sides), so the pre-dilation mask is already
-    two-sided; dilation adds the sub-pixel slack SSAA edge shifts need."""
+    """[H, W] bool: pixels on (or within ``dilate`` px of) a geometry or
+    hard-shadow discontinuity of the exact render.  Edges are detected
+    symmetrically (a jump marks both sides), so the pre-dilation mask is
+    already two-sided; dilation adds the sub-pixel slack SSAA edge
+    shifts need.  ``shadow`` ([H, W, L] per-light shadowed fraction,
+    api.render_aovs) adds cast-shadow boundaries."""
     objid = np.asarray(objid)
     depth = np.asarray(depth)
     hit = np.asarray(hit)
     edge = (hit > 0.0) & (hit < 1.0)
+    if shadow is not None:
+        sh2 = np.asarray(shadow)
+        edge |= ((sh2 > 0.0) & (sh2 < 1.0)).any(axis=-1)
+    if normal is not None:
+        nrm = np.asarray(normal)
+        cos_thresh = float(np.cos(np.deg2rad(crease_deg)))
     fin = np.isfinite(depth)
     for ax in (0, 1):
         for sh in (1, -1):
@@ -48,6 +70,11 @@ def silhouette_mask(objid: np.ndarray, depth: np.ndarray, hit: np.ndarray,
             nb_fin = np.roll(fin, sh, axis=ax)
             edge |= nb_id != objid
             edge |= nb_fin != fin
+            if shadow is not None:
+                edge |= (np.roll(sh2, sh, axis=ax) != sh2).any(axis=-1)
+            if normal is not None:
+                dot = np.sum(np.roll(nrm, sh, axis=ax) * nrm, axis=-1)
+                edge |= (hit > 0.0) & (dot < cos_thresh)
             both = fin & nb_fin
             with np.errstate(invalid="ignore"):
                 rel = np.abs(nb_d - depth) / np.maximum(
@@ -70,7 +97,10 @@ def silhouette_mask(objid: np.ndarray, depth: np.ndarray, hit: np.ndarray,
 
 def classify_offenders(diff: np.ndarray, thresh: float,
                        objid: np.ndarray, depth: np.ndarray,
-                       hit: np.ndarray, *, depth_rel: float = 0.05,
+                       hit: np.ndarray, *, shadow: np.ndarray = None,
+                       normal: np.ndarray = None,
+                       crease_deg: float = 15.0,
+                       depth_rel: float = 0.05,
                        dilate: int = 1) -> dict:
     """Classify every gate offender (diff >= thresh) as silhouette-class
     or interior-class.  Returns a JSON-ready dict:
@@ -82,7 +112,8 @@ def classify_offenders(diff: np.ndarray, thresh: float,
       all_on_silhouette        the headline boolean the gate records
     """
     diff = np.asarray(diff)
-    mask = silhouette_mask(objid, depth, hit,
+    mask = silhouette_mask(objid, depth, hit, shadow=shadow,
+                           normal=normal, crease_deg=crease_deg,
                            depth_rel=depth_rel, dilate=dilate)
     off = diff >= thresh
     n = int(off.sum())

@@ -58,6 +58,42 @@ def test_classify_offenders_synthetic():
     assert cls["all_on_silhouette"] is False
 
 
+def test_shadow_boundary_detected():
+    """A cast-shadow edge (same object, same depth, light state flips)
+    must be edge-class — the r5 demo gate's 'interior' offenders were a
+    cast-shadow line across the floor."""
+    H = W = 12
+    objid = np.zeros((H, W), np.int32)
+    hit = np.ones((H, W), np.float32)
+    depth = np.full((H, W), 4.0)
+    shadow = np.zeros((H, W, 2), np.float32)
+    shadow[:, 6:, 1] = 1.0                 # light 1 shadowed on the right
+    m = silhouette_mask(objid, depth, hit, shadow=shadow, dilate=0)
+    assert m[4, 5] and m[4, 6]
+    assert not m[4, 2] and not m[4, 9]
+    # partial per-pixel shadow coverage is an edge by itself
+    shadow2 = np.zeros((H, W, 1), np.float32)
+    shadow2[5, 5, 0] = 0.5
+    m2 = silhouette_mask(objid, depth, hit, shadow=shadow2, dilate=0)
+    assert m2[5, 5] and not m2[8, 8]
+
+
+def test_crease_detected():
+    """Two faces of one object meeting at a crease (same id, smooth
+    depth, normal turns 90 deg) must be edge-class — FD and analytic
+    normal estimators legitimately disagree across the fold line."""
+    H = W = 10
+    objid = np.zeros((H, W), np.int32)
+    hit = np.ones((H, W), np.float32)
+    depth = np.full((H, W), 4.0)
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[:, :5] = [0, 0, 1]
+    normal[:, 5:] = [1, 0, 0]
+    m = silhouette_mask(objid, depth, hit, normal=normal, dilate=0)
+    assert m[4, 4] and m[4, 5]
+    assert not m[4, 1] and not m[4, 8]
+
+
 def test_depth_discontinuity_detected():
     """Same object id both sides, but a 2x depth jump: still edge-class
     (the demo's floor-meets-sponge seams are same-id depth creases)."""
@@ -92,17 +128,22 @@ def test_demo_scene_offenders_on_silhouette():
     objid = np.asarray(aovs["objid"])
     depth = np.asarray(aovs["depth"])
     hit = np.asarray(aovs["hit"])
-    cls = classify_offenders(diff, 5e-3, objid, depth, hit)
+    shadow = np.asarray(aovs["shadow"])
+    normal = np.asarray(aovs["normal"])
+    cls = classify_offenders(diff, 5e-3, objid, depth, hit, shadow=shadow,
+                             normal=normal)
     assert cls["all_on_silhouette"], (
         f"interior fused-gate offenders at {cls['interior_yx']}")
-    # non-vacuity: the silhouette mask must not blanket the frame
-    frac = silhouette_mask(objid, depth, hit).mean()
-    assert frac < 0.6, f"mask covers {frac:.0%} of the frame"
+    # non-vacuity: the mask must not blanket the frame
+    frac = silhouette_mask(objid, depth, hit, shadow=shadow,
+                           normal=normal).mean()
+    assert frac < 0.7, f"mask covers {frac:.0%} of the frame"
     # and an injected interior offender is still caught at this footprint
     inj = diff.copy()
-    m = silhouette_mask(objid, depth, hit)
+    m = silhouette_mask(objid, depth, hit, shadow=shadow, normal=normal)
     free = np.argwhere(~m)
     assert len(free) > 0
     inj[tuple(free[len(free) // 2])] = 0.5
-    assert not classify_offenders(inj, 5e-3, objid, depth,
-                                  hit)["all_on_silhouette"]
+    assert not classify_offenders(
+        inj, 5e-3, objid, depth, hit, shadow=shadow,
+        normal=normal)["all_on_silhouette"]
