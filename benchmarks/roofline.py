@@ -192,7 +192,7 @@ def _field_kernel_matched(kp, K: int, fused: bool, tbl_ref, steps_ref,
     tbl = preload_table(kp, tbl_ref, fused)
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]
     acc = jnp.zeros(px.shape, jnp.float32)
-    blocks = (steps_ref[0] + (K - 1)) // K
+    blocks = (steps_ref[pl.program_id(0), 0] + (K - 1)) // K
 
     def body(_, carry):
         px, py, pz, acc = carry
@@ -222,8 +222,10 @@ def field_sol_matched(plan, tables, cfg, fused: bool, tile_steps,
     R = dirs.shape[0]
     num_tiles, prep, _ = _tiling(R, sub)
     o = jnp.broadcast_to(jnp.asarray(origin), dirs.shape)
-    # start from the ray origins (the march's own starting points)
-    comps = [prep(o[:, a] + 0.0 * dirs[:, a]) for a in range(3)]
+    # start a bit into the scene along each ray (field_sol's convention:
+    # all lanes AT the origin makes the per-eval culls fire statically
+    # and the field artificially cheap — measured 59 vs 44 Geval/s)
+    comps = [prep(o[:, a] + 2.0 * dirs[:, a]) for a in range(3)]
     tbl = _build_table(tables, kp)
     K = _EXIT_CHECK_EVERY
     steps = jnp.asarray(np.asarray(tile_steps, np.int32).reshape(-1, 1))
@@ -236,8 +238,7 @@ def field_sol_matched(plan, tables, cfg, fused: bool, tile_steps,
         out_shape=jax.ShapeDtypeStruct((num_tiles * sub, LANES),
                                        jnp.float32),
         in_specs=[_tbl_spec(int(tbl.shape[0]) - 1),
-                  pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   spec, spec, spec],
         out_specs=spec,
         interpret=INTERPRET,
