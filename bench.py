@@ -212,14 +212,17 @@ def _fused_gate(plan, tables, cfg, backend):
                                  np.asarray(aovs["hit"]),
                                  shadow=np.asarray(aovs["shadow"]),
                                  normal=np.asarray(aovs["normal"]))
-        stats["gate_offenders_on_silhouette"] = (
-            True if cls["all_on_silhouette"]
-            else cls["offenders_on_silhouette"])
+        # BOOL all-clear + separate count: a mixed bool/int field reads
+        # a nonzero count as truthy all-clear (r5 review finding)
+        stats["gate_offenders_on_silhouette"] = cls["all_on_silhouette"]
+        stats["gate_offenders_on_silhouette_count"] = \
+            cls["offenders_on_silhouette"]
         stats["gate_offenders_interior"] = cls["offenders_interior"]
         if cls["interior_yx"]:
             stats["gate_interior_yx"] = cls["interior_yx"]
     else:
         stats["gate_offenders_on_silhouette"] = True
+        stats["gate_offenders_on_silhouette_count"] = 0
         stats["gate_offenders_interior"] = 0
     return frac > 0.995, stats
 

@@ -838,8 +838,14 @@ def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     L = int(jnp.shape(tables.light_pos)[0])
     bits = ((smask.astype(jnp.int32)[..., None]
              >> jnp.arange(max(L, 1), dtype=jnp.int32)) & 1)
-    shadow = jnp.mean(bits.reshape(H, W, S, max(L, 1)).astype(jnp.float32),
-                      axis=2)
+    # converged samples only: a miss sample's shadow march runs from its
+    # step-cap drift point and its bits are noise (r5 review) — like the
+    # depth plane, average over converged samples, zero where none
+    bitsS = jnp.where(convS[..., None],
+                      bits.reshape(H, W, S, max(L, 1)).astype(jnp.float32),
+                      0.0)
+    shadow = jnp.sum(bitsS, axis=2) / jnp.maximum(
+        jnp.sum(convS, axis=2), 1)[..., None]
 
     return {
         "color": jnp.mean(colors.reshape(H, W, S, 3), axis=2),

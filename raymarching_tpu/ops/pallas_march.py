@@ -557,11 +557,7 @@ def iter_bvh_order_spans(kp):
     out = []
     for gi, g in enumerate(getattr(kp, "groups", ())):
         for ri, chunks in (g.bvh or ()):
-            s0, c0 = chunks[0]
-            uni = 0
-            while (uni < len(chunks)
-                   and chunks[uni] == (s0 + uni * c0, c0)):
-                uni += 1
+            uni = _uniform_prefix(chunks)
             if uni >= 3:
                 out.append((gi, ri, uni))
     return tuple(out)
@@ -656,10 +652,7 @@ def _bvh_group_fold(kp, g, tbl, px, py, pz, state, fold_runs_fn, value_of,
         # this (cold compile 41 s, r5 verdict #3); results are identical
         # (same tests, same order — only trace size changes).
         s0, c0 = chunks[0]
-        uni = 0
-        while (uni < len(chunks)
-               and chunks[uni] == (s0 + uni * c0, c0)):
-            uni += 1
+        uni = _uniform_prefix(chunks)
         obase = _span_order_base(kp, g, ri) if ordered else None
         if ordered and _BVH_SEED and uni >= 3:
             # SEED the running min with one representative member per
@@ -705,6 +698,19 @@ def _bvh_group_fold(kp, g, tbl, px, py, pz, state, fold_runs_fn, value_of,
             state = chunk_step(row, s, c, state)
             row += 1
     return state
+
+
+def _uniform_prefix(chunks) -> int:
+    """Length of a chunk list's leading affine span (s0 + k*c0, c0) —
+    the ONE shared definition for the fold's fori walk, the order-row
+    table layout (iter_bvh_order_spans) and preload_table's bound-row
+    skip.  These three must agree or the order rows desync from the
+    walk (load-bearing; pinned by test_bvh_cull's layout test)."""
+    s0, c0 = chunks[0]
+    uni = 0
+    while uni < len(chunks) and chunks[uni] == (s0 + uni * c0, c0):
+        uni += 1
+    return uni
 
 
 # Module switches for A/B harnesses (ordered vs leaf-order value walk;
@@ -1483,13 +1489,20 @@ def preload_table(kp, tbl, fused: bool):
                     load(r, (1,))
                 for r in zs_reps:
                     load(r, (2,))
-    # wide-UNION chunk-cull bound rows (_bvh_group_fold reads them at
-    # STATIC row indices every march step — hoist like any other scalar)
-    from ..scene.compile import iter_bvh_chunks
+    # wide-UNION chunk-cull bound rows: preload ONLY the rows the fold
+    # reads at STATIC indices — the uniform span's rows are read by
+    # TRACED index inside the fori walk and bypass the _TableView cache
+    # (r5 review: caching them was dead weight that also counted toward
+    # _PRELOAD_LIMIT and could flip the whole preload off)
     brow = _bvh_row_base(kp)
-    for _ in iter_bvh_chunks(kp):
-        load(brow, range(6))
-        brow += 1
+    for g in kp.groups:
+        for _ri, chunks in (g.bvh or ()):
+            uni = _uniform_prefix(chunks) if _BVH_FORI else 0
+            if uni < 2:
+                uni = 0
+            for k in range(uni, len(chunks)):
+                load(brow + k, range(6))
+            brow += len(chunks)
     if len(cache) > _PRELOAD_LIMIT:
         return tbl
     return _TableView(tbl, cache)

@@ -256,3 +256,46 @@ def test_bvh_composes_with_fused_generators():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert float(np.abs(np.asarray(g.prim_pos)).sum()) > 0
+
+
+def test_order_row_layout_agrees_with_walk():
+    """The order-row table layout (iter_bvh_order_spans + _build_table)
+    and the fold walk's base lookup (_span_order_base) must agree — a
+    drift silently hands the walk another span's ordinals (r5 review).
+    Also pins that the rows hold a live permutation of the span."""
+    import raymarching_tpu.ops.pallas_march as pm
+
+    # >= 3 uniform chunks per span needed: 200 spheres -> 6x32 + 8
+    plan, tables = _scatter_world(n_spheres=200, n_boxes=0)
+    kp = plan.kernel
+    spans = pm.iter_bvh_order_spans(kp)
+    assert spans, "scatter world must produce an ordered span"
+    tbl = np.asarray(pm._build_table(tables, kp))
+    base = pm._order_row_base(kp)
+    off = 0
+    for (gi, ri, uni) in spans:
+        assert uni == pm._uniform_prefix(dict(kp.groups[gi].bvh)[ri])
+        rows = tbl[base + off: base + off + uni, 0].astype(int)
+        assert sorted(rows.tolist()) == list(range(uni))
+        assert pm._span_order_base(kp, kp.groups[gi], ri) == base + off
+        off += uni
+    assert tbl.shape[0] == base + off
+    # nearest-camera semantics: ordinal 0 is the chunk whose live AABB
+    # centre sits nearest the camera
+    from raymarching_tpu.scene.compile import iter_bvh_chunks as _ibc
+    chunks = _ibc(kp)
+    pos = np.asarray(tables.prim_pos)
+    aux = np.asarray(tables.prim_aux)
+    cam = np.asarray(tables.cam_position)
+    cents = []
+    for (pt, s, c) in chunks:
+        p = pos[s:s + c]
+        e = (np.broadcast_to(aux[s:s + c, 0:1], (c, 3)) if pt == 0
+             else aux[s:s + c] * 0.5)
+        cents.append(((p - e).min(0) + (p + e).max(0)) / 2)
+    gi, ri, uni = spans[0]
+    span_off = sum(len(ch) for g2 in kp.groups[:gi]
+                   for _r, ch in (g2.bvh or ()))
+    d = [np.sum((c - cam) ** 2) for c in cents[span_off:span_off + uni]]
+    first = int(tbl[base, 0])
+    assert d[first] == min(d)

@@ -318,7 +318,27 @@ class TestMengerLattice:
         tbl3 = _build_table(shifted, kp)
         sd3 = np.asarray(_scene_sd_tile(kp, tbl3, px, py, pz, jnp.float32))
         np.testing.assert_array_equal(sd3, scene_min_oracle(tbl3))
-        # ...and a sub-tolerance global jitter (ulps-scale) keeps the flag
+
+        # tolerance acceptance (r5 review): translate EVERY member cross
+        # (not the group root) off the generated lattice — within the
+        # flag's s/72 drift budget (s = 9 -> tol = 0.125) the flag must
+        # HOLD (the margin proof absorbs it and within-subtree sharing
+        # is intact) and the collapsed scene min must still equal the
+        # plain-fold oracle; past the budget the flag must drop.
+        def translated_members(delta):
+            pp3 = np.array(tables.prim_pos)
+            pp3[g.start + 1: g.start + g.count, 0] += delta
+            return tables._replace(prim_pos=pp3)
+
+        near = translated_members(9.0 / 100)          # < s/72
+        assert float(subtree_collapse_ok(kp, near)) == 1.0
+        tbl_near = _build_table(near, kp)
+        np.testing.assert_array_equal(
+            np.asarray(_scene_sd_tile(kp, tbl_near, px, py, pz,
+                                      jnp.float32)),
+            scene_min_oracle(tbl_near))
+        assert float(subtree_collapse_ok(
+            kp, translated_members(9.0 / 50))) == 0.0  # > s/72
         assert float(subtree_collapse_ok(kp, tables)) == 1.0
 
         # the idx/grad fold family (the backward's workhorse) takes the

@@ -321,3 +321,35 @@ def test_end_to_end_fd_grads_match_jnp(backend):
         np.testing.assert_allclose(
             a, b, rtol=0.02, atol=0.005 * scale,
             err_msg=f"{backend} kernel-backward mismatch in {field}")
+
+
+def test_wide_table_gather_segment_parity():
+    """The P-aware dispatch in _gather_rows/_segment_add (r5,
+    _ONEHOT_MAX_K): beyond ~3k rows they switch from the one-hot MXU
+    formulation to a plain take / XLA scatter-add.  Pin both branches
+    against each other — values identical (gather) / to summation-order
+    ulps (segment), and negative (miss) indices drop in both."""
+    import jax.numpy as jnp
+
+    from raymarching_tpu.ops import scene_vjp as sv
+
+    rng = np.random.default_rng(5)
+    P, R, C = 5000, 9000, 5
+    assert P > sv._ONEHOT_MAX_K
+    idx = jnp.asarray(rng.integers(-1, P, R).astype(np.int32))
+    vals = jnp.asarray(rng.standard_normal((R, C)).astype(np.float32))
+    mat = jnp.asarray(rng.standard_normal((P, 3)).astype(np.float32))
+
+    wide_g = np.asarray(sv._gather_rows(idx, mat))
+    wide_s = np.asarray(sv._segment_add(idx, vals, P))
+    old = sv._ONEHOT_MAX_K
+    sv._ONEHOT_MAX_K = 10 ** 9
+    try:
+        oh_g = np.asarray(sv._gather_rows(idx, mat))
+        oh_s = np.asarray(sv._segment_add(idx, vals, P))
+    finally:
+        sv._ONEHOT_MAX_K = old
+    np.testing.assert_array_equal(wide_g, oh_g)
+    np.testing.assert_allclose(wide_s, oh_s, rtol=2e-6, atol=1e-6)
+    miss = np.asarray(idx) < 0
+    assert miss.any() and np.all(wide_g[miss] == 0.0)
