@@ -183,6 +183,17 @@ class RenderConfig:
     # exact and fwd+bwd workloads see no speedup from this flag.
     shade_skip_black: bool = True
 
+    # Saturation-floor shadow skip (r5): lanes where even the ALL-LIT
+    # Lambert accumulation cannot reach the [saturation, 1] clamp floor
+    # (sum_l max(n.l, 0) < saturation, strict, bitwise the shade loop's
+    # own arithmetic) start every shadow march pre-converged — their
+    # pixel is pinned to saturation*color by the clamp whatever the
+    # shadow outcomes, the clamp zeroes every upstream cotangent, and
+    # the backward replay clamps to the identical floor.  EXACT for
+    # forward AND gradients (unlike shade_skip_black, which is
+    # forward-only); the switch exists for A/B and debugging.
+    shadow_sat_skip: bool = True
+
     # Thin-lens depth of field (opt-in, 0.0 = reference-parity pinhole):
     # each SSAA sample's origin moves to a point on a lens disk of radius
     # ``aperture`` (world units) in the camera's right/up plane — a

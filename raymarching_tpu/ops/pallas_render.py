@@ -214,7 +214,7 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                    analytic: bool, colored: bool, soft_k: float,
                    ao_strength: float, ao_samples: int, ao_delta: float,
                    bounces: int, per_ray_org: bool, black_ids,
-                   save_winner: bool, raygen,
+                   save_winner: bool, sat_skip: bool, raygen,
                    tbl_ref, lights_ref, *in_refs):
     gate_ref = None
     if black_ids:
@@ -279,7 +279,7 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                       ao_strength, ao_samples, ao_delta,
                       tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
                       *shade_sets[0], black_ids=black_ids,
-                      gate_ref=gate_ref)
+                      gate_ref=gate_ref, sat_skip=sat_skip)
 
     # 2. mirror bounces (RenderConfig.reflect_*): reflect off the shaded
     # hit, push the origin off the surface exactly like a shadow ray, and
@@ -305,7 +305,7 @@ def _render_kernel(kp: KernelPlan, iterations: int, eps: float,
                           fd_h, num_lights, shadows, fused, analytic,
                           colored, soft_k, ao_strength, ao_samples,
                           ao_delta, tbl_ref, lights_ref, px, py, pz, sd,
-                          dx, dy, dz, *shade_sets[b])
+                          dx, dy, dz, *shade_sets[b], sat_skip=sat_skip)
 
 
 def _big_program(kp) -> bool:
@@ -331,7 +331,8 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
                 ao_strength: float, ao_samples: int, ao_delta: float,
                 tbl_ref, lights_ref, px, py, pz, sd, dx, dy, dz,
                 cidx_ref, light_refs, smask_ref, sfac_refs=(), ao_ref=None,
-                winner_refs=None, black_ids=(), gate_ref=None):
+                winner_refs=None, black_ids=(), gate_ref=None,
+                sat_skip=True):
     """Steps 2-4 of the per-ray pipeline given marched hit points: color
     index at the pre-step point, normal, shadow marches, Lambert clamp.
     Shared by the single mega kernel and the two-phase shade kernel.
@@ -426,6 +427,43 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
     inv = 1.0 / jnp.maximum(gn, jnp.finfo(jnp.float32).tiny)
     nx, ny, nz = gx * inv, gy * inv, gz * inv
 
+    # (white lights only: LightColor scenes scale each term by an
+    # arbitrary per-channel factor the bound would have to carry)
+    if shadows and sat_skip and num_lights > 0 and not colored:
+        # SATURATION-FLOOR shadow skip (r5, EXACT fwd+bwd): when even
+        # the all-lit Lambert accumulation cannot reach the clamp floor
+        # (sum_l max(n.l_dir, 0) < saturation, STRICT, computed with the
+        # shade loop's own per-term arithmetic so float-add monotonicity
+        # makes it a true bound on every shadow outcome's total), the
+        # [saturation, 1] clamp pins the pixel either way, zeroes every
+        # upstream cotangent in the backward, and the jnp replay (whose
+        # saved smask reads 'lit' for skipped lanes) clamps to the
+        # identical floor since sum_l dot_l <= the bound.  Unlike the
+        # black skip this holds UNDER DIFFERENTIATION, so it stays on in
+        # the custom-vjp forward.  menger4's two shadow marches were 71%
+        # of its forward kernel and the carved sponge is full of lanes
+        # no light can lift above the floor.
+        def upper_term(li, u):
+            lx = jnp.asarray(lights_ref[li, 0], dtype)
+            ly = jnp.asarray(lights_ref[li, 1], dtype)
+            lz = jnp.asarray(lights_ref[li, 2], dtype)
+            rx, ry, rz = lx - px, ly - py, lz - pz
+            rd = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+            rinv = 1.0 / jnp.maximum(rd, jnp.finfo(jnp.float32).tiny)
+            lamb = (nx * (rx * rinv) + ny * (ry * rinv)
+                    + nz * (rz * rinv))
+            return u + jnp.maximum(lamb, 0.0)
+
+        if _big_program(kp):
+            upper = jax.lax.fori_loop(0, num_lights, upper_term,
+                                      jnp.zeros(dx.shape, dtype))
+        else:
+            upper = jnp.zeros(dx.shape, dtype)
+            for li in range(num_lights):
+                upper = upper_term(li, upper)
+        dark = upper < saturation
+        skip = dark if skip is None else jnp.logical_or(skip, dark)
+
     # 4. multi-light Lambert with boolean shadows (scene.cpp:45-62).
     # Per-light shadow booleans also go out as a bitmask so the backward
     # replay can reconstruct the clamp/masking exactly.  ``colored``
@@ -517,7 +555,8 @@ def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
                   num_lights: int, shadows: bool, fused: bool,
                   analytic: bool, colored: bool, soft_k: float,
                   ao_strength: float, ao_samples: int, ao_delta: float,
-                  black_ids, save_winner: bool, tbl_ref, lights_ref, *refs):
+                  black_ids, save_winner: bool, sat_skip: bool,
+                  tbl_ref, lights_ref, *refs):
     """Shade-only kernel for the two-phase path: hit points come from the
     (compacted) march kernels instead of an in-kernel march."""
     gate_ref = None
@@ -534,7 +573,8 @@ def _shade_kernel(kp: KernelPlan, iterations: int, eps: float,
                 ao_strength, ao_samples, ao_delta,
                 tbl, lights_ref, px_ref[...], py_ref[...], pz_ref[...],
                 sd_ref[...], dx_ref[...], dy_ref[...], dz_ref[...],
-                *shade_refs, black_ids=black_ids, gate_ref=gate_ref)
+                *shade_refs, black_ids=black_ids, gate_ref=gate_ref,
+                sat_skip=sat_skip)
 
 
 def _shade_out_shapes(f32, i32, num_lights: int, colored: bool,
@@ -554,7 +594,7 @@ def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
                          analytic: bool, colored: bool, soft_k: float,
                          ao_strength: float, ao_samples: int,
                          ao_delta: float, black_ids, save_winner: bool,
-                         tile_sublanes: int,
+                         sat_skip: bool, tile_sublanes: int,
                          num_tiles: int, num_prims: int, interpret: bool):
     rows = num_tiles * tile_sublanes
     block = (tile_sublanes, LANES)
@@ -570,7 +610,7 @@ def _compiled_shade_call(kp: KernelPlan, iterations: int, eps: float,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
                                ao_strength, ao_samples, ao_delta, black_ids,
-                               save_winner)
+                               save_winner, sat_skip)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     gate_specs = [smem] if black_ids else []
     return pl.pallas_call(
@@ -591,7 +631,7 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                           ao_strength: float, ao_samples: int,
                           ao_delta: float, bounces: int,
                           per_ray_org: bool, black_ids, save_winner: bool,
-                          tile_sublanes: int,
+                          sat_skip: bool, tile_sublanes: int,
                           num_tiles: int, num_prims: int, interpret: bool,
                           raygen=None):
     rows = num_tiles * tile_sublanes
@@ -605,7 +645,8 @@ def _compiled_render_call(kp: KernelPlan, iterations: int, eps: float,
                                offset_eps, saturation, fd_h, num_lights,
                                shadows, fused, analytic, colored, soft_k,
                                ao_strength, ao_samples, ao_delta, bounces,
-                               per_ray_org, black_ids, save_winner, raygen)
+                               per_ray_org, black_ids, save_winner,
+                               sat_skip, raygen)
     out_shape = (f32, f32, f32, f32, f32) + (1 + bounces) * _shade_out_shapes(
         f32, i32, num_lights, colored, shadows and soft_k > 0.0,
         ao_strength > 0.0, save_winner) + bounces * (f32, f32, f32, f32, f32)
@@ -785,7 +826,7 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
             L, cfg.shadows, cfg.fused_generators,
             cfg.normal_mode == "analytic", colored, cfg.soft_shadow_k,
             cfg.ao_strength, cfg.ao_samples, cfg.ao_delta, black_ids,
-            save_winner,
+            save_winner, cfg.shadow_sat_skip,
             cfg.tile_sublanes, num_tiles, int(tables.prim_pos.shape[0]),
             interpret)
         pc = [prep(p[:, a]) for a in range(3)]
@@ -800,7 +841,8 @@ def pallas_render_rays(plan: ScenePlan, cfg: RenderConfig,
         cfg.saturation, cfg.fd_h, L, cfg.shadows,
         cfg.fused_generators, cfg.normal_mode == "analytic", colored,
         cfg.soft_shadow_k, cfg.ao_strength, cfg.ao_samples, cfg.ao_delta,
-        bounces, per_ray_org, black_ids, save_winner, cfg.tile_sublanes,
+        bounces, per_ray_org, black_ids, save_winner, cfg.shadow_sat_skip,
+        cfg.tile_sublanes,
         num_tiles, int(tables.prim_pos.shape[0]), interpret, raygen)
     outs = call(tbl, lights, *gate_args, *org_args, *comps)
     px, py, pz, sd, done = outs[:5]
