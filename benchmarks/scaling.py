@@ -123,15 +123,15 @@ def main():
         # "efficiency" measures HOST-CORE SATURATION, not ICI scaling —
         # a real slice runs each width on its own chips and cores
         # (docs/SCALING_RUNBOOK.md).
-        host_cores = os.cpu_count()
+        host_cores = os.cpu_count()    # LOGICAL CPUs (SMT counts double)
         cpu_tot = [w["cpu_seconds"] for w in record["widths"]]
         record["diagnosis"] = {
-            "host_physical_cores": host_cores,
+            "host_logical_cpus": host_cores,
             "cpu_seconds_spread_pct": round(
                 100.0 * (max(cpu_tot) - min(cpu_tot)) / min(cpu_tot), 1),
             "summary": (
                 "harness artifact: all virtual devices share "
-                f"{host_cores} host cores; total CPU-seconds are flat "
+                f"{host_cores} logical host CPUs; total CPU-seconds are flat "
                 "across widths while wall time tracks core saturation "
                 "(see host_cores_utilized) — widths past the core count "
                 "cannot improve and jitter +/- a few % explains the "

@@ -805,7 +805,15 @@ def render_aovs(plan: ScenePlan, tables: SceneTables, cfg: RenderConfig,
     flat = lax.stop_gradient(dirs.reshape(-1, 3))
     sg_tables = jax.tree_util.tree_map(lax.stop_gradient, tables)
 
-    outs = pallas_render_rays(plan, cfg, origin, flat, sg_tables,
+    # Both shadow-march skips OFF: a skipped lane's smask bit reads
+    # SHADOWED (its march endpoint is the origin, so the passed test
+    # fails) — harmless for the beauty image (the skips are bit-exact by
+    # contract, so the color plane still matches render_tables bitwise)
+    # but it would poison the shadow AOV plane with false full-shadow
+    # bands along terminators, and gatecheck classifies against it
+    # (r5 review finding, verified).
+    aov_cfg = cfg.replace(shadow_sat_skip=False, shade_skip_black=False)
+    outs = pallas_render_rays(plan, aov_cfg, origin, flat, sg_tables,
                               interpret=interpret)
     p, sd, conv, cidx, light, smask = outs[:6]
     # geometry planes stay primary-hit; the color plane blends any mirror

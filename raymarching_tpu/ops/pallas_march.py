@@ -872,11 +872,6 @@ def _menger_subtree_fold(kp, tbl, g, px, py, pz, carry, fold_fn, value_of):
     third = s * (1.0 / 3.0)
     margin = s * (2.0 / 9.0)           # cell half s/6 + max cross half s/18
     recurse = _subtree_recurses(g)
-    if recurse:
-        off_row = _menger_off_row(kp)
-        sub2 = (T - 1) // 20
-        ninth = third * (1.0 / 3.0)
-        margin2 = third * (2.0 / 9.0)
     for (off, start) in subs:
         ox = cx + float(off[0]) * third
         oy = cy + float(off[1]) * third
@@ -889,29 +884,46 @@ def _menger_subtree_fold(kp, tbl, g, px, py, pz, carry, fold_fn, value_of):
         def with_subtree(c, _start=start, _ox=ox, _oy=oy, _oz=oz):
             if not recurse:
                 return fold_fn(((int(PrimType.CROSS), _start, T, 1),), c)
-            c = fold_fn(((int(PrimType.CROSS), _start, 1, 1),), c)
-
-            def body(k, cc):
-                ox2 = _ox + tbl[off_row + k, 0] * ninth
-                oy2 = _oy + tbl[off_row + k, 1] * ninth
-                oz2 = _oz + tbl[off_row + k, 2] * ninth
-                lb2 = _med3(jnp.abs(px - ox2) - margin2,
-                            jnp.abs(py - oy2) - margin2,
-                            jnp.abs(pz - oz2) - margin2)
-                start2 = _start + 1 + k * sub2
-
-                def live(c3):
-                    return fold_fn(
-                        ((int(PrimType.CROSS), start2, sub2, 1),), c3)
-
-                skip2 = jnp.all(lb2 >= value_of(cc))
-                return jax.lax.cond(skip2, lambda c3: c3, live, cc)
-
-            return jax.lax.fori_loop(0, 20, body, c)
+            return _menger_level2_walk(kp, tbl, px, py, pz, fold_fn,
+                                       value_of, c, _ox, _oy, _oz,
+                                       _start, T, third)
 
         skip = jnp.all(lb >= value_of(carry))
         carry = jax.lax.cond(skip, lambda c: c, with_subtree, carry)
     return carry
+
+
+def _menger_level2_walk(kp, tbl, px, py, pz, fold_fn, value_of, c,
+                        ox, oy, oz, b0, T, third):
+    """Level-2 cell walk of one LIVE level-1 subtree: the subtree root
+    cross (row ``b0``), then its 20 child cells in DFS order, each
+    behind the margin bound at the child scale (one fori, one traced
+    cond).  Shared by _menger_subtree_fold's recursion and
+    _menger_subtree_vbound_fold's live-subtree descent — their required
+    bitwise parity lives in this ONE body (r5 review: the two
+    hand-synced copies were a silent-desync hazard)."""
+    sub2 = (T - 1) // 20
+    ninth = third * (1.0 / 3.0)
+    margin2 = third * (2.0 / 9.0)
+    off_row = _menger_off_row(kp)
+    c = fold_fn(((int(PrimType.CROSS), b0, 1, 1),), c)
+
+    def body(k, cc):
+        ox2 = ox + tbl[off_row + k, 0] * ninth
+        oy2 = oy + tbl[off_row + k, 1] * ninth
+        oz2 = oz + tbl[off_row + k, 2] * ninth
+        lb2 = _med3(jnp.abs(px - ox2) - margin2,
+                    jnp.abs(py - oy2) - margin2,
+                    jnp.abs(pz - oz2) - margin2)
+        start2 = b0 + 1 + k * sub2
+
+        def live(c3):
+            return fold_fn(((int(PrimType.CROSS), start2, sub2, 1),), c3)
+
+        skip2 = jnp.all(lb2 >= value_of(cc))
+        return jax.lax.cond(skip2, lambda c3: c3, live, cc)
+
+    return jax.lax.fori_loop(0, 20, body, c)
 
 
 def _menger_carve_subtree_culled(kp, tbl, g, px, py, pz, init):
@@ -1123,9 +1135,6 @@ def _menger_subtree_vbound_fold(kp, tbl, g, px, py, pz, carry, fold_fn,
     s = tbl[g.start, 3]
     third = s * (1.0 / 3.0)
     margin = s * (2.0 / 9.0)
-    sub2 = (T - 1) // 20
-    ninth = third * (1.0 / 3.0)
-    margin2 = third * (2.0 / 9.0)
     off_row = _menger_off_row(kp)
     inf = jnp.full(px.shape, jnp.inf, px.dtype)
 
@@ -1142,28 +1151,9 @@ def _menger_subtree_vbound_fold(kp, tbl, g, px, py, pz, carry, fold_fn,
             m_j = _subtree_collapse_eval(tbl, b0, px, py, pz, inf)
 
             def live(c3):
-                # level-2 walk, bitwise the _menger_subtree_fold
-                # recursion: subtree root cross, then the 20 child cells
-                # in DFS order behind their own margin bound
-                c3 = fold_fn(((int(PrimType.CROSS), b0, 1, 1),), c3)
-
-                def body2(k, cc):
-                    ox2 = ox + tbl[off_row + k, 0] * ninth
-                    oy2 = oy + tbl[off_row + k, 1] * ninth
-                    oz2 = oz + tbl[off_row + k, 2] * ninth
-                    lb2 = _med3(jnp.abs(px - ox2) - margin2,
-                                jnp.abs(py - oy2) - margin2,
-                                jnp.abs(pz - oz2) - margin2)
-                    start2 = b0 + 1 + k * sub2
-
-                    def live2(c4):
-                        return fold_fn(
-                            ((int(PrimType.CROSS), start2, sub2, 1),), c4)
-
-                    skip2 = jnp.all(lb2 >= value_of(cc))
-                    return jax.lax.cond(skip2, lambda c4: c4, live2, cc)
-
-                return jax.lax.fori_loop(0, 20, body2, c3)
+                return _menger_level2_walk(kp, tbl, px, py, pz, fold_fn,
+                                           value_of, c3, ox, oy, oz, b0,
+                                           T, third)
 
             skip_m = jnp.all(m_j >= value_of(c2))
             return jax.lax.cond(skip_m, lambda c3: c3, live, c2)

@@ -436,9 +436,14 @@ def _shade_body(kp: KernelPlan, iterations: int, eps: float,
         # shade loop's own per-term arithmetic so float-add monotonicity
         # makes it a true bound on every shadow outcome's total), the
         # [saturation, 1] clamp pins the pixel either way, zeroes every
-        # upstream cotangent in the backward, and the jnp replay (whose
-        # saved smask reads 'lit' for skipped lanes) clamps to the
-        # identical floor since sum_l dot_l <= the bound.  Unlike the
+        # upstream cotangent in the backward, and the jnp replay clamps
+        # to the identical floor: a skipped lane's saved smask bit reads
+        # SHADOWED (endpoint = origin fails the passed test), so the
+        # replay total is 0, and clip(0) == clip(anything <= bound) ==
+        # saturation.  NOTE the shadowed-not-lit convention for skipped
+        # lanes: any new smask consumer must not trust skipped bits
+        # (render_aovs disables the skips for its shadow plane).
+        # Unlike the
         # black skip this holds UNDER DIFFERENTIATION, so it stays on in
         # the custom-vjp forward.  menger4's two shadow marches were 71%
         # of its forward kernel and the carved sponge is full of lanes
