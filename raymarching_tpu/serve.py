@@ -24,7 +24,8 @@ API:
   POST /aovs                     -> ZIP of AOV planes from ONE render:
        color.png (beauty), normal.png ([-1,1] mapped to [0,255]),
        hit.png (coverage), depth.npy (float32, +inf = miss),
-       objid.npy (int32, -1 = miss)
+       objid.npy (int32, -1 = miss), shadow.npy (float32 [H,W,L],
+       per-light shadowed fraction over converged samples)
        body + query params: the /render set (format ignored)
   POST /animate                  -> ZIP of frame_NNN.png (format=zip,
        default) or a looping animated GIF (format=gif)
@@ -182,7 +183,8 @@ def _make_handler(backend: str):
                 zf.writestr("normal.png", encode_png(normal8))
                 zf.writestr("hit.png", encode_png(hit8))
                 for name, dtype in (("depth", np.float32),
-                                    ("objid", np.int32)):
+                                    ("objid", np.int32),
+                                    ("shadow", np.float32)):
                     b = io.BytesIO()
                     np.save(b, np.asarray(aovs[name], dtype))
                     zf.writestr(name + ".npy", b.getvalue())

@@ -86,11 +86,14 @@ def test_aovs_zip(server):
     with zipfile.ZipFile(io.BytesIO(body)) as zf:
         names = set(zf.namelist())
         assert names == {"color.png", "normal.png", "hit.png",
-                         "depth.npy", "objid.npy"}
+                         "depth.npy", "objid.npy", "shadow.npy"}
         depth = np.load(io.BytesIO(zf.read("depth.npy")))
         objid = np.load(io.BytesIO(zf.read("objid.npy")))
+        shadow = np.load(io.BytesIO(zf.read("shadow.npy")))
     assert depth.shape == (16, 24) and depth.dtype == np.float32
     assert objid.shape == (16, 24) and objid.dtype == np.int32
+    assert shadow.shape[:2] == (16, 24) and shadow.dtype == np.float32
+    assert float(shadow.min()) >= 0.0 and float(shadow.max()) <= 1.0
     # the sphere fills the center; everything converges on Bounds or it
     assert objid[8, 12] == 1 and np.isfinite(depth[8, 12])
 
