@@ -771,10 +771,27 @@ def _menger_carve_lattice(tbl, g, px, py, pz):
             by = [jnp.abs(py - tbl[r, 1]) - hy for r in ys_reps]
             bz = [jnp.abs(pz - tbl[r, 2]) - hz for r in zs_reps]
             sd = None
+            # columns SHARE x-sets (level k has at most 2^k distinct
+            # shapes: E={-1,1} or F={-1,0,1} per sub-level), so each
+            # distinct set's min is computed ONCE — min over the same
+            # multiset is bitwise order-free.  This is what makes the
+            # 512-column iters=4 level 3 traceable: 512 x (med3 + min)
+            # instead of 512 x (up-to-27-min chain + med3) — the global
+            # three-level collapse replaces the per-subtree guarded fold
+            # outright (r5; the factored-minima idea from
+            # _subtree_collapse_eval applied at the global lattice).
+            xset_min = {}
             for (iy, iz, ixs, _rows) in columns:
-                a = bx[ixs[0]]
-                for ix in ixs[1:]:
-                    a = jnp.minimum(a, bx[ix])
+                # sorted key: same-set columns can list ixs in different
+                # DFS orders; min over one multiset is bitwise
+                # order-free (the b-values are |.|-h: never -0.0 or NaN)
+                key = tuple(sorted(ixs))
+                a = xset_min.get(key)
+                if a is None:
+                    a = bx[key[0]]
+                    for ix in key[1:]:
+                        a = jnp.minimum(a, bx[ix])
+                    xset_min[key] = a
                 med = _med3(a, by[iy], bz[iz])
                 sd = med if sd is None else jnp.minimum(sd, med)
         best = sd if best is None else jnp.minimum(best, sd)
@@ -1056,43 +1073,28 @@ def _subtree_collapse_eval(tbl, b0, px, py, pz, c):
 
 
 def _menger_subtree_collapsed(kp, tbl, g, px, py, pz, init):
-    """Value-only iters=4 carve: the level-1 margin skip test of
-    _menger_subtree_fold (same bound, same order) + the per-subtree
-    two-level lattice collapse for live subtrees — replacing the level-2
-    recursion's ~20 serializing all-lane reduces per live subtree with
-    ~490 straight-line vector ops.  One fori whose body holds one traced
-    cond (the proven compile-scaling pattern); subtree starts are affine
-    in the counter and child offsets ride the table's Menger offset rows.
+    """Value-only iters=4 carve: every level-1 subtree folds through the
+    two-level lattice collapse UNCONDITIONALLY — one fori, zero skip
+    tests.  r5 measured the guarded version (level-1 margin bound + cond
+    per subtree, the r4 design) SLOWER than just collapsing all 20
+    (menger4 forward 10.83 vs 11.18 Mrays/s one-process A/B): the 20
+    all-lane margin reduces + conds cost more than the ~17 subtree
+    collapses they skip.  The collapse lesson, completed: collapse the
+    math AND drop the last guard level.  Bitwise-identical either way
+    (min is exact selection; the skip was exactness-preserving).
 
     Callers gate on the subtree_collapse_ok flag (flag row column 1) and
     fall back to the PLAIN leaf fold when the live rows no longer share
-    the generated per-level coordinates or have drifted off the generated
-    lattice (the flag also certifies this fold's own level-1 skip bound;
-    the recursion's skip bounds assume the same lattice, so it is not a
-    valid fallback for drifted tables)."""
+    the generated per-level coordinates (sharing is all this fold needs
+    now; the flag's drift check additionally certifies the idx/grad
+    walk's skip bounds — see _menger_subtree_vbound_fold)."""
     T, _subs = _menger_subtrees(g)
     carry = jnp.minimum(init, _prim_sd(int(PrimType.CROSS), tbl,
                                        g.start + 1, px, py, pz))
-    cx, cy, cz = tbl[g.start, 0], tbl[g.start, 1], tbl[g.start, 2]
-    s = tbl[g.start, 3]
-    third = s * (1.0 / 3.0)
-    margin = s * (2.0 / 9.0)           # cell half s/6 + max cross half s/18
-    off_row = _menger_off_row(kp)
 
     def body(j, c):
-        ox = cx + tbl[off_row + j, 0] * third
-        oy = cy + tbl[off_row + j, 1] * third
-        oz = cz + tbl[off_row + j, 2] * third
-        lb = _med3(jnp.abs(px - ox) - margin,
-                   jnp.abs(py - oy) - margin,
-                   jnp.abs(pz - oz) - margin)
         b0 = g.start + 2 + j * T
-
-        def live(c2):
-            return _subtree_collapse_eval(tbl, b0, px, py, pz, c2)
-
-        skip = jnp.all(lb >= c)
-        return jax.lax.cond(skip, lambda c2: c2, live, c)
+        return _subtree_collapse_eval(tbl, b0, px, py, pz, c)
 
     return jax.lax.fori_loop(0, 20, body, carry)
 
@@ -1260,12 +1262,26 @@ def subtree_collapse_ok(kp, tables) -> jnp.ndarray:
     return ok.astype(jnp.float32)
 
 
+def _lattice_idx_ok(g) -> bool:
+    """May the idx/grad fold family use the collapsed-lattice WINNER
+    folds?  Only when every level's column count stays small: the winner
+    collapse carries per-column row-select chains that cannot share
+    factored x-minima, so iters=4's 512-column level would trace ~40k
+    ops.  Big-lattice groups route their winner folds through the
+    value-bound subtree walk instead (_subtree_carve_fold); their VALUE
+    folds still take the global lattice collapse (x-set minima are
+    shared there, ~3k traced ops for the whole 8,421-cross carve)."""
+    return g.lattice is not None and all(
+        len(level) == 1 or len(level[4]) <= 128 for level in g.lattice)
+
+
 def _use_subtree(g) -> bool:
-    """Should this group's carve fold take the per-subtree cull?  Deep
-    sponges whose lattice collapse was column-capped (scene/compile.py
-    _LATTICE_MAX_COLS) — the lattice stays the better exact fast path
-    when it exists."""
-    return (g.lattice is None and g.count >= _SUBTREE_MIN_COUNT
+    """Should this group's carve take the per-subtree walk in the
+    idx/grad fold family?  Deep sponges whose lattice is either absent
+    or too wide for the winner collapse (_lattice_idx_ok) — small
+    lattices stay the better exact fast path for winners too."""
+    return ((g.lattice is None or not _lattice_idx_ok(g))
+            and g.count >= _SUBTREE_MIN_COUNT
             and _menger_subtrees(g) is not None)
 
 
@@ -2287,7 +2303,7 @@ def _scene_sd_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
         neg_runs = [r for r in g.runs if r[3] == -1]
         pos_runs = [r for r in g.runs if r[3] == 1]
         use_fused = fused and g.fused is not None
-        use_lattice = g.lattice is not None and not use_fused
+        use_lattice = _lattice_idx_ok(g) and not use_fused
         diff_group = g.gsign == -1 and rsign == 1.0 and bool(neg_runs)
         cullable = (diff_group and g.count >= _CULL_MIN_GROUP
                     and not use_fused
@@ -2502,11 +2518,13 @@ def _scene_sd_idx_grad_tile(kp: KernelPlan, tbl, px, py, pz, dtype,
                             tbl, runs, px, py, pz, c),
                         lambda c: c[0], _pos)
                     return root_update(s, -1, carry)
-            elif g.lattice is not None:
+            elif _lattice_idx_ok(g):
                 # collapsed-lattice carve with winner rows — the backward
                 # stencil's dominant fold drops from 20^k cross
                 # evaluations to the column collapse (~3.5x fewer ops);
-                # flag-row-gated exactly like the value fold
+                # flag-row-gated exactly like the value fold.  Big
+                # lattices (iters>=4) take the _use_subtree branch above
+                # instead (see _lattice_idx_ok)
                 def with_group(s, _g=g, _neg=tuple(neg_runs),
                                _pos=tuple(pos_runs)):
                     bmin, bidx, bgx, bgy, bgz = _fold_runs_idx_grad(

@@ -247,8 +247,15 @@ def _compile_tree(root: ListNode):
 
 # Largest per-level column count the static lattice collapse may unroll
 # (see _menger_lattice docstring: iters=3 level 2 = 64, iters=4 level 3 =
+# 512).  r5 raised 128 -> 512: the VALUE collapse now shares each
+# distinct x-SET's minimum across columns (pallas_march
+# _menger_carve_lattice), so the 512-column level traces ~2.6k ops, not
+# the 11.7k that forced the r3 cap; the winner (idx/grad) collapse still
+# cannot share (per-column row chains) and big-lattice groups route
+# winners through the value-bound subtree walk (_lattice_idx_ok).
+# Historical note (r3 cap rationale): iters=4 level 3 =
 # 512 — the latter's trace/compile cost outweighs its runtime win).
-_LATTICE_MAX_COLS = 128
+_LATTICE_MAX_COLS = 512
 
 
 def _menger_lattice(start: int, count: int, scales, iters: int):

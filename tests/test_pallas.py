@@ -178,19 +178,27 @@ class TestMengerLattice:
         from raymarching_tpu.ops.pallas_march import lattice_ok
         assert float(lattice_ok(plan.kernel, tables)) == 1.0
 
-    def test_iters4_lattice_capped_for_compile_size(self):
-        """iters=4's level 3 (512 columns / 8000 members) would unroll
-        ~11.7k vector ops into every field evaluation — minutes of Mosaic
-        compile over the tunnel.  _LATTICE_MAX_COLS drops the whole group
-        back to the fori-loop run fold (291 ops); iters=3 (64 columns)
-        keeps the collapse."""
+    def test_iters4_lattice_routing(self):
+        """r5: iters=4 EMITS its full three-level lattice (the VALUE
+        collapse shares each distinct x-set's minimum across columns, so
+        the 512-column level 3 traces ~2.6k ops — the r3 cap's 11.7k
+        no longer applies), but the WINNER folds cannot share (per-column
+        row chains) and route through the value-bound subtree walk
+        (_lattice_idx_ok False, _use_subtree True).  iters=3 keeps both
+        collapses; an iters=5 level 4 (4096 columns) stays capped."""
+        from raymarching_tpu.ops.pallas_march import (_lattice_idx_ok,
+                                                      _use_subtree)
         plan3, _ = self._menger_plan(3)
         g3 = next(g for g in plan3.kernel.groups if g.fused is not None)
         assert g3.lattice is not None
+        assert _lattice_idx_ok(g3) and not _use_subtree(g3)
         plan4, _ = self._menger_plan(4)
         g4 = next(g for g in plan4.kernel.groups if g.fused is not None)
         assert g4.count == 8422          # box + 1 + 20 + 400 + 8000 crosses
-        assert g4.lattice is None
+        assert g4.lattice is not None
+        assert len(g4.lattice) == 4
+        assert len(g4.lattice[3][4]) == 512     # level-3 columns
+        assert not _lattice_idx_ok(g4) and _use_subtree(g4)
 
     def test_subtree_culled_carve_matches_full_fold_bitwise(self):
         """Deep sponges past the lattice column cap take the hierarchical
